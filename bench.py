@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries (QuerySpec.bench) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style collect (noop write) so
+the full plan executes; a warmup run of the flagship query absorbs JVM
+/ codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
+from rt_bigdata_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    _ensure_loaded()
+    spark = get_spark("rt_bigdata_spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    bench_specs = [s for s in REGISTRY.values() if s.bench]
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    warm = REGISTRY["pricing_summary"].spark(spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Text scalar functions + tokenizer UDTF surface (SURVEY.md §2.8 F1-F3, F9, F11; §2.9 U1-U2).
+
+All hot-path functions are built-in column expressions (JVM-side,
+codegen-friendly); nothing here is a row-at-a-time Python UDF.
+
+- F1/F2/F3 emoji / special-char stripping
+  (rt-flink …/common/CommonTool.scala:18-56) → ``regexp_replace``.
+- U1 ``ik_analyze`` tokenizer UDTF (…/app/udf/KeywordUDTF.scala:17-29,
+  …/utils/KeywordUtil.scala:15-48): behavior-equivalent segmentation as
+  ``split`` + ``explode`` (the IK dictionary is third-party; semantics
+  tests need stable segmentation, not the exact dictionary).
+- U2 ``keywordProductC2R`` unpivot (…/app/udf/KeywordProductC2RUDTF.scala:12-34)
+  → ``stack`` + ``filter(ct > 0)``.
+- F9 multi-label keyword classification (…/common/BusinessRulesTool.scala:15-68)
+  → nested ``when`` over ``contains`` predicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# F2 removeEmoji (CommonTool.scala:40-47): keep letters/marks/numbers/
+# punctuation/separators/format chars; drop the rest (emoji etc.).
+_EMOJI_CLASS = r"[^\p{L}\p{M}\p{N}\p{P}\p{Z}\p{Cf}\s]"
+
+# F1 getSubsidy (CommonTool.scala:18-37): keep CJK + full-width + ASCII.
+_NON_CJK_ASCII = r"[^一-龥＀-￯\x00-\x7F]"
+
+
+def remove_emoji(col: Column) -> Column:
+    return F.regexp_replace(col, _EMOJI_CLASS, "")
+
+
+def keep_cjk_ascii(col: Column) -> Column:
+    return F.regexp_replace(col, _NON_CJK_ASCII, "")
+
+
+def strip_surrogates(col: Column) -> Column:
+    # F3 specialStr (CommonTool.scala:50-56)
+    return F.regexp_replace(col, r"[\uD800-\uDFFF]", "")
+
+
+def tokenize(col: Column) -> Column:
+    """U1: text → array of lowercase word tokens.
+
+    ``split`` on non-word runs; empty tokens filtered. Pure column
+    expression — stays in whole-stage codegen, no Python involved.
+    Use with ``explode`` for the lateral-join (J5) shape:
+    ``df.select(explode(tokenize(col("text"))).alias("keyword"))``.
+    """
+    return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit(""))
+
+
+def unpivot_counts(pairs: Sequence[tuple[str, str]], ct_name: str = "ct", source_name: str = "source") -> Column:
+    """U2: (count_col, SOURCE_LABEL) pairs → rows ``struct(ct, source)``.
+
+    Returns a ``stack`` expression producing one row per pair; caller
+    filters ``ct > 0`` (zero counts are skipped by the reference UDTF,
+    KeywordProductC2RUDTF.scala:23-31).
+    """
+    args: list[str] = []
+    for col_name, label in pairs:
+        args.append(f"`{col_name}`")
+        args.append(f"'{label}'")
+    return F.expr(f"stack({len(pairs)}, {', '.join(args)}) as ({ct_name}, {source_name})")
+
+
+def classify_keywords(col: Column, rules: Sequence[tuple[str, Sequence[str]]], default: str = "other") -> Column:
+    """F9: first-match multi-keyword classification.
+
+    ``rules`` is [(label, [substr, ...]), ...]; a row gets ``label`` if
+    the text contains any of its substrings (reference's complaint-type
+    rules, BusinessRulesTool.scala:15-68).
+    """
+    expr: Column | None = None
+    for label, needles in reversed(list(rules)):
+        cond = None
+        for n in needles:
+            c = col.contains(F.lit(n))
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, F.lit(label)).otherwise(F.lit(default) if expr is None else expr)
+    return expr if expr is not None else F.lit(default)

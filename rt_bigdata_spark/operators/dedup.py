@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference operators (SURVEY.md §7.2 step 9). Scale design:
+
+- exact: one shuffle on the md5 key — the cheapest possible dedup.
+- n-gram Jaccard: exact pairwise similarity via a shingle self-join.
+  Correct but O(pairs-sharing-a-shingle); at 100 TB use it only to
+  VERIFY candidates from LSH, never as the discovery pass.
+- MinHash+LSH: the discovery pass — per-doc signature (one narrow
+  map-side pass), band → bucket grouping (one shuffle on (band,
+  bucket-hash)), candidate pairs only within buckets. This is the
+  standard web-scale near-dup pipeline (GPL/CC dedup papers).
+- SimHash: 32-bit md5-derived simhash; hamming-near candidates via
+  band rotation.
+
+All hashes derive from md5 (stable across engines/runs) — no
+JVM-hash-seed dependence, so results are reproducible and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from rt_bigdata_spark.functions.text_fns import tokenize
+
+# Large prime < 2^31 for the minhash permutation universe.
+_MINHASH_PRIME = 2147483647
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of tokenized text (array<string>).
+
+    Docs shorter than ``n`` tokens yield their full token join (one
+    shingle) so they still participate in dedup.
+    """
+    toks = tokenize(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_hash(shingle: Column) -> Column:
+    """Stable 31-bit integer hash of a shingle via md5 (engine-portable)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long") % _MINHASH_PRIME
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the md5 of the raw text: one row per distinct
+    text with the kept (min) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("sig"), F.col(id_col))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_ct"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard ≥ t).
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    (one shuffle) → per-pair intersection count → Jaccard from
+    inclusion-exclusion. The shingle join is the scale hazard — a
+    stop-shingle appearing in k docs creates k² pair rows; production
+    pipelines drop shingles with document frequency above a cap first.
+    """
+    shingled = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length ``num_hashes``).
+
+    Universal-hash family h_i(x) = (a_i·x + b_i) mod p over md5-derived
+    31-bit shingle hashes; a_i/b_i are fixed odd/even constants derived
+    from i so signatures are deterministic. Entirely map-side: explode →
+    per-doc min of each permutation → one narrow groupBy on the id.
+    """
+    shingled = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col))).alias("shingle"))
+    hashed = shingled.withColumn("h", _shingle_hash(F.col("shingle")))
+    mins = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1)) % _MINHASH_PRIME).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by estimated Jaccard.
+
+    signatures → split into ``bands`` bands of r = num_hashes/bands rows
+    → bucket key = md5(band values) → pairs sharing ≥1 bucket →
+    signature-agreement estimate ≥ threshold. The only wide exchange is
+    the bucket groupBy; candidate pairs are bucket-local.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.transform(F.slice("signature", b * r + 1, r), lambda x: x.cast("string")))).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.lit(num_hashes)
+    return (
+        candidates.withColumn("est_jaccard", agreement.cast("double"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over token md5 hashes (``simhash`` long column).
+
+    For each bit position, sum +1/−1 votes across token hashes; the
+    sign vector packs into an integer. Near-dups differ in few bits
+    (hamming distance); pure array math, map-side only.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    hashed = toks.withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"bit_{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"bit_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc", acc.alias("simhash"))

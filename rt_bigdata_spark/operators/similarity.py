@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference operators (SURVEY.md §7.2 step 9): brute-force cosine
+top-k as the exact baseline, and an LSH-bucketed variant (random
+hyperplane signs) as the scale path.
+
+Scale design: brute-force is a broadcast of the (small) query set
+against a full scan of the corpus — fine for few queries, linear in
+corpus size, no shuffle except the final per-query top-k. The
+hyperplane-LSH variant buckets the corpus once (map-side signature),
+then only scans matching buckets — the standard ANN trade at 100 TB.
+Dot products use ``zip_with``/``aggregate`` (JVM-side, codegen); cast
+to double first so accumulation is IEEE-double deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is broadcast (small); per-query ranking is one window
+    over the per-query candidate scores. Ties break on corpus id for
+    determinism. Similarity is rounded to 9 dp to keep the value stable
+    under engine-specific float formatting.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane sign buckets.
+
+    Corpus rows hash to a ``num_planes``-bit bucket (sign of dot with
+    each fixed pseudo-random plane); queries probe only their own
+    bucket. Recall < 1 by construction; the 100 TB path where
+    brute-force is too expensive. Planes derive from a seeded LCG so
+    results are deterministic.
+    """
+    # Deterministic pseudo-random planes (LCG), generated driver-side.
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(num_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            plane.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(plane)
+
+    def bucket_of(vec: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        vd = F.transform(vec, lambda x: x.cast("double"))
+        for i, plane in enumerate(planes):
+            p = F.array(*[F.lit(v) for v in plane])
+            d = dot(vd, p)
+            acc = acc + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")).withColumn(
+        "bucket", bucket_of(F.col("cvec"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).withColumn(
+        "bucket", bucket_of(F.col("qvec"))
+    )
+    scored = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

@@ -1,0 +1,84 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, fingerprinting.
+
+Beyond-reference operators (build plan SURVEY.md §7.2 step 9) for the
+100 TB document-processing story. Everything is built-in column
+expressions — fully vectorized JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from rt_bigdata_spark.functions.text_fns import tokenize
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote language
+# heuristic. Order matters: ties break toward the earlier language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "de", "y"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def stopword_hits(text: Column, stopwords: Sequence[str]) -> Column:
+    toks = tokenize(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, avg token length, stopword
+    ratio, punctuation ratio — the standard cheap quality filters a
+    pretraining pipeline applies before expensive steps."""
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\p{P}]", ""))
+    sw_hits = stopword_hits(text, LANG_STOPWORDS["en"])
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("long"),
+            "avg_token_len": (total_len.cast("double") / n_tok).alias("avg_token_len"),
+            "stopword_ratio": (sw_hits.cast("double") / n_tok),
+            "punct_ratio": (n_punct.cast("double") / F.length(text)),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", stopwords: Mapping[str, Sequence[str]] | None = None) -> DataFrame:
+    """Stopword-vote language ID: count hits per language list, take the
+    argmax (first language wins ties, 'und' if zero hits everywhere).
+
+    At scale this is one pass over tokens per language list — all
+    JVM-side array ops, no shuffle.
+    """
+    stopwords = stopwords or LANG_STOPWORDS
+    text = F.col(text_col)
+    hit_cols = {f"_hits_{lang}": stopword_hits(text, words) for lang, words in stopwords.items()}
+    out = df.withColumns(hit_cols)
+    best: Column = F.lit("und")
+    best_hits: Column = F.lit(0)
+    for lang in stopwords:  # earlier language wins ties → strict >
+        hits = F.col(f"_hits_{lang}")
+        is_better = hits > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return out.withColumn("lang_pred", best).drop(*hit_cols.keys())
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 over the token-normalized text
+    (whitespace/punct-insensitive), the cheap exact-dup key."""
+    normalized = F.concat_ws(" ", tokenize(F.col(text_col)))
+    return df.withColumn(out_col, F.md5(normalized))

@@ -1,0 +1,180 @@
+"""Training-data pipeline query plans: dedup, similarity search, text
+analysis over ``documents`` / ``embeddings`` (SURVEY.md §7.2 step 9).
+
+MinHash-LSH / SimHash / hyperplane-LSH are registered without oracle
+SQL (driver does a rows-only check) — their semantics are validated by
+unit tests against constructed near-duplicates; the exact n-gram
+Jaccard and brute-force cosine queries are the oracle-checked ground
+truth the approximate variants are measured against.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rt_bigdata_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from rt_bigdata_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from rt_bigdata_spark.operators.text_analysis import fingerprint, language_id, quality_features
+from rt_bigdata_spark.plans.registry import QuerySpec, register
+from rt_bigdata_spark.sources.tables import load_table
+
+# Shared DuckDB fragment: tokenization identical to functions.text_fns.tokenize.
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS sig, MIN(doc_id) AS keep_id, COUNT(*) AS dup_ct
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_ORACLE_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+_ORACLE_QUALITY = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS avg_token_len,
+       ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t), 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+# CASE order mirrors language_id's first-max-wins loop (en,fr,es,de,zh).
+_ORACLE_LANG = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS h_en,
+         len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS h_fr,
+         len(list_filter(t, x -> x IN ('el','la','los','de','y'))) AS h_es,
+         len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS h_de,
+         len(list_filter(t, x -> x IN ('的','是','在','了','和'))) AS h_zh
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en,h_fr,h_es,h_de,h_zh) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'en'
+            WHEN h_fr = greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'fr'
+            WHEN h_es = greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'es'
+            WHEN h_de = greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'de'
+            ELSE 'zh' END AS lang_pred
+FROM hits
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.1)
+
+
+_ORACLE_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+                               FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.1
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+_ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_inner_product(qvec, cvec)
+               / (sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec))), 9) AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+WHERE rk <= 10
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.1)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hyperplane_lsh_topk(emb, queries, k=10)
+
+
+for spec in [
+    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",)),
+    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True),
+    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",)),
+    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True),
+    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True),
+    QuerySpec("minhash_lsh", q_minhash_lsh, None, ("dedup", "approx"), bench=True),
+    QuerySpec("simhash", q_simhash, None, ("dedup", "approx")),
+    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, None, ("similarity", "approx")),
+]:
+    register(spec)

@@ -1,0 +1,714 @@
+"""Warehouse-layer query plans (SURVEY.md §2 operator inventory → testdata).
+
+Each ``QuerySpec`` pairs an idiomatic-Spark implementation with a
+DuckDB oracle SQL over the same parquet tables (driver contract).
+The reference semantics being re-expressed are cited per query.
+
+Table mapping (FIXTURES.md §3-4): ``orders``≈order_info,
+``lineitem``≈order_detail, ``customer``+``nation``+``region``≈user/
+province dims, ``part``≈sku dims, ``events``≈behavior log.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from rt_bigdata_spark.functions.datetime_fns import ten_minute_bucket, weekday_zh
+from rt_bigdata_spark.functions.text_fns import tokenize, unpivot_counts
+from rt_bigdata_spark.operators.aggregations import conditional_sum, tumbling_window_agg
+from rt_bigdata_spark.operators.joins import enrich_dims, interval_join
+from rt_bigdata_spark.operators.routing import route_by_config, union_all
+from rt_bigdata_spark.plans.registry import QuerySpec, register
+from rt_bigdata_spark.sources.tables import load_table
+
+
+def _dec(c: str | F.Column, p: int = 18, s: int = 2) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# pricing_summary — flagship batch aggregation (A6/A8; TPC-H Q1 shape).
+# Exercises filter pushdown, partial+final HashAggregate, exact decimal
+# arithmetic. Reference analog: the ADS batch report pattern
+# (rt-flink …/ads/demo/JarSubmit.scala:72-111).
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price, qty = _dec("l_extendedprice", 12, 2), _dec("l_quantity", 12, 2)
+    disc, tax = _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price").cast("double") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+            * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# visitor_stats — A1: keyed tumbling-window reduce with window metadata
+# (VisitorStatsApp.scala:167-201): 10-minute windows over the event
+# stream, per event_type, with pv / uv / value-sum.
+# ---------------------------------------------------------------------------
+
+
+def q_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        ev,
+        ts_col="ts",
+        duration="10 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            F.sum(_dec("value")).alias("dur_sum"),
+        ],
+    ).select("stt", "edt", "event_type", "pv_ct", "uv_ct", "dur_sum")
+
+
+_ORACLE_VISITOR = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS edt,
+       event_type,
+       COUNT(*) AS pv_ct,
+       COUNT(DISTINCT user_id) AS uv_ct,
+       SUM(CAST(value AS DECIMAL(18,2))) AS dur_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# province_stats — A3 + J3: windowed COUNT(DISTINCT order) + SUM(amount)
+# per province dims (ProvinceStatsSqlApp.scala:70-78), dims resolved via
+# broadcast joins (customer→nation→region ≈ user→province chain).
+# ---------------------------------------------------------------------------
+
+
+def q_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    enriched = enrich_dims(
+        orders,
+        [
+            (cust, F.col("o_custkey") == F.col("c_custkey")),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return (
+        tumbling_window_agg(
+            enriched,
+            ts_col="o_orderdate",
+            duration="1 day",
+            keys=["n_name", "r_name"],
+            aggs=[
+                F.countDistinct("o_orderkey").alias("order_count"),
+                F.sum(_dec("o_totalprice")).alias("order_amount"),
+            ],
+        )
+        .select(
+            "stt",
+            "edt",
+            F.col("n_name").alias("province_name"),
+            F.col("r_name").alias("area_name"),
+            "order_count",
+            "order_amount",
+        )
+    )
+
+
+_ORACLE_PROVINCE = """
+SELECT strftime(time_bucket(INTERVAL '1 day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(time_bucket(INTERVAL '1 day', o_orderdate) + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS edt,
+       n_name AS province_name,
+       r_name AS area_name,
+       COUNT(DISTINCT o_orderkey) AS order_count,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_amount
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# keyword_stats — U1 tokenizer UDTF + J5 lateral join + A4 grouped count
+# (KeywordStatsApp.scala:51-80): tokenize document text, explode, count.
+# ---------------------------------------------------------------------------
+
+
+def q_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("ct"), F.countDistinct("doc_id").alias("doc_ct"))
+    )
+
+
+_ORACLE_KEYWORD = """
+SELECT keyword, COUNT(*) AS ct, COUNT(DISTINCT doc_id) AS doc_ct
+FROM (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS keyword
+  FROM documents
+)
+WHERE keyword <> ''
+GROUP BY keyword
+"""
+
+
+# ---------------------------------------------------------------------------
+# keyword_c2r — U2 unpivot UDTF (KeywordProductC2RUDTF.scala:12-34):
+# per-user counts of click/cart/order events → (ct, source) rows, zero
+# counts skipped. Source labels from GmallConstant.java:69-72; event
+# mapping click→CLICK, view→CART, purchase→ORDER.
+# ---------------------------------------------------------------------------
+
+
+def q_keyword_c2r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        conditional_sum(F.col("event_type") == "click", F.lit(1), F.lit(0)).alias("click_ct"),
+        conditional_sum(F.col("event_type") == "view", F.lit(1), F.lit(0)).alias("cart_ct"),
+        conditional_sum(F.col("event_type") == "purchase", F.lit(1), F.lit(0)).alias("order_ct"),
+    )
+    return (
+        counts.select(
+            "user_id",
+            unpivot_counts([("click_ct", "CLICK"), ("cart_ct", "CART"), ("order_ct", "ORDER")]),
+        )
+        .filter(F.col("ct") > 0)
+        .select("user_id", F.col("ct").cast("long").alias("ct"), "source")
+    )
+
+
+_ORACLE_C2R = """
+WITH counts AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_ct,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cart_ct,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS order_ct
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(click_ct AS BIGINT) AS ct, 'CLICK' AS source FROM counts WHERE click_ct > 0
+UNION ALL
+SELECT user_id, CAST(cart_ct AS BIGINT) AS ct, 'CART' AS source FROM counts WHERE cart_ct > 0
+UNION ALL
+SELECT user_id, CAST(order_ct AS BIGINT) AS ct, 'ORDER' AS source FROM counts WHERE order_ct > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_wide — J1 interval join (OrderWideAp.scala:112-138): order ⋈
+# detail on key within an event-time interval; lineitem plays
+# order_detail with l_shipdate ∈ [o_orderdate, o_orderdate + 90 days].
+# ---------------------------------------------------------------------------
+
+
+def q_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    detail = load_table(spark, sf_dir, "lineitem")
+    joined = interval_join(
+        orders,
+        detail,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower_seconds=0,
+        upper_seconds=90 * 86400,
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("l_partkey").alias("sku_id"),
+        _dec("l_quantity", 12, 2).alias("sku_num"),
+        _dec("l_extendedprice", 12, 2).alias("split_total_amount"),
+        _dec("o_totalprice", 12, 2).alias("total_amount"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+
+
+_ORACLE_ORDER_WIDE = """
+SELECT o_orderkey AS order_id,
+       l_linenumber AS detail_id,
+       l_partkey AS sku_id,
+       CAST(l_quantity AS DECIMAL(12,2)) AS sku_num,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS split_total_amount,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS total_amount,
+       o_orderstatus AS order_status
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+"""
+
+
+# ---------------------------------------------------------------------------
+# payment_wide — J2 asymmetric-bounds interval join
+# (PaymentWideApp.scala:82-88): payment within 30 days after the order.
+# Payments are derived deterministically from orders (FIXTURES.md §3).
+# ---------------------------------------------------------------------------
+
+
+def q_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    payments = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.timestamp_add("DAY", (F.col("o_orderkey") % 10).cast("int"), F.col("o_orderdate")).alias("callback_time"),
+        _dec("o_totalprice", 12, 2).alias("payment_amount"),
+    )
+    joined = interval_join(
+        orders,
+        payments,
+        left_key="o_orderkey",
+        right_key="order_id",
+        left_ts="o_orderdate",
+        right_ts="callback_time",
+        lower_seconds=0,
+        upper_seconds=30 * 86400,
+    )
+    return joined.select(
+        "order_id",
+        F.date_format("callback_time", "yyyy-MM-dd HH:mm:ss").alias("callback_time"),
+        "payment_amount",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+
+
+_ORACLE_PAYMENT_WIDE = """
+WITH payments AS (
+  SELECT o_orderkey AS order_id,
+         o_orderdate + CAST(o_orderkey % 10 AS INT) * INTERVAL 1 DAY AS callback_time,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS payment_amount
+  FROM orders
+)
+SELECT p.order_id,
+       strftime(p.callback_time, '%Y-%m-%d %H:%M:%S') AS callback_time,
+       p.payment_amount,
+       o.o_custkey AS user_id,
+       o.o_orderstatus AS order_status
+FROM orders o JOIN payments p
+  ON o.o_orderkey = p.order_id
+ AND p.callback_time >= o.o_orderdate
+ AND p.callback_time <= o.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_wide_enriched — J3: chained broadcast dim enrichment
+# (OrderWideAp.scala:143-236 does 6 async lookups: user, province, sku,
+# spu, category3, trademark). Here: part≈sku dims, supplier, customer≈
+# user, nation+region≈province — 5 broadcast joins, zero fact shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q_order_wide_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_name").alias("sku_name"),
+        F.col("p_brand").alias("tm_name"),
+        F.col("p_type").alias("category3_name"),
+        _dec("p_retailprice", 12, 2).alias("sku_price"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", F.col("s_name").alias("supplier_name"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("user_name"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("province_name"), "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", F.col("r_name").alias("area_name"))
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    enriched = enrich_dims(
+        fact,
+        [
+            (part, F.col("l_partkey") == F.col("p_partkey")),
+            (supp, F.col("l_suppkey") == F.col("s_suppkey")),
+            (cust, F.col("o_custkey") == F.col("c_custkey")),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return enriched.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("detail_id"),
+        F.col("l_partkey").alias("sku_id"),
+        "sku_name",
+        "tm_name",
+        "category3_name",
+        "sku_price",
+        "supplier_name",
+        F.col("o_custkey").alias("user_id"),
+        "user_name",
+        "province_name",
+        "area_name",
+        _dec("l_extendedprice", 12, 2).alias("split_total_amount"),
+    )
+
+
+_ORACLE_ENRICHED = """
+SELECT l_orderkey AS order_id,
+       l_linenumber AS detail_id,
+       l_partkey AS sku_id,
+       p_name AS sku_name,
+       p_brand AS tm_name,
+       p_type AS category3_name,
+       CAST(p_retailprice AS DECIMAL(12,2)) AS sku_price,
+       s_name AS supplier_name,
+       o_custkey AS user_id,
+       c_name AS user_name,
+       n_name AS province_name,
+       r_name AS area_name,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS split_total_amount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# ads_report — A6 conditional aggregation (JarSubmit.scala:72-111):
+# SUM(IF(...)), CASE WHEN buckets, multi-col GROUP BY + ORDER BY.
+# ---------------------------------------------------------------------------
+
+
+def q_ads_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            conditional_sum(F.col("o_orderstatus") == "F", F.lit(1), F.lit(-1)).cast("long").alias("net_f"),
+            F.sum(F.when(_dec("o_totalprice") > 150000, 1).otherwise(0)).cast("long").alias("big_order_ct"),
+            F.count(F.lit(1)).alias("order_ct"),
+            F.sum(_dec("o_totalprice")).alias("amount"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ADS = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END) AS BIGINT) AS net_f,
+       CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS big_order_ct,
+       COUNT(*) AS order_ct,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_k_products — W1/W3 ranking window + top-k (surface completeness;
+# reference has ORDER BY only, JarSubmit.scala:110). Deterministic
+# tie-break on part key; revenue is exact decimal so ordering is stable.
+# ---------------------------------------------------------------------------
+
+
+def q_top_k_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum(_dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))).alias("revenue")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    return (
+        revenue.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("l_returnflag", F.col("l_partkey").alias("sku_id"), "revenue", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_ORACLE_TOPK = """
+WITH revenue AS (
+  SELECT l_returnflag, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_partkey AS sku_id, revenue,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey) AS rk
+  FROM revenue
+)
+WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# uv_dedup — T2 batch analog (UniqueVisitApp.scala:74-116): first visit
+# per (user, day); streaming variant lives in streaming/stateful.py.
+# ---------------------------------------------------------------------------
+
+
+def q_uv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    w = Window.partitionBy("user_id", "dt").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "ts", day)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "dt", F.col("event_id").alias("first_event_id"))
+    )
+
+
+_ORACLE_UV = """
+SELECT user_id, dt, event_id AS first_event_id
+FROM (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# is_new_correction — T1 batch analog (OdsBaseLogApp.scala:86-135):
+# a visit is "new" only on the user's first-seen date.
+# ---------------------------------------------------------------------------
+
+
+def q_is_new_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.select("event_id", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .withColumn("first_dt", F.min("dt").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "dt",
+            F.when(F.col("dt") == F.col("first_dt"), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_new"),
+        )
+    )
+
+
+_ORACLE_IS_NEW = """
+SELECT event_id, user_id, dt,
+       CAST(CASE WHEN dt = MIN(dt) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS INT) AS is_new
+FROM (SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# bounce_detection — T3 batch analog of the CEP bounce pattern
+# (UserJumpDetailApp.scala:93-140): an event is a bounce if the same
+# user has no follow-up event within 10 minutes.
+# ---------------------------------------------------------------------------
+
+
+def q_bounce_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select("event_id", "user_id", "ts")
+        .withColumn("next_ts", nxt)
+        .filter(F.col("next_ts").isNull() | (F.col("next_ts") > F.col("ts") + F.expr("INTERVAL 10 MINUTES")))
+        .select("event_id", "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bounce_time"))
+    )
+
+
+_ORACLE_BOUNCE = """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS bounce_time
+FROM (
+  SELECT event_id, user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+WHERE next_ts IS NULL OR next_ts > ts + INTERVAL 10 MINUTE
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_routing — R2 config-driven routing (TableProcessFunction.scala:
+# 22-186): route records by a broadcast config table keyed by
+# (source_table, operate_type); unmatched rows dropped.
+# ---------------------------------------------------------------------------
+
+_ROUTING_CONFIG = [
+    ("signup", "insert", "kafka", "dwd_signup"),
+    ("purchase", "insert", "kafka", "dwd_order"),
+    ("click", "insert", "hbase", "dim_click"),
+    ("view", "insert", "hbase", "dim_view"),
+]
+
+
+def q_cdc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cdc = ev.select(
+        "event_id",
+        F.col("event_type").alias("source_table"),
+        F.lit("bootstrap-insert").alias("operate_type"),
+        "user_id",
+    )
+    config = spark.createDataFrame(
+        _ROUTING_CONFIG, ["source_table", "operate_type", "sink_type", "sink_table"]
+    )
+    return route_by_config(cdc, config).select("event_id", "source_table", "sink_type", "sink_table")
+
+
+_ORACLE_ROUTING = """
+WITH config(source_table, operate_type, sink_type, sink_table) AS (
+  VALUES ('signup', 'insert', 'kafka', 'dwd_signup'),
+         ('purchase', 'insert', 'kafka', 'dwd_order'),
+         ('click', 'insert', 'hbase', 'dim_click'),
+         ('view', 'insert', 'hbase', 'dim_view')
+)
+SELECT event_id, event_type AS source_table, sink_type, sink_table
+FROM events JOIN config ON event_type = config.source_table
+"""
+
+
+# ---------------------------------------------------------------------------
+# log_split — R1 3-way side-output split (OdsBaseLogApp.scala:142-188):
+# one source → tagged branches (start/display/page ≈ signup/view/rest).
+# ---------------------------------------------------------------------------
+
+
+def q_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from rt_bigdata_spark.operators.routing import split_stream
+
+    branches = split_stream(
+        ev,
+        {
+            "start": F.col("event_type") == "signup",
+            "display": F.col("event_type") == "view",
+            "page": ~F.col("event_type").isin("signup", "view"),
+        },
+    )
+    tagged = [df.select("event_id", "user_id", F.lit(tag).alias("branch")) for tag, df in branches.items()]
+    return union_all(tagged)
+
+
+_ORACLE_SPLIT = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'signup' THEN 'start'
+            WHEN event_type = 'view' THEN 'display'
+            ELSE 'page' END AS branch
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# union_stats — R3 multi-stream union (VisitorStatsApp.scala:155-157)
+# feeding a grouped aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.lit(1).alias("click_ct"), F.lit(0).alias("err_ct"))
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", F.lit(0).alias("click_ct"), F.lit(1).alias("err_ct"))
+    return (
+        union_all([clicks, errors])
+        .groupBy("user_id")
+        .agg(F.sum("click_ct").cast("long").alias("click_ct"), F.sum("err_ct").cast("long").alias("err_ct"))
+    )
+
+
+_ORACLE_UNION = """
+SELECT user_id,
+       CAST(SUM(click_ct) AS BIGINT) AS click_ct,
+       CAST(SUM(err_ct) AS BIGINT) AS err_ct
+FROM (
+  SELECT user_id, 1 AS click_ct, 0 AS err_ct FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, 0 AS click_ct, 1 AS err_ct FROM events WHERE event_type = 'error'
+)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar_datetime — F4-F8 date helpers (CommonTool.scala:67-150) as
+# built-in expressions over the event stream.
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ten_minute_bucket(F.col("ts")).alias("bucket10m"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_sub("ts", 7), "yyyy-MM-dd").alias("week_before"),
+        weekday_zh(F.col("ts")).alias("weekday_name"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.date_trunc("day", "ts"))).cast("long").alias("sec_of_day"),
+    )
+
+
+_ORACLE_SCALAR_DT = """
+SELECT event_id,
+       substr(strftime(ts, '%H:%M'), 1, 4) || '0:00' || '-' || substr(strftime(ts, '%H:%M'), 1, 4) || '9:59' AS bucket10m,
+       strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+       strftime(CAST(ts AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') AS week_before,
+       (['星期日','星期一','星期二','星期三','星期四','星期五','星期六'])[CAST(dayofweek(ts) AS INT) + 1] AS weekday_name,
+       CAST(floor(epoch(ts)) - floor(epoch(date_trunc('day', ts))) AS BIGINT) AS sec_of_day
+FROM events
+"""
+
+
+for spec in [
+    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
+    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
+    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True),
+    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True),
+    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2")),
+    QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True),
+    QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2")),
+    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True),
+    QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6")),
+    QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3")),
+    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2")),
+    QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1")),
+    QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3")),
+    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2")),
+    QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1")),
+    QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3")),
+    QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8")),
+]:
+    register(spec)

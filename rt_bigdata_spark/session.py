@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Mirrors the reference's per-app environment setup (parallelism, state
+backend, checkpointing — e.g. rt-flink OdsBaseLogApp.scala:38-57) as a
+single session factory. Scale-oriented defaults:
+
+- AQE on (runtime coalescing / skew-join handling replaces the
+  reference's hand-tuned ``setParallelism(4)``),
+- shuffle partitions sized for the local test harness but meant to be
+  overridden (cluster deploys should set ``spark.sql.shuffle.partitions``
+  ≈ 2-3× total cores; AQE coalesces down),
+- Arrow enabled for the Pandas-UDF paths (the only Python hot paths we
+  allow are Arrow-batched),
+- UTC session timezone so window boundaries and date formatting are
+  deterministic and match the DuckDB test oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones. This is the scale story for 100 TB — plans adapt to actual
+    # partition sizes instead of a hand-set parallelism.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Local test default; cluster deploys override (AQE coalesces down).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Arrow for pandas_udf / applyInPandas / mapInPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic window boundaries + date_format across engines.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dims (region/nation/customer/part/supplier at
+    # test SF; real dims up to ~100 MB) should broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: permissive casts match the reference's lenient JSON-path
+    # semantics (malformed → null, not error).
+    "spark.sql.ansi.enabled": "false",
+    # Testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses;
+    # read as long and convert in sources.tables (integer ns→µs division).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "rt_bigdata_spark", extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Return the shared SparkSession, creating it if needed."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

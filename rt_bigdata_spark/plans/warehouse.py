@@ -692,6 +692,78 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# json_props — P1/P6/F13 JSON parse + path access (OdsBaseLogApp.scala:
+# 74-80, 87): the events.props JSON-string payload parsed permissively;
+# malformed rows → null, not errors.
+# ---------------------------------------------------------------------------
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from rt_bigdata_spark.operators.projections import parse_json
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_json(ev, "props", StructType([StructField("k", IntegerType())]), drop_malformed=False)
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_adhoc"),
+    )
+
+
+_ORACLE_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_adhoc
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# sales_rollup — A7 rollup (free in Spark; absent from the reference but
+# part of the engine surface). Subtotals + grand total per status/priority.
+# ---------------------------------------------------------------------------
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_ct"), F.sum(_dec("o_totalprice")).alias("amount"))
+        .select("o_orderstatus", "o_orderpriority", "order_ct", "amount")
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_ct,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_activity — R4 intersect/except (surface completeness): tag
+# customers having orders (intersect) vs never-ordered (except).
+# ---------------------------------------------------------------------------
+
+
+def q_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    buyers = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    active = cust.intersect(buyers).withColumn("status", F.lit("active"))
+    inactive = cust.exceptAll(buyers.dropDuplicates()).withColumn("status", F.lit("inactive"))
+    return active.unionByName(inactive)
+
+
+_ORACLE_ACTIVITY = """
+SELECT c_custkey, 'active' AS status FROM customer INTERSECT SELECT DISTINCT c_custkey, 'active' FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'inactive' AS status FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -710,5 +782,8 @@ for spec in [
     QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1")),
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3")),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8")),
+    QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13")),
+    QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
+    QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
 ]:
     register(spec)

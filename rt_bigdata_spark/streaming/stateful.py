@@ -1,0 +1,233 @@
+"""Stateful streaming operators (SURVEY.md §2.7, T1-T3).
+
+The reference implements these with Flink keyed ValueState / CEP;
+Spark-native they are ``applyInPandasWithState`` over ``groupBy(mid)``
+— Arrow-batched per-group logic with an explicit state object and
+event-time timeouts. Each operator also works on batch DataFrames via
+``applyInPandas`` (no state carries across calls, the whole group is
+one batch) so semantics are testable without a streaming harness.
+
+- T1 new-visitor correction (rt-flink …/app/dwd/OdsBaseLogApp.scala:86-135):
+  per-mid first-visit date; a claimed ``is_new=1`` on a later date is
+  rewritten to 0.
+- T2 daily UV dedup (…/app/dwm/UniqueVisitApp.scala:74-116): per-mid
+  keep only the first event per day; entry-page pre-filter; state TTL
+  1 day ≈ keeping only the latest date in state.
+- T3 bounce detection (…/app/dwm/UserJumpDetailApp.scala:93-140): CEP
+  ``begin(entry).next(any).within(10 s)`` where the TIMED-OUT partial
+  match is the output: an entry page with no follow-up within 10 s is
+  a bounce.
+
+Scale notes: state is per-mid and O(bytes); the shuffle is the
+unavoidable keyBy. With RocksDB state store
+(``spark.sql.streaming.stateStore.providerClass``) state spills to
+disk exactly like the reference's RocksDB backend.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BOUNCE_TIMEOUT_MS = 10_000  # .within(Time.seconds(10)), UserJumpDetailApp.scala:116
+
+# Input contract for all three operators (flattened page log, FIXTURES.md §1).
+PAGE_EVENT_SCHEMA = StructType(
+    [
+        StructField("mid", StringType()),
+        StructField("page_id", StringType()),
+        StructField("last_page_id", StringType()),
+        StructField("is_new", StringType()),
+        StructField("ts", LongType()),  # epoch ms
+    ]
+)
+
+IS_NEW_OUT_SCHEMA = StructType(
+    [
+        StructField("mid", StringType()),
+        StructField("page_id", StringType()),
+        StructField("last_page_id", StringType()),
+        StructField("is_new", StringType()),
+        StructField("ts", LongType()),
+    ]
+)
+
+UV_OUT_SCHEMA = StructType(
+    [
+        StructField("mid", StringType()),
+        StructField("dt", StringType()),
+        StructField("ts", LongType()),
+    ]
+)
+
+BOUNCE_OUT_SCHEMA = StructType(
+    [
+        StructField("mid", StringType()),
+        StructField("page_id", StringType()),
+        StructField("ts", LongType()),
+    ]
+)
+
+_DAY_MS = 86_400_000
+
+
+def _day(ts_ms: int) -> str:
+    return pd.Timestamp(ts_ms, unit="ms").strftime("%Y-%m-%d")
+
+
+# --- T1 ---------------------------------------------------------------------
+
+
+def _is_new_fn(
+    key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Rewrite is_new=1 → 0 when the mid has an earlier first-visit date
+    (OdsBaseLogApp.scala:90-135). State: first visit date string."""
+    (first_date,) = state.get if state.exists else (None,)
+    rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        for r in pdf.sort_values("ts").itertuples(index=False):
+            d = _day(r.ts)
+            is_new = r.is_new
+            if is_new == "1":
+                if first_date is None:
+                    first_date = d
+                elif first_date != d:
+                    is_new = "0"
+            elif first_date is None:
+                # Visitor already returning: remember a date strictly
+                # before today so later ``is_new=1`` claims are corrected
+                # (reference stores yesterday, OdsBaseLogApp.scala:128-131).
+                first_date = _day(r.ts - _DAY_MS)
+            rows.append(
+                {"mid": r.mid, "page_id": r.page_id, "last_page_id": r.last_page_id, "is_new": is_new, "ts": r.ts}
+            )
+    state.update((first_date,))
+    yield pd.DataFrame(rows, columns=[f.name for f in IS_NEW_OUT_SCHEMA.fields])
+
+
+def correct_is_new(events: DataFrame) -> DataFrame:
+    return events.groupBy("mid").applyInPandasWithState(
+        _is_new_fn,
+        outputStructType=IS_NEW_OUT_SCHEMA,
+        stateStructType="first_date STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- T2 ---------------------------------------------------------------------
+
+
+def _uv_fn(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """First visit per (mid, day); entry-filter on last_page_id; state
+    holds the last seen date (1-day TTL ≈ only the latest date matters,
+    UniqueVisitApp.scala:87-101)."""
+    (last_date,) = state.get if state.exists else (None,)
+    rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        for r in pdf.sort_values("ts").itertuples(index=False):
+            if r.last_page_id is not None and r.last_page_id != "":
+                continue  # not a session entry → can't be first visit of day
+            d = _day(r.ts)
+            if last_date is None or d > last_date:
+                rows.append({"mid": r.mid, "dt": d, "ts": r.ts})
+                last_date = d
+    state.update((last_date,))
+    yield pd.DataFrame(rows, columns=[f.name for f in UV_OUT_SCHEMA.fields])
+
+
+def unique_visits(events: DataFrame) -> DataFrame:
+    return events.groupBy("mid").applyInPandasWithState(
+        _uv_fn,
+        outputStructType=UV_OUT_SCHEMA,
+        stateStructType="last_date STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- T3 ---------------------------------------------------------------------
+
+
+def _bounce_fn(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """CEP-timeout semantics (UserJumpDetailApp.scala:93-140): hold each
+    entry event (empty last_page_id); if the next event for the mid
+    arrives within 10 s the partial match is discarded, otherwise the
+    held entry is emitted as a bounce. State: pending entry (page_id, ts).
+
+    On streams, the pending entry is flushed by an event-time timeout
+    when the watermark passes ts+10 s; on batch (applyInPandas path)
+    the group end flushes it.
+    """
+    pending_page, pending_ts = (state.get if state.exists else (None, None))
+    rows: list[dict[str, Any]] = []
+
+    if state.hasTimedOut:
+        if pending_ts is not None:
+            rows.append({"mid": key[0], "page_id": pending_page, "ts": pending_ts})
+        state.remove()
+        yield pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
+        return
+
+    for pdf in pdfs:
+        for r in pdf.sort_values("ts").itertuples(index=False):
+            if pending_ts is not None:
+                if r.ts - pending_ts > BOUNCE_TIMEOUT_MS:
+                    rows.append({"mid": r.mid, "page_id": pending_page, "ts": pending_ts})
+                pending_page, pending_ts = None, None
+            if r.last_page_id is None or r.last_page_id == "":
+                pending_page, pending_ts = r.page_id, r.ts
+    if pending_ts is not None:
+        state.update((pending_page, pending_ts))
+        state.setTimeoutTimestamp(pending_ts + BOUNCE_TIMEOUT_MS)
+    else:
+        state.remove() if state.exists else state.update((None, None))
+    yield pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
+
+
+def detect_bounces(events: DataFrame) -> DataFrame:
+    """Streaming bounce detection. ``events`` must carry an
+    ``eventTime`` timestamp column with a watermark for the timeout to
+    fire (e.g. ``withWatermark("eventTime", "2 seconds")``)."""
+    return events.groupBy("mid").applyInPandasWithState(
+        _bounce_fn,
+        outputStructType=BOUNCE_OUT_SCHEMA,
+        stateStructType="pending_page STRING, pending_ts LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --- Batch analogs ----------------------------------------------------------
+
+
+def detect_bounces_batch(events: DataFrame) -> DataFrame:
+    """Batch path: same per-group logic via applyInPandas (whole history
+    per mid in one group; trailing entry events are flushed as bounces)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict[str, Any]] = []
+        pending_page, pending_ts = None, None
+        for r in pdf.sort_values("ts").itertuples(index=False):
+            if pending_ts is not None:
+                if r.ts - pending_ts > BOUNCE_TIMEOUT_MS:
+                    rows.append({"mid": r.mid, "page_id": pending_page, "ts": pending_ts})
+                pending_page, pending_ts = None, None
+            if r.last_page_id is None or r.last_page_id == "":
+                pending_page, pending_ts = r.page_id, r.ts
+        if pending_ts is not None:
+            rows.append({"mid": pdf["mid"].iloc[0], "page_id": pending_page, "ts": pending_ts})
+        return pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
+
+    return events.groupBy("mid").applyInPandas(fn, schema=BOUNCE_OUT_SCHEMA)

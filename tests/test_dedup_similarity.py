@@ -1,0 +1,102 @@
+"""Semantic tests for the approximate dedup/similarity operators
+(MinHash-LSH, SimHash, hyperplane-LSH) against constructed
+near-duplicates — these have no SQL oracle, so correctness is defined
+here: near-dups must be found, unrelated docs must not."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rt_bigdata_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from rt_bigdata_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird and the mouse runs under the table near the old wooden door"
+)
+NEAR_DUP = BASE.replace("wooden door", "wooden gate")  # tiny edit
+UNRELATED = (
+    "completely different subject matter about quantum physics and the "
+    "mathematics of topological spaces in higher dimensional geometry"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR_DUP), (3, UNRELATED), (4, BASE)],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_finds_identical(spark, docs):
+    out = {r.keep_id: r.dup_ct for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 4 identical → kept id 1, count 2
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs):
+    true = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.0).collect()}
+    for pair, e in est.items():
+        if pair in true:
+            assert abs(e - true[pair]) < 0.35  # 32 hashes → coarse but correlated
+
+
+def test_simhash_near_dups_close_in_hamming(spark, docs):
+    sh = {r.doc: r.simhash for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[1] == sh[4]
+    assert ham(sh[1], sh[2]) <= 6  # near-dup: few bits differ
+    assert ham(sh[1], sh[3]) > ham(sh[1], sh[2])  # unrelated: farther
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        base = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_self_similarity(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 2)
+    out = brute_force_topk(vectors, queries, k=5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.000000001 <= r.sim <= 1.000000001
+    per_q = {q: sorted([r.rk for r in rows if r.query_id == q]) for q in (0, 1)}
+    assert per_q[0] == [1, 2, 3, 4, 5] and per_q[1] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(vectors, queries, k=50).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in hyperplane_lsh_topk(vectors, queries, k=50, dim=8).collect()}
+    assert approx  # finds something
+    assert approx.issubset(exact)  # candidates are a recall-limited subset

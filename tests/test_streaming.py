@@ -1,0 +1,155 @@
+"""Streaming stateful operators (T1-T3) against the reference's
+documented semantics, including the canonical 4-event bounce fixture
+(rt-flink …/app/dwm/UserJumpDetailApp.scala:74-79, FIXTURES.md §1).
+
+CEP analysis of the fixture (begin(entry) → next(any) within 10 s,
+timed-out partials emitted):
+- mid 101 entry @10000: no follow-up ever → TIMEOUT → bounce.
+- mid 102 entry @12000: followed @15000 (3 s < 10 s) → full match →
+  discarded. Events @15000/@30000 have last_page_id set → never begin
+  a pattern. → bounces == {101@10000}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from rt_bigdata_spark.streaming.stateful import (
+    PAGE_EVENT_SCHEMA,
+    correct_is_new,
+    detect_bounces,
+    detect_bounces_batch,
+    unique_visits,
+)
+
+FIXTURE = [
+    {"mid": "101", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 10000},
+    {"mid": "102", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 12000},
+    {"mid": "102", "page_id": "good_list", "last_page_id": "home", "is_new": "1", "ts": 15000},
+    {"mid": "102", "page_id": "good_list", "last_page_id": "detail", "is_new": "1", "ts": 30000},
+]
+
+
+def test_bounce_batch_fixture(spark):
+    df = spark.createDataFrame(FIXTURE, PAGE_EVENT_SCHEMA)
+    out = {(r.mid, r.ts) for r in detect_bounces_batch(df).collect()}
+    assert out == {("101", 10000)}
+
+
+def test_bounce_batch_late_entry_times_out(spark):
+    events = FIXTURE + [
+        {"mid": "102", "page_id": "cart", "last_page_id": None, "is_new": "0", "ts": 40000},
+        {"mid": "102", "page_id": "pay", "last_page_id": "cart", "is_new": "0", "ts": 60000},
+    ]
+    df = spark.createDataFrame(events, PAGE_EVENT_SCHEMA)
+    out = {(r.mid, r.ts) for r in detect_bounces_batch(df).collect()}
+    # cart entry @40000: next event @60000 is 20 s later (> 10 s) → bounce.
+    assert out == {("101", 10000), ("102", 40000)}
+
+
+def _write_batch(dir_: str, name: str, rows: list[dict]) -> None:
+    path = os.path.join(dir_, name)
+    with open(path + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(path + ".tmp", path)
+    time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+
+@pytest.mark.slow
+def test_bounce_streaming_two_batches(spark, tmp_path):
+    """Real streaming path: batch 1 carries the fixture, batch 2 a later
+    event that advances the watermark past 101's timeout."""
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    _write_batch(str(src), "b1.json", FIXTURE)
+
+    stream = (
+        spark.readStream.schema(PAGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+        .withWatermark("eventTime", "1 second")
+    )
+    q = (
+        detect_bounces(stream)
+        .writeStream.format("memory")
+        .queryName("bounces")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Watermark only reaches 30 s after batch 1; a second batch pushes
+        # it further and fires 101's pending timeout (10000 + 10000 < wm).
+        _write_batch(str(src), "b2.json", [
+            {"mid": "103", "page_id": "home", "last_page_id": "x", "is_new": "0", "ts": 60000},
+        ])
+        q.processAllAvailable()
+        # One more batch so the watermark from b2 is applied to state.
+        _write_batch(str(src), "b3.json", [
+            {"mid": "103", "page_id": "home", "last_page_id": "x", "is_new": "0", "ts": 90000},
+        ])
+        q.processAllAvailable()
+        out = {(r.mid, r.ts) for r in spark.sql("select * from bounces").collect()}
+        assert ("101", 10000) in out
+        assert all(mid != "102" for mid, _ in out)
+    finally:
+        q.stop()
+
+
+def _single_batch_stream(spark, tmp_path, rows, op):
+    src = tmp_path / "src1"
+    src.mkdir()
+    _write_batch(str(src), "b1.json", rows)
+    stream = spark.readStream.schema(PAGE_EVENT_SCHEMA).json(str(src))
+    name = f"out_{abs(hash(str(rows))) % 10**8}"
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "chk1"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"select * from {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_is_new_correction_stream(spark, tmp_path):
+    rows = [
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+        # next day claims is_new=1 again → must be corrected to 0
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},
+        {"mid": "B", "page_id": "home", "last_page_id": None, "is_new": "0", "ts": 1_000},
+        # B is returning: a later is_new=1 claim is bogus → corrected
+        {"mid": "B", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},
+    ]
+    out = _single_batch_stream(spark, tmp_path, rows, correct_is_new)
+    got = {(r.mid, r.ts): r.is_new for r in out}
+    assert got[("A", 1_000)] == "1"
+    assert got[("A", 90_000_000)] == "0"
+    assert got[("B", 1_000)] == "0"
+    assert got[("B", 90_000_000)] == "0"
+
+
+def test_uv_dedup_stream(spark, tmp_path):
+    rows = [
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2_000},  # same day dup
+        {"mid": "A", "page_id": "list", "last_page_id": "home", "is_new": "1", "ts": 3_000},  # not entry
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},  # next day
+    ]
+    out = _single_batch_stream(spark, tmp_path, rows, unique_visits)
+    got = sorted((r.mid, r.ts) for r in out)
+    assert got == [("A", 1_000), ("A", 90_000_000)]

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from rt_bigdata_spark.functions.text_fns import tokenize
+from rt_bigdata_spark.operators.scale import ensure_parallelism
 
 # Large prime < 2^31 for the minhash permutation universe.
 _MINHASH_PRIME = 2147483647
@@ -69,26 +70,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard ≥ t).
 
-    Plan shape: explode distinct shingles → self-equi-join on shingle
-    (one shuffle) → per-pair intersection count → Jaccard from
-    inclusion-exclusion. The shingle join is the scale hazard — a
-    stop-shingle appearing in k docs creates k² pair rows; production
-    pipelines drop shingles with document frequency above a cap first.
+    Plan shape: explode distinct shingles → hash each to a long
+    map-side (xxhash64; the exchange then moves 8-byte keys, not
+    strings) → self-equi-join (one shuffle) → per-pair intersection
+    count → Jaccard from inclusion-exclusion. Per-doc size joins are
+    broadcast (one row per doc). The shingle join is the scale hazard —
+    a stop-shingle appearing in k docs creates k² pair rows; production
+    pipelines drop shingles with document frequency above a cap first
+    (see ``df_cap`` in minhash_lsh_pairs for the capped variant).
     """
-    shingled = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    df = ensure_parallelism(df)
+    shingled = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).select("doc", F.xxhash64("shingle").alias("sh"))
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
@@ -106,6 +113,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     from i so signatures are deterministic. Entirely map-side: explode →
     per-doc min of each permutation → one narrow groupBy on the id.
     """
+    df = ensure_parallelism(df)
     shingled = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col))).alias("shingle"))
     hashed = shingled.withColumn("h", _shingle_hash(F.col("shingle")))
     mins = [
@@ -180,6 +188,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     sign vector packs into an integer. Near-dups differ in few bits
     (hamming distance); pure array math, map-side only.
     """
+    df = ensure_parallelism(df)
     toks = df.select(F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("tok"))
     hashed = toks.withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
     votes = [

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (beyond-reference, SURVEY.md §7.2 step 9).
+
+Design for 100 TB: media bytes travel as ``binary`` columns next to
+typed metadata structs; per-item decode/feature work runs in
+``mapInPandas`` (Arrow-batched, one Python worker per partition — the
+only sane Python hot path). The actual codecs (PIL/ffmpeg/torchaudio)
+are NOT in this container, so the decode kernels are stubs: a
+deterministic fake feature extractor (stable md5-derived values, fully
+testable plumbing) and a ``NotImplementedError`` guard where a real
+codec would plug in. Everything Spark-side — schemas, batch iteration,
+partitioning, column pruning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", LongType()),
+                    StructField("codec", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as opaque media content so the
+    binary plumbing is exercisable on the testdata corpus."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real image/audio encoder: md5-seeded
+    unit-interval floats. Stable across runs/engines → testable."""
+    out: list[float] = []
+    h = content
+    while len(out) < dim:
+        h = hashlib.md5(h).digest()
+        out.extend(b / 255.0 for b in h[:4])
+    return [float(round(v, 6)) for v in out[:dim]]
+
+
+def _decode_real(media_type: str, content: bytes):  # pragma: no cover - stub
+    """Plug point for real codecs (PIL / torchaudio / pyav). Not
+    available in this container by design."""
+    raise NotImplementedError(f"no {media_type} codec installed; use extract_features(stub=True)")
+
+
+def extract_features(media: DataFrame, stub: bool = True, batch_note_col: str | None = None) -> DataFrame:
+    """Per-item feature extraction over Arrow batches (mapInPandas).
+
+    ``stub=True`` (the only runnable mode here) computes deterministic
+    fake features; ``stub=False`` calls the real-codec plug point. The
+    iterator shape — multiple pandas batches per partition, column
+    pruning pushed into the scan — is the production layout.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content, mtype in zip(pdf["content"], pdf["media_type"]):
+                raw = bytes(content)
+                if not stub:
+                    _decode_real(mtype, raw)
+                feats.append(_fake_features(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    pruned = media.select("media_id", "media_type", "content")
+    return pruned.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (decode stubbed — frame bytes are a slice of the source
+    as a stand-in). Emits (media_id, frame_ts_ms, frame_bytes)."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest((F.col("meta.duration_ms") / every_ms).cast("int") - 1, F.lit(0)),
+        ),
+        lambda i: F.struct(
+            (i * every_ms).cast("long").alias("frame_ts_ms"),
+            # stub "decoded frame": a byte slice keyed by the timestamp
+            F.substring(F.col("content"), 1, 16).alias("frame_bytes"),
+        ),
+    )
+    return media.select("media_id", F.explode(frames).alias("f")).select(
+        "media_id", "f.frame_ts_ms", "f.frame_bytes"
+    )

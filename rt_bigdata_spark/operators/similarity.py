@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from rt_bigdata_spark.operators.scale import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -44,6 +46,7 @@ def brute_force_topk(
     under engine-specific float formatting.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    corpus = ensure_parallelism(corpus)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     scored = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))

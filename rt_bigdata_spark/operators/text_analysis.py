@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from rt_bigdata_spark.functions.text_fns import tokenize
+from rt_bigdata_spark.operators.scale import ensure_parallelism
 
 # Tiny per-language stopword lists for the n-gram/stopword-vote language
 # heuristic. Order matters: ties break toward the earlier language.
@@ -39,20 +40,30 @@ def stopword_hits(text: Column, stopwords: Sequence[str]) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: token count, avg token length, stopword
     ratio, punctuation ratio — the standard cheap quality filters a
-    pretraining pipeline applies before expensive steps."""
+    pretraining pipeline applies before expensive steps.
+
+    Tokenization happens ONCE per row (materialized alias; tokenize is
+    non-cheap so CollapseProject keeps it) — inlining it per feature
+    would re-split the text once per output column.
+    """
     text = F.col(text_col)
-    toks = tokenize(text)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\p{P}]", ""))
-    sw_hits = stopword_hits(text, LANG_STOPWORDS["en"])
-    return df.withColumns(
-        {
-            "n_tokens": n_tok.cast("long"),
-            "avg_token_len": (total_len.cast("double") / n_tok).alias("avg_token_len"),
-            "stopword_ratio": (sw_hits.cast("double") / n_tok),
-            "punct_ratio": (n_punct.cast("double") / F.length(text)),
-        }
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (
+        ensure_parallelism(df).withColumn("__toks", tokenize(text))
+        .withColumns(
+            {
+                "n_tokens": n_tok.cast("long"),
+                "avg_token_len": (total_len.cast("double") / n_tok).alias("avg_token_len"),
+                "stopword_ratio": (sw_hits.cast("double") / n_tok),
+                "punct_ratio": (n_punct.cast("double") / F.length(text)),
+            }
+        )
+        .drop("__toks")
     )
 
 
@@ -60,13 +71,18 @@ def language_id(df: DataFrame, text_col: str = "text", stopwords: Mapping[str, S
     """Stopword-vote language ID: count hits per language list, take the
     argmax (first language wins ties, 'und' if zero hits everywhere).
 
-    At scale this is one pass over tokens per language list — all
-    JVM-side array ops, no shuffle.
+    At scale this is one tokenize + one array pass per language list —
+    all JVM-side array ops, no shuffle.
     """
     stopwords = stopwords or LANG_STOPWORDS
-    text = F.col(text_col)
-    hit_cols = {f"_hits_{lang}": stopword_hits(text, words) for lang, words in stopwords.items()}
-    out = df.withColumns(hit_cols)
+    toks = F.col("__toks")
+
+    def hits(words: Sequence[str]) -> Column:
+        sw = F.array(*[F.lit(s) for s in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    hit_cols = {f"_hits_{lang}": hits(words) for lang, words in stopwords.items()}
+    out = ensure_parallelism(df).withColumn("__toks", tokenize(F.col(text_col))).withColumns(hit_cols).drop("__toks")
     best: Column = F.lit("und")
     best_hits: Column = F.lit(0)
     for lang in stopwords:  # earlier language wins ties → strict >

@@ -693,6 +693,124 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# product_stats — A2 + R3: the ProductStatsApp shape (…/app/dws/
+# ProductStatsApp.scala:96-222): union N per-interaction streams into a
+# common wide schema, then per-SKU aggregate where distinct order counts
+# use set-union semantics (HashSet.addAll → size ≡ collect_set → size).
+# Here the interaction streams derive from `events` with props.k as the
+# sku key: view→display, click→click, signup→favor, purchase→order.
+# ---------------------------------------------------------------------------
+
+
+def q_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "sku_id", F.get_json_object("props", "$.k").cast("long")
+    )
+
+    def stream(etype: str, **cols: F.Column) -> DataFrame:
+        base = {
+            "display_ct": F.lit(0).cast("long"),
+            "click_ct": F.lit(0).cast("long"),
+            "favor_ct": F.lit(0).cast("long"),
+            "order_amount": F.lit(0).cast("decimal(18,2)"),
+            "order_id": F.lit(None).cast("long"),
+        }
+        base.update(cols)
+        return ev.filter(F.col("event_type") == etype).select(
+            "sku_id", *[c.alias(n) for n, c in base.items()]
+        )
+
+    unioned = union_all(
+        [
+            stream("view", display_ct=F.lit(1).cast("long")),
+            stream("click", click_ct=F.lit(1).cast("long")),
+            stream("signup", favor_ct=F.lit(1).cast("long")),
+            stream("purchase", order_amount=_dec("value"), order_id=F.col("event_id")),
+        ]
+    )
+    return unioned.groupBy("sku_id").agg(
+        F.sum("display_ct").alias("display_ct"),
+        F.sum("click_ct").alias("click_ct"),
+        F.sum("favor_ct").alias("favor_ct"),
+        F.sum("order_amount").alias("order_amount"),
+        # A2: HashSet-union distinct count (ProductStatsApp.scala:183-222)
+        F.size(F.array_compact(F.collect_set("order_id"))).cast("long").alias("order_ct"),
+    )
+
+
+_ORACLE_PRODUCT_STATS = """
+WITH ev AS (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id FROM events),
+unioned AS (
+  SELECT sku_id, 1 AS display_ct, 0 AS click_ct, 0 AS favor_ct,
+         CAST(0 AS DECIMAL(18,2)) AS order_amount, NULL::BIGINT AS order_id
+  FROM ev WHERE event_type = 'view'
+  UNION ALL
+  SELECT sku_id, 0, 1, 0, CAST(0 AS DECIMAL(18,2)), NULL FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT sku_id, 0, 0, 1, CAST(0 AS DECIMAL(18,2)), NULL FROM ev WHERE event_type = 'signup'
+  UNION ALL
+  SELECT sku_id, 0, 0, 0, CAST(value AS DECIMAL(18,2)), event_id FROM ev WHERE event_type = 'purchase'
+)
+SELECT sku_id,
+       CAST(SUM(display_ct) AS BIGINT) AS display_ct,
+       CAST(SUM(click_ct) AS BIGINT) AS click_ct,
+       CAST(SUM(favor_ct) AS BIGINT) AS favor_ct,
+       SUM(order_amount) AS order_amount,
+       COUNT(DISTINCT order_id) AS order_ct
+FROM unioned
+GROUP BY sku_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# business_rules — F9/F10/F11 (…/common/BusinessRulesTool.scala:15-114):
+# multi-label keyword classification, cross-month cancel-date
+# normalization (16th rolls to next month's 15th window), and a
+# contains-list product filter — all as built-in expressions.
+# ---------------------------------------------------------------------------
+
+_COMPLAINT_RULES = [
+    ("delivery", ["slow", "late"]),
+    ("product", ["broken", "wrong", "bad"]),
+    ("service", ["rude", "refund"]),
+]
+
+
+def q_business_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rt_bigdata_spark.functions.business import cancel_date, product_filter
+    from rt_bigdata_spark.functions.text_fns import classify_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    classified = docs.select(
+        "doc_id", classify_keywords(F.col("text"), _COMPLAINT_RULES).alias("complaint_type")
+    )
+    dated = orders.select(
+        "o_orderkey",
+        F.date_format(cancel_date(F.col("o_orderdate")), "yyyy-MM-dd").alias("cancel_dt"),
+        product_filter(F.col("o_orderpriority"), ["URGENT", "HIGH"], ["NOT"]).alias("is_priority"),
+    )
+    return classified.join(dated, classified.doc_id == dated.o_orderkey, "inner").select(
+        "doc_id", "complaint_type", "cancel_dt", "is_priority"
+    )
+
+
+_ORACLE_BIZ = """
+SELECT doc_id,
+       CASE WHEN text LIKE '%slow%' OR text LIKE '%late%' THEN 'delivery'
+            WHEN text LIKE '%broken%' OR text LIKE '%wrong%' OR text LIKE '%bad%' THEN 'product'
+            WHEN text LIKE '%rude%' OR text LIKE '%refund%' THEN 'service'
+            ELSE 'other' END AS complaint_type,
+       CASE WHEN day(o_orderdate) >= 16
+            THEN strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH + INTERVAL 14 DAY, '%Y-%m-%d')
+            ELSE strftime(date_trunc('month', o_orderdate) + INTERVAL 14 DAY, '%Y-%m-%d') END AS cancel_dt,
+       CAST(CASE WHEN (o_orderpriority LIKE '%URGENT%' OR o_orderpriority LIKE '%HIGH%')
+                  AND NOT o_orderpriority LIKE '%NOT%' THEN 1 ELSE 0 END AS INT) AS is_priority
+FROM documents JOIN orders ON doc_id = o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # json_props — P1/P6/F13 JSON parse + path access (OdsBaseLogApp.scala:
 # 74-80, 87): the events.props JSON-string payload parsed permissively;
 # malformed rows → null, not errors.
@@ -783,6 +901,8 @@ for spec in [
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3")),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8")),
     QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13")),
+    QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True),
+    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11")),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
 ]:

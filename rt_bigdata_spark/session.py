@@ -30,6 +30,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Local test default; cluster deploys override (AQE coalesces down).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Split small-but-compute-heavy files (documents/embeddings at test
+    # SF are single ~10 MB files → one task → one core without this).
+    # At 100 TB the scan parallelism comes from file count anyway.
+    "spark.sql.files.maxPartitionBytes": os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", str(8 * 1024 * 1024)),
     # Arrow for pandas_udf / applyInPandas / mapInPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic window boundaries + date_format across engines.

@@ -1,0 +1,62 @@
+"""Unit tests for scalar functions (F1-F8) on adversarial inputs the
+parquet corpus doesn't contain (emoji, CJK, surrogates, month edges)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rt_bigdata_spark.functions.datetime_fns import (
+    month_last_day,
+    seconds_between,
+    ten_minute_bucket,
+    to_epoch_ms,
+    to_ymd_hms,
+    weekday_zh,
+)
+from rt_bigdata_spark.functions.text_fns import (
+    keep_cjk_ascii,
+    remove_emoji,
+    tokenize,
+    unpivot_counts,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_remove_emoji(spark):
+    df = spark.createDataFrame([("hello 😀 world 🎉!",), ("纯中文标点。",)], ["t"])
+    out = [r.v for r in df.select(remove_emoji(F.col("t")).alias("v")).collect()]
+    assert out[0] == "hello  world !"
+    assert out[1] == "纯中文标点。"
+
+
+def test_keep_cjk_ascii(spark):
+    df = spark.createDataFrame([("abc中文éü123",)], ["t"])
+    out = df.select(keep_cjk_ascii(F.col("t")).alias("v")).first().v
+    assert out == "abc中文123"  # é/ü outside CJK+ASCII ranges stripped
+
+
+def test_tokenize_splits_punct_and_case(spark):
+    df = spark.createDataFrame([("Hello, World--foo_bar 42x",)], ["t"])
+    out = df.select(tokenize(F.col("t")).alias("v")).first().v
+    assert out == ["hello", "world", "foo", "bar", "42x"]  # _ is not \p{L}\p{N} → splits
+
+
+def test_unpivot_counts_skips_zeros(spark):
+    df = spark.createDataFrame([(3, 0, 5)], ["a", "b", "c"])
+    out = df.select(unpivot_counts([("a", "A"), ("b", "B"), ("c", "C")])).filter(F.col("ct") > 0)
+    assert {(r.ct, r.source) for r in out.collect()} == {(3, "A"), (5, "C")}
+
+
+def test_datetime_helpers(spark):
+    ts = F.to_timestamp(F.lit("2024-02-07 13:47:21"))
+    assert _one(spark, ten_minute_bucket(ts)) == "13:40:00-13:49:59"
+    assert _one(spark, F.date_format(month_last_day(ts), "yyyy-MM-dd")) == "2024-02-29"  # leap year
+    assert _one(spark, weekday_zh(ts)) == "星期三"
+    assert _one(spark, to_ymd_hms(ts)) == "2024-02-07 13:47:21"
+    assert _one(spark, to_epoch_ms(F.lit("1970-01-01 00:00:10"))) == 10_000
+    b = F.to_timestamp(F.lit("2024-02-07 13:47:24"))
+    assert _one(spark, seconds_between(ts, b)) == 3
+    assert _one(spark, seconds_between(b, ts)) == 3  # abs

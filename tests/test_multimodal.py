@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape,
+determinism, and the real-codec guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from rt_bigdata_spark.operators.multimodal import (
+    FEATURE_DIM,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from rt_bigdata_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return documents_as_media(load_table(spark, sf_dir, "documents").limit(50))
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "content", "meta"]
+    assert media.schema["content"].dataType.typeName() == "binary"
+    assert media.schema["meta"].dataType.typeName() == "struct"
+
+
+def test_extract_features_shape_and_determinism(spark, media):
+    out1 = {r.media_id: (r.n_bytes, tuple(r.features)) for r in extract_features(media).collect()}
+    out2 = {r.media_id: (r.n_bytes, tuple(r.features)) for r in extract_features(media).collect()}
+    assert out1 == out2  # deterministic across runs
+    assert len(out1) == 50
+    for n_bytes, feats in out1.values():
+        assert n_bytes > 0
+        assert len(feats) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in feats)
+
+
+def test_extract_features_real_codec_guard(spark, media):
+    with pytest.raises(Exception, match="codec"):
+        extract_features(media, stub=False).collect()
+
+
+def test_frame_sample(spark, media):
+    import pyspark.sql.functions as F
+
+    vids = media.withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(3500).cast("long"))
+    )
+    frames = frame_sample(vids, every_ms=1000)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per_media)  # 3500 ms → frames at 0/1000/2000
+    first = frames.filter(F.col("frame_ts_ms") == 0).first()
+    assert isinstance(first.frame_bytes, (bytes, bytearray)) and len(first.frame_bytes) > 0

@@ -1,0 +1,83 @@
+"""A1/T4/T5 streaming path: the same tumbling_window_agg used by batch
+queries runs on a watermarked stream; late events beyond the watermark
+are dropped (reference semantics: forBoundedOutOfOrderness + window,
+VisitorStatsApp.scala:161-201)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from rt_bigdata_spark.operators.aggregations import tumbling_window_agg
+
+SCHEMA = StructType(
+    [
+        StructField("mid", StringType()),
+        StructField("event_type", StringType()),
+        StructField("ts", LongType()),  # epoch ms
+    ]
+)
+
+
+def _write(dir_, name, rows):
+    p = os.path.join(dir_, name)
+    with open(p + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(p + ".tmp", p)
+    time.sleep(0.05)
+
+
+def test_windowed_agg_streaming_with_late_data(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # Window [0,10s): 2 events; window [10,20s): 1 event.
+    _write(str(src), "b1.json", [
+        {"mid": "a", "event_type": "pv", "ts": 1_000},
+        {"mid": "b", "event_type": "pv", "ts": 2_000},
+        {"mid": "a", "event_type": "pv", "ts": 12_000},
+    ])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+        .withWatermark("eventTime", "2 seconds")
+    )
+    agg = tumbling_window_agg(
+        stream,
+        ts_col="eventTime",
+        duration="10 seconds",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("pv_ct"), F.approx_count_distinct("mid").alias("uv_ct")],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_stats")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Advance watermark far past both windows, and include one LATE
+        # event for window [0,10s) that must be dropped.
+        _write(str(src), "b2.json", [
+            {"mid": "late", "event_type": "pv", "ts": 3_000},   # late beyond watermark → dropped
+            {"mid": "c", "event_type": "pv", "ts": 60_000},
+        ])
+        q.processAllAvailable()
+        _write(str(src), "b3.json", [{"mid": "d", "event_type": "pv", "ts": 90_000}])
+        q.processAllAvailable()
+        rows = {r.stt: (r.pv_ct, r.uv_ct) for r in spark.sql("select * from win_stats").collect()}
+        # Window [0,10s) closed with exactly the 2 on-time events — the
+        # late 'late' event did not reopen or recount it.
+        assert rows["1970-01-01 00:00:00"] == (2, 2)
+        assert rows["1970-01-01 00:00:10"] == (1, 1)
+    finally:
+        q.stop()

@@ -200,3 +200,105 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     for i in range(bits):
         acc = acc + F.when(F.col(f"bit_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc", acc.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
+
+    Norms are computed once per row map-side; the pairing itself is a
+    broadcast nested-loop self-join — O(n²) similarity evaluations with
+    NO shuffle. That is the correct shape for the VERIFY pass over a
+    candidate subset; at 100 TB discovery scale use
+    ``embedding_near_dup_lsh`` (bucketed, only intra-bucket pairs) and
+    feed its candidates here. Sim rounds to 9 dp for stable comparison
+    across engines.
+    """
+    from rt_bigdata_spark.operators.similarity import dot
+
+    v = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
+    return (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: multi-table hyperplane LSH,
+    pairs formed only within a (table, bucket) cell.
+
+    The discovery-scale variant of ``embedding_near_dup_pairs``:
+    ``num_tables`` independent plane sets (OR-amplification — a pair is
+    a candidate if it collides in ANY table, recall 1-(1-p^planes)^tables
+    where p = 1 - θ/π), one map-side explode into (table, bucket) cells,
+    one shuffle on the cell, pair formation confined to cells (expected
+    cell size n/2^planes). Candidates that collide in several tables are
+    deduped by groupBy before the output; every candidate is re-scored
+    with the true cosine before the threshold filter, so precision is 1
+    relative to the exact operator.
+
+    The plane matrix is ONE nested-array literal, not tables×planes×dim
+    scalar literal nodes — the expanded form costs seconds of Catalyst
+    planning/codegen before any row moves; as a single constant the
+    bucket computation is three small higher-order functions regardless
+    of dimensionality.
+    """
+    from rt_bigdata_spark.operators.similarity import dot, lcg_planes
+
+    v = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    planes_lit = F.lit([lcg_planes(num_planes, dim, seed + t) for t in range(num_tables)])
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("t"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    dot(F.col("v"), F.element_at(F.element_at(planes_lit, t + 1), i + 1)) >= 0,
+                    F.pow(F.lit(2.0), i).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("bkt"),
+        ),
+    )
+    sig = v.withColumn("cell", F.explode(cells))
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sim").alias("sim"))
+    )

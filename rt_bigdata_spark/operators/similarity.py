@@ -58,6 +58,35 @@ def brute_force_topk(
     )
 
 
+def lcg_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, driver-side).
+
+    Seeded so signatures are reproducible across runs/engines — the
+    same reason the dedup operators hash with md5, not the JVM hash.
+    """
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(num_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            plane.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(plane)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``vec`` against fixed hyperplanes — pure
+    map-side column expression (no shuffle, no Python per row)."""
+    acc = F.lit(0).cast("long")
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        d = dot(vd, p)
+        acc = acc + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,24 +105,10 @@ def hyperplane_lsh_topk(
     brute-force is too expensive. Planes derive from a seeded LCG so
     results are deterministic.
     """
-    # Deterministic pseudo-random planes (LCG), generated driver-side.
-    planes: list[list[float]] = []
-    state = seed
-    for _ in range(num_planes):
-        plane = []
-        for _ in range(dim):
-            state = (state * 1103515245 + 12345) % (1 << 31)
-            plane.append((state / float(1 << 31)) * 2.0 - 1.0)
-        planes.append(plane)
+    planes = lcg_planes(num_planes, dim, seed)
 
     def bucket_of(vec: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        vd = F.transform(vec, lambda x: x.cast("double"))
-        for i, plane in enumerate(planes):
-            p = F.array(*[F.lit(v) for v in plane])
-            d = dot(vd, p)
-            acc = acc + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        return acc
+        return hyperplane_bucket(vec, planes)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")).withColumn(
         "bucket", bucket_of(F.col("cvec"))
@@ -102,6 +117,69 @@ def hyperplane_lsh_topk(
         "bucket", bucket_of(F.col("qvec"))
     )
     scored = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
+    Voronoi cells, probe only the ``n_probe`` nearest cells per query.
+
+    Index build: centroids are the first ``n_centroids`` corpus vectors
+    by id — deterministic seeding; a production build would run k-means
+    (``pyspark.ml.clustering.KMeans`` slots in here unchanged) but the
+    scale-relevant mechanics — cell assignment, cell-pruned scan — are
+    identical either way. The centroid "model" is tiny (n_centroids ×
+    dim doubles), collected to the driver exactly like an MLlib model
+    and inlined as literal arrays, so cell assignment is one map-side
+    pass over the corpus: no shuffle, no per-row Python, and at 100 TB
+    the probed scan reads ~n_probe/n_centroids of the data (file-prunable
+    if the corpus is written partitioned by cell — see the docstring of
+    ``plans/textops.q_ann_ivf_topk``).
+    """
+    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    norm = lambda c: [x / (sum(y * y for y in c) ** 0.5) for x in c]
+    centroids = [norm([float(x) for x in r[vec_col]]) for r in cent_rows]
+
+    def cell_sims(vec: Column) -> Column:
+        """array<double> of cosine(vec, centroid_i) — centroids are
+        pre-normalized so each entry is one dot over the shared
+        normalized input."""
+        vd = F.transform(vec, lambda x: x.cast("double"))
+        nrm = F.sqrt(dot(vd, vd))
+        return F.array(*[dot(vd, F.array(*[F.lit(v) for v in c])) / nrm for c in centroids])
+
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = (
+        c.withColumn("_sims", cell_sims(F.col("cvec")))
+        .withColumn("cell", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
+        .drop("_sims")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
+    q = q.withColumn("_sims", cell_sims(F.col("qvec")))
+    zipped = F.transform(
+        idx, lambda i: F.struct(F.element_at(F.col("_sims"), i).alias("s"), i.cast("long").alias("c"))
+    )
+    # array_sort on struct sorts ascending by (s, c); reverse → best-first.
+    probe = F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe)
+    q = q.withColumn("cell", F.explode(F.transform(probe, lambda st: st.getField("c")))).drop("_sims")
+
+    scored = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -14,12 +14,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from rt_bigdata_spark.operators.dedup import (
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
-from rt_bigdata_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from rt_bigdata_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from rt_bigdata_spark.operators.text_analysis import fingerprint, language_id, quality_features
 from rt_bigdata_spark.plans.registry import QuerySpec, register
 from rt_bigdata_spark.sources.tables import load_table
@@ -166,6 +168,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, queries, k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table. At 100 TB the corpus would be
+    written ``partitionBy("cell")`` once at index-build time so the
+    n_probe cell scan is partition-pruned at the source — here the cell
+    filter happens in the probe join instead (same rows touched)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+_ORACLE_EMB_DEDUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) >= 0.35
+"""
+
+
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",)),
@@ -176,5 +209,8 @@ for spec in [
     QuerySpec("minhash_lsh", q_minhash_lsh, None, ("dedup", "approx"), bench=True),
     QuerySpec("simhash", q_simhash, None, ("dedup", "approx")),
     QuerySpec("ann_lsh_topk", q_ann_lsh_topk, None, ("similarity", "approx")),
+    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None, ("similarity", "approx")),
+    QuerySpec("embedding_dedup", q_embedding_dedup, _ORACLE_EMB_DEDUP, ("dedup",)),
+    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, None, ("dedup", "approx"), bench=True),
 ]:
     register(spec)

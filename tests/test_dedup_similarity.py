@@ -100,3 +100,44 @@ def test_lsh_topk_subset_of_bruteforce_candidates(spark, vectors):
     approx = {(r.query_id, r.neighbor_id) for r in hyperplane_lsh_topk(vectors, queries, k=50, dim=8).collect()}
     assert approx  # finds something
     assert approx.issubset(exact)  # candidates are a recall-limited subset
+
+
+def test_ivf_topk_matches_bruteforce_in_probed_cells(spark, vectors):
+    from rt_bigdata_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(vectors, queries, k=50).collect()}
+    rows = ivf_topk(vectors, queries, k=50, n_centroids=8, n_probe=3).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert approx  # probing finds candidates
+    assert approx.issubset(exact)  # never invents pairs
+    # sims must agree with brute force for shared pairs
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in brute_force_topk(vectors, queries, k=50).collect()}
+    for r in rows:
+        assert abs(r.sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_ivf_full_probe_recovers_bruteforce_topk(spark, vectors):
+    from rt_bigdata_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.neighbor_id, r.rk) for r in brute_force_topk(vectors, queries, k=5).collect()}
+    # probing every cell ≡ exact search
+    full = {(r.query_id, r.neighbor_id, r.rk) for r in ivf_topk(vectors, queries, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_embedding_near_dup_exact_and_lsh(spark, vectors):
+    from rt_bigdata_spark.operators.dedup import embedding_near_dup_lsh, embedding_near_dup_pairs
+
+    exact = {(r.id_a, r.id_b): r.sim for r in embedding_near_dup_pairs(vectors, threshold=0.99).collect()}
+    # sin-wave vectors repeat with period 2π/0.7 ≈ 8.98… — no exact repeat,
+    # but i and i+9 are near-identical phases → sim ≈ 1
+    assert exact, "expected high-cosine pairs in the periodic fixture"
+    for (a, b), s in exact.items():
+        assert a < b and s >= 0.99
+    approx = {(r.id_a, r.id_b): r.sim for r in embedding_near_dup_lsh(vectors, threshold=0.99, dim=8).collect()}
+    assert approx  # finds some
+    assert set(approx).issubset(set(exact))  # re-scored → never a false positive
+    for pair, s in approx.items():
+        assert abs(s - exact[pair]) < 1e-9

@@ -98,3 +98,49 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
     (whitespace/punct-insensitive), the cheap exact-dup key."""
     normalized = F.concat_ws(" ", tokenize(F.col(text_col)))
     return df.withColumn(out_col, F.md5(normalized))
+
+
+# GPT-2-style pretokenizer shape (contraction suffixes, space-prefixed
+# letter runs / digit runs / punctuation runs) restricted to a subset
+# that Java regex and RE2 interpret identically — the point is a
+# BPE-grade token COUNT for data budgeting, not a specific vocabulary.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+_ROLLING_PRIME = 2147483647  # 2^31 - 1; keeps acc*131 + c < 2^63
+_ROLLING_BASE = 131
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens (long). One vectorized regex pass —
+    ``regexp_extract_all`` runs JVM-side; no Python, no shuffle."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def rolling_hash(text: Column) -> Column:
+    """Rabin-Karp polynomial rolling hash over the text's codepoints
+    (long, < 2^31): h = fold(h·131 + codepoint mod 2³¹−1).
+
+    Pure arithmetic — unlike md5-based fingerprints it supports O(1)
+    incremental update when a document is extended, and it is
+    reproducible in any engine (the DuckDB oracle computes the identical
+    fold), which md5_number-style helpers are not (byte-order differs).
+    """
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _ROLLING_BASE + c) % _ROLLING_PRIME,
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token accounting for training-data budgeting: whitespace
+    token count, BPE-ish pretoken count, and the rolling-hash
+    fingerprint — all map-side column expressions."""
+    text = F.col(text_col)
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(tokenize(text)).cast("long").alias("ws_tokens"),
+        bpe_token_count(text).alias("bpe_tokens"),
+        rolling_hash(text).alias("rolling_fp"),
+    )

@@ -22,7 +22,12 @@ from rt_bigdata_spark.operators.dedup import (
     simhash,
 )
 from rt_bigdata_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
-from rt_bigdata_spark.operators.text_analysis import fingerprint, language_id, quality_features
+from rt_bigdata_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_stats,
+)
 from rt_bigdata_spark.plans.registry import QuerySpec, register
 from rt_bigdata_spark.sources.tables import load_table
 
@@ -96,6 +101,23 @@ SELECT doc_id,
             WHEN h_de = greatest(h_en,h_fr,h_es,h_de,h_zh) THEN 'de'
             ELSE 'zh' END AS lang_pred
 FROM hits
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+')) AS BIGINT) AS bpe_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
+FROM documents
 """
 
 
@@ -204,6 +226,7 @@ for spec in [
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",)),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",)),
+    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",)),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True),
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True),
     QuerySpec("minhash_lsh", q_minhash_lsh, None, ("dedup", "approx"), bench=True),

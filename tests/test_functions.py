@@ -60,3 +60,27 @@ def test_datetime_helpers(spark):
     b = F.to_timestamp(F.lit("2024-02-07 13:47:24"))
     assert _one(spark, seconds_between(ts, b)) == 3
     assert _one(spark, seconds_between(b, ts)) == 3  # abs
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.text_analysis import bpe_token_count, rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "hello world's 42 cats!!"), (2, "plain words only"), (3, "a")], ["id", "t"]
+    )
+    rows = {
+        r.id: (r.bpe, r.rh)
+        for r in df.select(
+            "id", bpe_token_count(F.col("t")).alias("bpe"), rolling_hash(F.col("t")).alias("rh")
+        ).collect()
+    }
+    # "hello|_world|'s|_42|_cats|!!" → 6 pretokens (contraction split out)
+    assert rows[1][0] == 6
+    assert rows[2][0] == 3
+    assert rows[3][0] == 1
+    # rolling hash: deterministic, bounded, distinct across texts
+    assert rows[3][1] == ord("a")
+    assert 0 <= rows[1][1] < 2147483647
+    assert len({v[1] for v in rows.values()}) == 3

@@ -1,0 +1,102 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4 promises —
+predicate pushdown, column pruning, broadcast dim joins, whole-stage
+codegen, and no row-at-a-time Python in any registered query — asserted
+on the actual Catalyst output, not taken on faith.
+
+These run `explain` only (no execution), so they cover every registered
+query cheaply.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from __spark_entry__ import queries
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark) -> dict[str, str]:
+    return {name: plan_of(fn(spark, SF_DIR)) for name, fn in queries().items()}
+
+
+def test_no_row_at_a_time_python_udf_anywhere(plans):
+    """Every registered query stays JVM-side: no BatchEvalPython (legacy
+    per-row Python UDF) in any plan. Arrow-batched nodes (ArrowEvalPython
+    / mapInPandas) are the sanctioned Python escape hatch and none of the
+    registered queries needs even those."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p or "ArrowEvalPython" in p]
+    assert not offenders, f"Python UDF in hot path of: {offenders}"
+
+
+def test_dim_enrichment_uses_broadcast_joins(plans):
+    """J3: the reference's async-lookup-with-cache apparatus must appear
+    as BroadcastHashJoin — a shuffle join over the tiny dims would be the
+    100 TB failure mode."""
+    p = plans["order_wide_enriched"]
+    assert p.count("BroadcastHashJoin") >= 4
+    p2 = plans["province_stats"]
+    assert "BroadcastHashJoin" in p2
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    """Catalyst pushes the pricing_summary shipdate predicate into the
+    parquet scan (PushedFilters), so at 100 TB row groups that can't
+    match are skipped at the source."""
+    p = plans["pricing_summary"]
+    assert "PushedFilters: [" in p
+    # at least one real pushed predicate, not just an empty list
+    assert any(
+        tok in p for tok in ("IsNotNull", "EqualTo", "GreaterThan", "LessThan", "In(")
+    ), p[p.index("PushedFilters") : p.index("PushedFilters") + 200]
+
+
+def test_column_pruning_reaches_scan(plans):
+    """pricing_summary touches 7 of lineitem's 16 columns; the scan's
+    ReadSchema must not include untouched wide columns like l_comment."""
+    p = plans["pricing_summary"]
+    assert "l_comment" not in p
+    assert "l_quantity" in p
+
+
+def test_aggregates_are_partial_then_final(plans):
+    """A8: map-side partial aggregation before the exchange — two
+    HashAggregate nodes around one Exchange for the flagship agg."""
+    p = plans["pricing_summary"]
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_exact_dedup_is_single_shuffle(plans):
+    """dedup_exact is one groupBy on the md5 key: exactly one
+    hashpartitioning exchange, nothing else."""
+    p = plans["dedup_exact"]
+    assert p.count("hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    """Simple-mode plans mark codegen'd stages with `*(n)` — the
+    flagship agg must be inside a WholeStageCodegen span."""
+    df = queries()["pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only on execution
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in p  # star prefix = inside a WholeStageCodegen span
+
+
+def test_interval_join_avoids_cartesian(plans):
+    """J1: the order⋈detail interval join has an equi key (order id), so
+    the planner must use a keyed join (SMJ/SHJ), never
+    BroadcastNestedLoopJoin/CartesianProduct over the fact tables."""
+    p = plans["order_wide"]
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)

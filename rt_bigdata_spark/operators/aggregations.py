@@ -65,3 +65,60 @@ def distinct_count(col: str, approx: bool = False) -> Column:
 def conditional_sum(condition: Column, if_true: Column, if_false: Column) -> Column:
     """A6's ``SUM(IF(cond, a, b))`` pattern (JarSubmit.scala:75-90)."""
     return F.sum(F.when(condition, if_true).otherwise(if_false))
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Session windows: per-key windows that extend while events arrive
+    within ``gap`` of the last one, close after a quiet gap.
+
+    The reference has no session operator (its bounce detection T3
+    hand-rolls one with CEP timeouts); Spark's ``session_window`` is the
+    declarative equivalent — SURVEY.md §2.7 T3 names sessionization as
+    the alternative formulation. Works identically on static frames and
+    streams (streaming needs ``withWatermark`` upstream; state is merged
+    windows per key, bounded by the watermark).
+
+    Session bounds come out as ``session_start`` (first event) and
+    ``session_end`` (last event + gap — the window's close time).
+    """
+    grouped = df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *[F.col(k) for k in keys])
+    return (
+        grouped.agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    duration/slide overlapping windows. Free in Spark (`window(slide=)`),
+    absent from the reference (T5 lists it as available-for-free).
+
+    Scale note: the expansion factor IS duration/slide — each input row
+    is duplicated into that many groups before the shuffle, so keep the
+    ratio small at 100 TB or pre-aggregate to the slide granularity
+    first (tumble by `slide`, then roll 2 buckets up map-side).
+    """
+    grouped = df.groupBy(
+        F.window(F.col(ts_col), duration, slide).alias("w"), *[F.col(k) for k in keys]
+    )
+    return (
+        grouped.agg(*aggs)
+        .withColumn("wstart", F.col("w.start"))
+        .withColumn("wend", F.col("w.end"))
+        .drop("w")
+    )

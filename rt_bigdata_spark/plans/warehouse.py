@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from rt_bigdata_spark.functions.datetime_fns import ten_minute_bucket, weekday_zh
 from rt_bigdata_spark.functions.text_fns import tokenize, unpivot_counts
-from rt_bigdata_spark.operators.aggregations import conditional_sum, tumbling_window_agg
+from rt_bigdata_spark.operators.aggregations import (
+    conditional_sum,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
 from rt_bigdata_spark.operators.joins import enrich_dims, interval_join
 from rt_bigdata_spark.operators.routing import route_by_config, union_all
 from rt_bigdata_spark.plans.registry import QuerySpec, register
@@ -811,6 +816,90 @@ FROM documents JOIN orders ON doc_id = o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# session_stats — session windows (SURVEY §2.7 T3's sessionization
+# formulation of UserJumpDetailApp's CEP, and §2.7 T5 lists
+# session_window as free-in-Spark). Per-user sessions close after a
+# 30-minute quiet gap; session_end is last-event + gap, matching
+# Spark's session_window close semantics.
+# ---------------------------------------------------------------------------
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "n_events",
+    )
+
+
+_ORACLE_SESSION = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding_stats — hopping windows (T5: `window(slide=)` free in Spark,
+# absent in the reference). 1-hour windows every 30 minutes per
+# event_type; exact distinct users per window.
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("ct"), F.countDistinct("user_id").alias("uv")],
+    )
+    return out.select(
+        "event_type",
+        F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("wend", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "ct",
+        "uv",
+    )
+
+
+_ORACLE_SLIDING = """
+WITH x AS (
+  SELECT event_type, user_id, u.wstart
+  FROM events,
+       UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS u(wstart)
+)
+SELECT event_type,
+       strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(wstart + INTERVAL 60 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+       COUNT(*) AS ct,
+       COUNT(DISTINCT user_id) AS uv
+FROM x GROUP BY event_type, wstart
+"""
+
+
+# ---------------------------------------------------------------------------
 # json_props — P1/P6/F13 JSON parse + path access (OdsBaseLogApp.scala:
 # 74-80, 87): the events.props JSON-string payload parsed permissively;
 # malformed rows → null, not errors.
@@ -903,6 +992,8 @@ for spec in [
     QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13")),
     QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True),
     QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11")),
+    QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5")),
+    QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5")),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
 ]:

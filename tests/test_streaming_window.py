@@ -81,3 +81,52 @@ def test_windowed_agg_streaming_with_late_data(spark, tmp_path):
         assert rows["1970-01-01 00:00:10"] == (1, 1)
     finally:
         q.stop()
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """T3-as-sessionization on a stream: sessions extend while events
+    arrive within the gap, close once the watermark passes last+gap."""
+    from rt_bigdata_spark.operators.aggregations import session_window_agg
+
+    src = tmp_path / "src_sess"
+    src.mkdir()
+    # mid 'a': events at 0s and 5s (one session, 10s gap);
+    # mid 'b': events at 0s and 20s (two sessions).
+    _write(str(src), "b1.json", [
+        {"mid": "a", "event_type": "pv", "ts": 0},
+        {"mid": "a", "event_type": "pv", "ts": 5_000},
+        {"mid": "b", "event_type": "pv", "ts": 0},
+        {"mid": "b", "event_type": "pv", "ts": 20_000},
+    ])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+        .withWatermark("eventTime", "2 seconds")
+    )
+    agg = session_window_agg(
+        stream, "eventTime", "10 seconds", ["mid"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stats")
+        .option("checkpointLocation", str(tmp_path / "chk_sess"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark far forward so all sessions close
+        _write(str(src), "b2.json", [{"mid": "z", "event_type": "pv", "ts": 300_000}])
+        q.processAllAvailable()
+        rows = {
+            (r.mid, r.session_start.isoformat()): r.n_events
+            for r in spark.sql("select * from sess_stats").collect()
+        }
+        assert rows[("a", "1970-01-01T00:00:00")] == 2  # merged session
+        assert rows[("b", "1970-01-01T00:00:00")] == 1
+        assert rows[("b", "1970-01-01T00:00:20")] == 1  # quiet gap → new session
+    finally:
+        q.stop()

@@ -22,3 +22,58 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> "DataFrame":
+    """Equi-join with key salting for skewed keys.
+
+    The standard fix when one join key carries a disproportionate share
+    of rows and a plain shuffle join stalls on the hot partition: the
+    LEFT (large, skewed) side gets a random salt in [0, buckets); the
+    RIGHT side is replicated once per salt value (explode of a literal
+    range — right should be the smaller side). The join key becomes
+    (key, salt), spreading the hot key over ``salt_buckets`` tasks.
+
+    AQE's skew-join split (enabled in the session defaults) handles
+    most cases automatically; this operator is for the residual ones —
+    deterministic-partition requirements, or skew AQE can't see
+    (first-stage joins with no runtime stats yet).
+    """
+    import pyspark.sql.functions as F
+
+    salted_l = left.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_l.join(salted_r, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def compact_small_files(
+    df: "DataFrame",
+    target_files: int,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: "list[str] | None" = None,
+) -> None:
+    """Small-file compaction: rewrite an input as ``target_files``
+    right-sized files (reference parity: the commented Spark util at
+    rt-flink …/common/CommonTool.scala:168-244 — union + repartition +
+    overwrite partition).
+
+    ``coalesce`` when shrinking (no shuffle — merges map-side),
+    ``repartition`` when growing (needs the shuffle to split). At
+    100 TB run this per partition directory, not globally.
+    """
+    n = df.rdd.getNumPartitions()
+    out = df.coalesce(target_files) if target_files < n else df.repartition(target_files)
+    writer = out.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -102,9 +102,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerpri
 
 # GPT-2-style pretokenizer shape (contraction suffixes, space-prefixed
 # letter runs / digit runs / punctuation runs) restricted to a subset
-# that Java regex and RE2 interpret identically — the point is a
-# BPE-grade token COUNT for data budgeting, not a specific vocabulary.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+# that Java regex, RE2 (DuckDB), and Python re interpret identically —
+# the whitespace class is spelled out because `\s` is ASCII-only in
+# Java/RE2 but Unicode in Python (NEL/\x85 etc. would diverge). The
+# point is a BPE-grade token COUNT for data budgeting, not a specific
+# vocabulary.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\x0b\f\r']+"
 
 _ROLLING_PRIME = 2147483647  # 2^31 - 1; keeps acc*131 + c < 2^63
 _ROLLING_BASE = 131

@@ -112,7 +112,7 @@ _ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
        CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text),
-            '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+')) AS BIGINT) AS bpe_tokens,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\x0b\\f\\r'']+')) AS BIGINT) AS bpe_tokens,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
                       list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),

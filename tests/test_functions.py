@@ -84,3 +84,29 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert rows[3][1] == ord("a")
     assert 0 <= rows[1][1] < 2147483647
     assert len({v[1] for v in rows.values()}) == 3
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.scale import salted_join
+
+    # skewed left: key 1 dominates
+    left = spark.createDataFrame([(1, i) for i in range(500)] + [(2, 0), (3, 1)], ["k", "v"])
+    right = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unmatched")], ["k", "name"])
+    plain = left.join(right, "k").groupBy("k", "name").agg(F.count(F.lit(1)).alias("ct"))
+    salted = salted_join(left, right, "k").groupBy("k", "name").agg(F.count(F.lit(1)).alias("ct"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    from rt_bigdata_spark.operators.scale import compact_small_files
+
+    df = spark.range(0, 1000).repartition(16)
+    out = str(tmp_path / "compacted")
+    compact_small_files(df, target_files=2, path=out)
+    import glob
+
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 2
+    assert spark.read.parquet(out).count() == 1000

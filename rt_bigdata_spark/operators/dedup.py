@@ -141,6 +141,12 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    # The self-join's two sides are planned as two full signature
+    # pipelines (no exchange reuse under a broadcast join) — persist the
+    # tiny signature table (docs × ~260 B) so the scan+explode+32-min
+    # aggregation runs once. At warehouse scale this stage would be
+    # written to its own table instead.
+    sig = sig.persist()
     banded = sig.select(
         "doc",
         "signature",
@@ -158,7 +164,21 @@ def minhash_lsh_pairs(
     ).select("doc", "signature", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    candidates = (
+    # Score per collision, THEN dedup on the (doc_a, doc_b) key: first()
+    # over a double hash-aggregates, whereas dropDuplicates over the
+    # signature arrays would force a sort-based aggregate. A pair
+    # colliding in k bands is scored k (≤ bands) times — cheaper than
+    # the sort at any realistic duplicate rate.
+    agreement = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    ).cast("double")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -168,16 +188,11 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            agreement.alias("est"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    agreement = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.lit(num_hashes)
-    return (
-        candidates.withColumn("est_jaccard", agreement.cast("double"))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
+        .filter(F.col("est") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est").alias("est_jaccard"))
     )
 
 

@@ -221,6 +221,19 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on real data: documents' bytes as opaque
+    media content → mapInPandas feature extraction (Arrow-batched; the
+    decode kernel is the deterministic stub — no codecs in container).
+    No SQL oracle: mapInPandas is outside DuckDB's vocabulary; the
+    rows-only check plus tests/test_multimodal.py (determinism, batch
+    shape, pruning) define correctness."""
+    from rt_bigdata_spark.operators.multimodal import documents_as_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",)),
@@ -235,5 +248,6 @@ for spec in [
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None, ("similarity", "approx")),
     QuerySpec("embedding_dedup", q_embedding_dedup, _ORACLE_EMB_DEDUP, ("dedup",)),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, None, ("dedup", "approx"), bench=True),
+    QuerySpec("media_features", q_media_features, None, ("multimodal",)),
 ]:
     register(spec)

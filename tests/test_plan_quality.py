@@ -32,11 +32,15 @@ def plans(spark) -> dict[str, str]:
 
 def test_no_row_at_a_time_python_udf_anywhere(plans):
     """Every registered query stays JVM-side: no BatchEvalPython (legacy
-    per-row Python UDF) in any plan. Arrow-batched nodes (ArrowEvalPython
-    / mapInPandas) are the sanctioned Python escape hatch and none of the
-    registered queries needs even those."""
-    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p or "ArrowEvalPython" in p]
-    assert not offenders, f"Python UDF in hot path of: {offenders}"
+    per-row Python UDF) in any plan. Arrow-batched Python (MapInPandas /
+    ArrowEvalPython) is the sanctioned escape hatch and appears ONLY in
+    the multimodal kernels, where a C codec would live."""
+    from rt_bigdata_spark.plans.registry import REGISTRY
+
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"per-row Python UDF in: {offenders}"
+    arrow_users = [n for n, p in plans.items() if "ArrowEvalPython" in p or "MapInPandas" in p]
+    assert all("multimodal" in REGISTRY[n].tags for n in arrow_users), arrow_users
 
 
 def test_dim_enrichment_uses_broadcast_joins(plans):

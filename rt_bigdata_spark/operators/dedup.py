@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard ≥ t).
 
@@ -75,17 +76,26 @@ def ngram_jaccard_pairs(
     strings) → self-equi-join (one shuffle) → per-pair intersection
     count → Jaccard from inclusion-exclusion. Per-doc size joins are
     broadcast (one row per doc). The shingle join is the scale hazard —
-    a stop-shingle appearing in k docs creates k² pair rows; production
-    pipelines drop shingles with document frequency above a cap first
-    (see ``df_cap`` in minhash_lsh_pairs for the capped variant).
+    a stop-shingle appearing in k docs creates k² pair rows;
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    BEFORE pairing; intersection and sizes are then both computed over
+    the capped shingle universe, so the output is exact Jaccard on that
+    universe. Pairs that only shared stop-shingles are missed — the
+    standard recall trade of a frequency cap.
     """
     df = ensure_parallelism(df)
     shingled = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     ).select("doc", F.xxhash64("shingle").alias("sh"))
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    paired = shingled
+    if df_cap is not None:
+        # One extra narrow agg on the 8-byte key; hot shingles are
+        # exactly the rows that would have exploded quadratically.
+        freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        paired = shingled.join(freq.filter(F.col("df") <= df_cap).select("sh"), "sh")
+    sizes = paired.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = paired.alias("a")
+    b = paired.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -105,17 +115,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    df_cap: int | None = None,
+) -> DataFrame:
     """Per-doc MinHash signature (array<long>, length ``num_hashes``).
 
     Universal-hash family h_i(x) = (a_i·x + b_i) mod p over md5-derived
     31-bit shingle hashes; a_i/b_i are fixed odd/even constants derived
     from i so signatures are deterministic. Entirely map-side: explode →
     per-doc min of each permutation → one narrow groupBy on the id.
+
+    ``df_cap`` (optional) drops shingles with document frequency above
+    the cap before signatures — stop-shingles otherwise dominate the
+    minima, putting unrelated docs in the same LSH buckets and blowing
+    up candidate counts at scale.
     """
     df = ensure_parallelism(df)
     shingled = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col))).alias("shingle"))
     hashed = shingled.withColumn("h", _shingle_hash(F.col("shingle")))
+    if df_cap is not None:
+        freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        hashed = hashed.join(freq.filter(F.col("df") <= df_cap).select("h"), "h")
     mins = [
         F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * i + 1)) % _MINHASH_PRIME).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -131,16 +155,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by estimated Jaccard.
 
     signatures → split into ``bands`` bands of r = num_hashes/bands rows
     → bucket key = md5(band values) → pairs sharing ≥1 bucket →
     signature-agreement estimate ≥ threshold. The only wide exchange is
-    the bucket groupBy; candidate pairs are bucket-local.
+    the bucket groupBy; candidate pairs are bucket-local. ``df_cap``
+    passes through to the signature stage (stop-shingle control).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, df_cap=df_cap)
     # The self-join's two sides are planned as two full signature
     # pipelines (no exchange reuse under a broadcast join) — persist the
     # tiny signature table (docs × ~260 B) so the scan+explode+32-min

@@ -141,3 +141,26 @@ def test_embedding_near_dup_exact_and_lsh(spark, vectors):
     assert set(approx).issubset(set(exact))  # re-scored → never a false positive
     for pair, s in approx.items():
         assert abs(s - exact[pair]) < 1e-9
+
+
+def test_df_cap_drops_stop_shingle_pairs(spark):
+    """Docs 1/2 share only a stop-shingle present in every doc; docs 3/4
+    share a rare shingle. With the cap, the stop-shingle pair vanishes,
+    the rare pair survives with exact Jaccard on the capped universe."""
+    stop = "the quick brown"
+    rows = [
+        (1, stop + " alpha beta gamma"),
+        (2, stop + " delta epsilon zeta"),
+        (3, stop + " eta theta iota kappa lambda mu"),
+        (4, stop + " eta theta iota kappa lambda nu"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df, threshold=0.01).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df, threshold=0.01, df_cap=3).collect()}
+    assert (1, 2) in uncapped
+    assert (1, 2) not in capped  # only shared capped shingles → dropped
+    assert (3, 4) in capped  # rare-shingle pair survives
+
+    # minhash cap: candidates still found for the rare pair
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, threshold=0.1, df_cap=3).collect()}
+    assert (3, 4) in lsh

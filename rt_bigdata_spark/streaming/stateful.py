@@ -129,25 +129,66 @@ def correct_is_new(events: DataFrame) -> DataFrame:
 # --- T2 ---------------------------------------------------------------------
 
 
-def _uv_fn(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    """First visit per (mid, day); entry-filter on last_page_id; state
-    holds the last seen date (1-day TTL ≈ only the latest date matters,
-    UniqueVisitApp.scala:87-101)."""
-    (last_date,) = state.get if state.exists else (None,)
+def _uv_scan(pdfs: Iterable[pd.DataFrame], last_date: str | None):
+    """Shared T2 loop: (rows_to_emit, new_last_date, max_ts_seen)."""
     rows: list[dict[str, Any]] = []
+    max_ts: int | None = None
     for pdf in pdfs:
         for r in pdf.sort_values("ts").itertuples(index=False):
+            max_ts = r.ts if max_ts is None else max(max_ts, r.ts)
             if r.last_page_id is not None and r.last_page_id != "":
                 continue  # not a session entry → can't be first visit of day
             d = _day(r.ts)
             if last_date is None or d > last_date:
                 rows.append({"mid": r.mid, "dt": d, "ts": r.ts})
                 last_date = d
+    return rows, last_date, max_ts
+
+
+def _uv_fn(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """First visit per (mid, day); entry-filter on last_page_id; state
+    holds the last seen date (UniqueVisitApp.scala:87-101)."""
+    (last_date,) = state.get if state.exists else (None,)
+    rows, last_date, _ = _uv_scan(pdfs, last_date)
     state.update((last_date,))
     yield pd.DataFrame(rows, columns=[f.name for f in UV_OUT_SCHEMA.fields])
 
 
-def unique_visits(events: DataFrame) -> DataFrame:
+def _uv_fn_ttl(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """T2 with the reference's 1-day state TTL (StateTtlConfig
+    Time.days(1), UniqueVisitApp.scala:87-92): state for a mid idle past
+    a day is dropped by an event-time timeout, bounding total state to
+    mids active in the last day — the property that matters at
+    production mid cardinality. (Like the reference's TTL, expiry is
+    unobservable in outputs — a same-date revisit >24 h later cannot
+    exist — it is purely a state-size bound.)"""
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame([], columns=[f.name for f in UV_OUT_SCHEMA.fields])
+        return
+    (last_date,) = state.get if state.exists else (None,)
+    rows, last_date, max_ts = _uv_scan(pdfs, last_date)
+    state.update((last_date,))
+    if max_ts is not None:
+        # never set a timeout at/below the watermark (Spark rejects it)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts + _DAY_MS, wm + 1))
+    yield pd.DataFrame(rows, columns=[f.name for f in UV_OUT_SCHEMA.fields])
+
+
+def unique_visits(events: DataFrame, ttl: bool = False) -> DataFrame:
+    """T2 daily-UV dedup. ``ttl=True`` reproduces the reference's 1-day
+    state TTL via event-time timeouts — the input must then carry a
+    watermarked event-time column (e.g. ``withWatermark("eventTime",
+    …)``) in addition to the epoch-ms ``ts``."""
+    if ttl:
+        return events.groupBy("mid").applyInPandasWithState(
+            _uv_fn_ttl,
+            outputStructType=UV_OUT_SCHEMA,
+            stateStructType="last_date STRING",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return events.groupBy("mid").applyInPandasWithState(
         _uv_fn,
         outputStructType=UV_OUT_SCHEMA,
@@ -191,8 +232,11 @@ def _bounce_fn(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState)
     if pending_ts is not None:
         state.update((pending_page, pending_ts))
         state.setTimeoutTimestamp(pending_ts + BOUNCE_TIMEOUT_MS)
-    else:
-        state.remove() if state.exists else state.update((None, None))
+    elif state.exists:
+        # No pending match → drop the state row. Never write placeholder
+        # state for idle mids: with no timeout attached it would live
+        # forever — unbounded state growth at production mid counts.
+        state.remove()
     yield pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
 
 

@@ -153,3 +153,51 @@ def test_uv_dedup_stream(spark, tmp_path):
     out = _single_batch_stream(spark, tmp_path, rows, unique_visits)
     got = sorted((r.mid, r.ts) for r in out)
     assert got == [("A", 1_000), ("A", 90_000_000)]
+
+
+def test_uv_dedup_ttl_bounds_state(spark, tmp_path):
+    """ttl=True drops state for mids idle past one day: after the
+    watermark advances 2 days, the early mids' state rows are gone and
+    only the fresh mid remains — the state-size bound the reference gets
+    from StateTtlConfig(Time.days(1))."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src_ttl"
+    src.mkdir()
+    _write_batch(str(src), "b1.json", [
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+        {"mid": "B", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2_000},
+    ])
+    stream = (
+        spark.readStream.schema(PAGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+        .withWatermark("eventTime", "1 second")
+    )
+    q = (
+        unique_visits(stream, ttl=True)
+        .writeStream.format("memory")
+        .queryName("uv_ttl")
+        .option("checkpointLocation", str(tmp_path / "chk_ttl"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark 2 days past A/B → their state times out
+        _write_batch(str(src), "b2.json", [
+            {"mid": "C", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2 * 86_400_000},
+        ])
+        q.processAllAvailable()
+        # one more micro-batch so the post-timeout state metric is reported
+        _write_batch(str(src), "b3.json", [
+            {"mid": "C", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2 * 86_400_000 + 5_000},
+        ])
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_rows == 1, f"expected only mid C in state, saw {state_rows} rows"
+        emitted = sorted((r.mid, r.dt) for r in spark.sql("select * from uv_ttl").collect())
+        assert emitted == [("A", "1970-01-01"), ("B", "1970-01-01"), ("C", "1970-01-03")]
+    finally:
+        q.stop()

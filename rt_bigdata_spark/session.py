@@ -50,6 +50,21 @@ _DEFAULTS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+# T6 parity: the reference keeps keyed state in RocksDB on HDFS
+# (OdsBaseLogApp.scala:43-44). Spark's RocksDB state store provider is
+# the same spill-to-disk story for Structured Streaming state; HDFS-backed
+# checkpoint dirs carry the durability. Opt-in (per-query conf) because
+# the default in-memory provider is faster for the small test states.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch streaming state to RocksDB for queries started after this
+    call (runtime conf — applies per started query, not per session)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE)
+
 
 def get_spark(app_name: str = "rt_bigdata_spark", extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Return the shared SparkSession, creating it if needed."""

@@ -201,3 +201,25 @@ def test_uv_dedup_ttl_bounds_state(spark, tmp_path):
         assert emitted == [("A", "1970-01-01"), ("B", "1970-01-01"), ("C", "1970-01-03")]
     finally:
         q.stop()
+
+
+def test_uv_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """T6 parity: the same stateful operator runs unchanged on the
+    RocksDB state store provider (the reference's RocksDB backend)."""
+    from rt_bigdata_spark.session import use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        rows = [
+            {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+            {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2_000},
+            {"mid": "B", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 3_000},
+        ]
+        out = _single_batch_stream(spark, tmp_path, rows, unique_visits)
+        assert sorted((r.mid, r.ts) for r in out) == [("A", 1_000), ("B", 3_000)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

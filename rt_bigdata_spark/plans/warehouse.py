@@ -1035,6 +1035,35 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7's other half: CUBE (all dim subsets) + GROUPING() markers so
+    subtotal rows are distinguishable from genuine-NULL dims. One
+    expand + one aggregation — the expand multiplies input rows by the
+    number of grouping sets (4 here); at 100 TB pre-aggregate to the
+    finest grain first, then cube the compact result."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("order_ct"),
+            F.sum(_dec("o_totalprice")).alias("amount"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "order_ct", "amount")
+    )
+
+
+_ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS order_ct,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # customer_activity — R4 intersect/except (surface completeness): tag
 # customers having orders (intersect) vs never-ordered (except).
@@ -1082,6 +1111,7 @@ for spec in [
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5")),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5")),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
+    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
 ]:
     register(spec)

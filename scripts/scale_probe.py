@@ -1,0 +1,94 @@
+"""Scale probe: replicate the FACT tables N× (dims stay fixed — the
+realistic shape of growth) and time the headline queries against the
+scaled copy. This is the evidence behind SCALE.md's "holds at scale"
+claims: a query whose plan is right scales ~linearly in fact rows; a
+quadratic or skew-bound plan shows super-linear time immediately.
+
+Replica keys are offset per copy so FK relationships stay valid
+(lineitem.l_orderkey tracks orders.o_orderkey); document texts get a
+per-replica suffix so the near-dup operators face realistic ~identical
+clusters instead of pure exact duplicates.
+
+Usage:
+    python scripts/scale_probe.py [--factor 10] [--src /root/testdata/sf0.1]
+                                  [--out .scratch/sf1] [--skip-build]
+Prints one JSON line per run: {"factor": N, "queries": {...}, "total": s}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from rt_bigdata_spark.config import TESTDATA_TABLES  # noqa: E402
+from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from rt_bigdata_spark.session import get_spark  # noqa: E402
+from rt_bigdata_spark.sources.tables import load_table  # noqa: E402
+
+FACTS = {
+    # table: (key columns to offset, text column to perturb or None)
+    "orders": (("o_orderkey",), None),
+    "lineitem": (("l_orderkey",), None),
+    "events": (("event_id",), None),
+    "documents": (("doc_id",), "text"),
+    "embeddings": (("vec_id",), None),
+}
+
+
+def build(spark, src: str, out: str, factor: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    # one key-space stride shared by orders+lineitem so FKs stay aligned
+    strides: dict[str, int] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, src, name)
+        if name not in FACTS:
+            df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+            continue
+        keys, text_col = FACTS[name]
+        stride_key = "orders" if name in ("orders", "lineitem") else name
+        if stride_key not in strides:
+            kcol = FACTS[stride_key][0][0]
+            src_df = load_table(spark, src, stride_key)
+            strides[stride_key] = int(src_df.agg(F.max(kcol)).first()[0]) + 1
+        stride = strides[stride_key]
+        rep = spark.range(factor).withColumnRenamed("id", "__rep")
+        scaled = df.crossJoin(F.broadcast(rep))
+        for k in keys:
+            scaled = scaled.withColumn(k, F.col(k) + F.col("__rep") * F.lit(stride))
+        if text_col:
+            scaled = scaled.withColumn(text_col, F.concat(F.col(text_col), F.lit(" r"), F.col("__rep")))
+        scaled.drop("__rep").write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "scaled"))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    _ensure_loaded()
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    if not args.skip_build:
+        build(spark, args.src, args.out, args.factor)
+
+    timings: dict[str, float] = {}
+    for spec in [s for s in REGISTRY.values() if s.bench]:
+        t0 = time.perf_counter()
+        spec.spark(spark, args.out).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"factor": args.factor, "total": round(sum(timings.values()), 3), "queries": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

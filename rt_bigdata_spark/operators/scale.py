@@ -55,6 +55,36 @@ def salted_join(
     return out.drop("_salt")
 
 
+def write_bucketed(
+    df: "DataFrame",
+    table: str,
+    key: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    The co-located-join primitive for repeated fact⋈fact joins (the
+    order_wide case in SCALE.md): both sides bucketed on their join key
+    with the same bucket count hash-partition the data AT WRITE TIME, so
+    every later join/aggregation on that key is exchange-free — Spark
+    reads matching buckets task-aligned instead of shuffling 100 TB per
+    query. ``sortBy`` additionally pre-sorts within buckets so the
+    sort-merge join skips its sort. Asserted exchange-free in
+    tests/test_plan_quality.py::test_bucketed_join_is_exchange_free.
+
+    This is the Spark-native replacement for the reference's
+    partition-aligned parallelism (keyBy into RocksDB state,
+    rt-flink …/app/dwd/OdsBaseLogApp.scala:39): alignment is a property
+    of the stored table, not of a running job.
+    """
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(num_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
 def compact_small_files(
     df: "DataFrame",
     target_files: int,

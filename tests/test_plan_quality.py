@@ -97,6 +97,50 @@ def test_whole_stage_codegen_covers_flagship(spark):
     assert "*(" in p  # star prefix = inside a WholeStageCodegen span
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """SCALE.md's order_wide claim: pre-bucketing both fact tables on
+    the order key eliminates the join shuffle. Write orders and
+    lineitem bucketed on their keys, join them, and assert the executed
+    plan contains NO Exchange — the join reads matching buckets
+    task-aligned. Broadcast is disabled so the test exercises the SMJ
+    path a 100 TB fact⋈fact join would take."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.scale import write_bucketed
+    from rt_bigdata_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bkt_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(lineitem, "bkt_lineitem", "l_orderkey", num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bkt_orders")
+            .join(spark.table("bkt_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        n = joined.count()
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+        # same rows as the plain (shuffling) join over the raw parquet
+        expected = (
+            load_table(spark, SF_DIR, "orders")
+            .join(load_table(spark, SF_DIR, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("o_orderkey")
+            .distinct()
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
 def test_interval_join_avoids_cartesian(plans):
     """J1: the order⋈detail interval join has an equi key (order id), so
     the planner must use a keyed join (SMJ/SHJ), never

@@ -126,6 +126,61 @@ def hyperplane_lsh_topk(
     )
 
 
+def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> list[list[float]]:
+    """Deterministic centroid seeding: the first ``n_centroids`` corpus
+    vectors by id, L2-normalized. A production build would run k-means
+    (``pyspark.ml.clustering.KMeans`` slots in here unchanged) but the
+    scale-relevant mechanics — cell assignment, cell-pruned scan — are
+    identical either way."""
+    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    norm = lambda c: [x / (sum(y * y for y in c) ** 0.5) for x in c]
+    return [norm([float(x) for x in r[vec_col]]) for r in cent_rows]
+
+
+def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine(vec, centroid_i) — centroids are
+    pre-normalized so each entry is one dot over the shared normalized
+    input."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    nrm = F.sqrt(dot(vd, vd))
+    return F.array(*[dot(vd, F.array(*[F.lit(v) for v in c])) / nrm for c in centroids])
+
+
+def _assign_cells(corpus: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, cvec, cell): nearest-centroid assignment, one
+    map-side pass (no shuffle, no per-row Python)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    return (
+        c.withColumn("_sims", _cell_sims(F.col("cvec"), centroids))
+        .withColumn("cell", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
+        .drop("_sims")
+    )
+
+
+def _probe_queries(queries: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str, n_probe: int) -> DataFrame:
+    """(query_id, qvec, cell) exploded to the ``n_probe`` nearest cells."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
+    q = q.withColumn("_sims", _cell_sims(F.col("qvec"), centroids))
+    zipped = F.transform(
+        idx, lambda i: F.struct(F.element_at(F.col("_sims"), i).alias("s"), i.cast("long").alias("c"))
+    )
+    # array_sort on struct sorts ascending by (s, c); reverse → best-first.
+    probe = F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe)
+    return q.withColumn("cell", F.explode(F.transform(probe, lambda st: st.getField("c")))).drop("_sims")
+
+
+def _topk_scored(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    scored = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,52 +193,69 @@ def ivf_topk(
     """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
     Voronoi cells, probe only the ``n_probe`` nearest cells per query.
 
-    Index build: centroids are the first ``n_centroids`` corpus vectors
-    by id — deterministic seeding; a production build would run k-means
-    (``pyspark.ml.clustering.KMeans`` slots in here unchanged) but the
-    scale-relevant mechanics — cell assignment, cell-pruned scan — are
-    identical either way. The centroid "model" is tiny (n_centroids ×
-    dim doubles), collected to the driver exactly like an MLlib model
-    and inlined as literal arrays, so cell assignment is one map-side
-    pass over the corpus: no shuffle, no per-row Python, and at 100 TB
-    the probed scan reads ~n_probe/n_centroids of the data (file-prunable
-    if the corpus is written partitioned by cell — see the docstring of
-    ``plans/textops.q_ann_ivf_topk``).
+    The centroid "model" is tiny (n_centroids × dim doubles), collected
+    to the driver exactly like an MLlib model and inlined as literal
+    arrays, so cell assignment is one map-side pass over the corpus: no
+    shuffle, no per-row Python. This in-line variant re-assigns cells on
+    every run; at 100 TB build the index once with ``build_ivf_index``
+    and probe with ``ivf_topk_indexed`` — the probed scan then
+    partition-prunes to ~n_probe/n_centroids of the files.
     """
-    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    norm = lambda c: [x / (sum(y * y for y in c) ** 0.5) for x in c]
-    centroids = [norm([float(x) for x in r[vec_col]]) for r in cent_rows]
+    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    c = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
+    q = _probe_queries(queries, centroids, id_col, vec_col, n_probe)
+    return _topk_scored(c, q, k)
 
-    def cell_sims(vec: Column) -> Column:
-        """array<double> of cosine(vec, centroid_i) — centroids are
-        pre-normalized so each entry is one dot over the shared
-        normalized input."""
-        vd = F.transform(vec, lambda x: x.cast("double"))
-        nrm = F.sqrt(dot(vd, vd))
-        return F.array(*[dot(vd, F.array(*[F.lit(v) for v in c])) / nrm for c in centroids])
 
-    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    c = (
-        c.withColumn("_sims", cell_sims(F.col("cvec")))
-        .withColumn("cell", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
-        .drop("_sims")
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> None:
+    """Materialize the IVF index: corpus written ``partitionBy("cell")``
+    so probes become directory-pruned scans, centroids stored under
+    ``<path>/_centroids`` (underscore prefix — invisible to the main
+    parquet read, the same convention as ``_metadata``).
+
+    This is the write-once index build that amortizes cell assignment
+    across every future query batch; at 100 TB the build is one
+    map-side pass + a partitioned write, and each probe reads only
+    ~n_probe/n_centroids of the files (asserted via PartitionFilters in
+    tests/test_dedup_similarity.py).
+    """
+    spark = corpus.sparkSession
+    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cent_df = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(centroids)], "cell: long, centroid: array<double>"
     )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
-    q = q.withColumn("_sims", cell_sims(F.col("qvec")))
-    zipped = F.transform(
-        idx, lambda i: F.struct(F.element_at(F.col("_sims"), i).alias("s"), i.cast("long").alias("c"))
-    )
-    # array_sort on struct sorts ascending by (s, c); reverse → best-first.
-    probe = F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe)
-    q = q.withColumn("cell", F.explode(F.transform(probe, lambda st: st.getField("c")))).drop("_sims")
 
-    scored = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
-    )
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a materialized IVF index (``build_ivf_index`` output).
+
+    The union of the query batch's probed cells is collected (tiny:
+    ≤ queries × n_probe longs) and pushed as a partition filter on the
+    index scan — Spark prunes non-probed cell directories at planning
+    time, so the scan cost is ~n_probe/n_centroids of the corpus
+    regardless of corpus size. Scoring then joins cell-local candidates
+    against the broadcast query set, identical to ``ivf_topk``.
+    """
+    cent_rows = spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    q = _probe_queries(queries, centroids, id_col, vec_col, n_probe)
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    c = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
+    return _topk_scored(c, q, k)

@@ -191,10 +191,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the embeddings table. At 100 TB the corpus would be
-    written ``partitionBy("cell")`` once at index-build time so the
-    n_probe cell scan is partition-pruned at the source — here the cell
-    filter happens in the probe join instead (same rows touched)."""
+    """IVF ANN over the embeddings table (inline variant: cells
+    assigned on the fly). The 100 TB path is `build_ivf_index` (corpus
+    written ``partitionBy("cell")`` once) + `ivf_topk_indexed` (probe
+    scan partition-pruned to the probed cells) — same rows touched,
+    asserted equal in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10)

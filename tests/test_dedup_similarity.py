@@ -127,6 +127,32 @@ def test_ivf_full_probe_recovers_bruteforce_topk(spark, vectors):
     assert full == exact
 
 
+def test_ivf_indexed_matches_inline_and_partition_prunes(spark, vectors, tmp_path):
+    """The materialized index path must return exactly what the inline
+    operator returns, and its scan must partition-prune to the probed
+    cells (the ~n_probe/n_centroids read that makes IVF pay at scale)."""
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.similarity import build_ivf_index, ivf_topk, ivf_topk_indexed
+
+    queries = vectors.filter(F.col("vec_id") < 2)
+    inline = {(r.query_id, r.neighbor_id, r.rk) for r in ivf_topk(vectors, queries, k=5, n_centroids=8, n_probe=3).collect()}
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(vectors, path, n_centroids=8)
+    out = ivf_topk_indexed(spark, path, queries, k=5, n_probe=3)
+    indexed = {(r.query_id, r.neighbor_id, r.rk) for r in out.collect()}
+    assert indexed == inline
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf_lines = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf_lines and all("cell" in line for line in pf_lines), plan
+
+
 def test_embedding_near_dup_exact_and_lsh(spark, vectors):
     from rt_bigdata_spark.operators.dedup import embedding_near_dup_lsh, embedding_near_dup_pairs
 

@@ -222,6 +222,56 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline, one plan: language-ID
+    filter (en) → quality thresholds (≥20 tokens, stopword ratio ≥2%)
+    → exact dedup keeping the lowest doc_id per md5(text).
+
+    The realistic 100 TB curation job shape: all scoring stages fuse
+    into the single document scan (map-side, no shuffle); the only
+    exchange is the final dedup groupBy on the md5 key, and the keep-
+    lowest-id choice is a `min(struct(...))` hash aggregation — partial
+    per scan task (each task emits one candidate per sig), NOT a
+    row_number window, which would sort every partition. Filters run
+    before the shuffle, so only surviving docs are exchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(language_id(docs))
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.02)
+    )
+    best = F.min(
+        F.struct("doc_id", "n_tokens", F.round("stopword_ratio", 6).alias("stopword_ratio"))
+    ).alias("k")
+    return (
+        kept.withColumn("sig", F.md5("text"))
+        .groupBy("sig")
+        .agg(best)
+        .select("sig", F.col("k.doc_id").alias("doc_id"), F.col("k.n_tokens").alias("n_tokens"), F.col("k.stopword_ratio").alias("stopword_ratio"))
+    )
+
+
+_ORACLE_CURATION = f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
+f AS (
+  SELECT doc_id, text,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t) AS swr,
+         len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS h_en,
+         len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS h_fr,
+         len(list_filter(t, x -> x IN ('el','la','los','de','y'))) AS h_es,
+         len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS h_de,
+         len(list_filter(t, x -> x IN ('的','是','在','了','和'))) AS h_zh
+  FROM toks
+)
+SELECT md5(text) AS sig, doc_id, n_tokens, ROUND(swr, 6) AS stopword_ratio
+FROM f
+WHERE h_en > 0 AND h_en = greatest(h_en, h_fr, h_es, h_de, h_zh)
+  AND n_tokens >= 20 AND swr >= 0.02
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on real data: documents' bytes as opaque
     media content → mapInPandas feature extraction (Arrow-batched; the
@@ -250,5 +300,6 @@ for spec in [
     QuerySpec("embedding_dedup", q_embedding_dedup, _ORACLE_EMB_DEDUP, ("dedup",)),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, None, ("dedup", "approx"), bench=True),
     QuerySpec("media_features", q_media_features, None, ("multimodal",)),
+    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
 ]:
     register(spec)

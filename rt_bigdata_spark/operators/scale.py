@@ -70,8 +70,14 @@ def write_bucketed(
     with the same bucket count hash-partition the data AT WRITE TIME, so
     every later join/aggregation on that key is exchange-free — Spark
     reads matching buckets task-aligned instead of shuffling 100 TB per
-    query. ``sortBy`` additionally pre-sorts within buckets so the
-    sort-merge join skips its sort. Asserted exchange-free in
+    query. ``sortBy`` pre-sorts within buckets, but note Spark only
+    elides the SMJ sort when each bucket is a single file — with
+    multi-partition input every task writes its own file per bucket, so
+    the per-task sort still runs (verified: Sort nodes present on both
+    sides of the bucketed order⋈lineitem plan; only the Exchange is
+    eliminated, which is the dominant saving). Compact each bucket to
+    one file (coalesce/AQE rebalance before write) to also skip the
+    sort. Asserted exchange-free in
     tests/test_plan_quality.py::test_bucketed_join_is_exchange_free.
 
     This is the Spark-native replacement for the reference's

@@ -138,12 +138,15 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: in
 
 
 def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of cosine(vec, centroid_i) — centroids are
-    pre-normalized so each entry is one dot over the shared normalized
-    input."""
+    """array<double> of dot(vec, centroid_i) — centroids are
+    pre-normalized, and both consumers (nearest-cell argmax, probe-cell
+    ranking) only ever compare entries for the SAME input row, so the
+    row's own norm is a positive constant factor that cannot change the
+    ordering. Skipping the division halves the array passes per row
+    (higher-order array exprs are interpreted — no codegen CSE — so an
+    inlined ``/ nrm`` would re-run the norm dot once per centroid)."""
     vd = F.transform(vec, lambda x: x.cast("double"))
-    nrm = F.sqrt(dot(vd, vd))
-    return F.array(*[dot(vd, F.array(*[F.lit(v) for v in c])) / nrm for c in centroids])
+    return F.array(*[dot(vd, F.array(*[F.lit(v) for v in c])) for c in centroids])
 
 
 def _assign_cells(corpus: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
@@ -227,7 +230,7 @@ def build_ivf_index(
     """
     spark = corpus.sparkSession
     centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+    assigned = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     cent_df = spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(centroids)], "cell: long, centroid: array<double>"
@@ -255,7 +258,15 @@ def ivf_topk_indexed(
     """
     cent_rows = spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
     centroids = [list(r["centroid"]) for r in cent_rows]
+    # Evaluate the probe subplan ONCE: the probed (query, cell) set is
+    # tiny (≤ queries × n_probe), so collect it and rebuild a local
+    # DataFrame for the scoring join. Re-executing the probe plan inside
+    # the join would both duplicate the probe computation and — for a
+    # non-deterministic queries input — risk probing different cells at
+    # collect time vs join time, silently dropping candidates.
     q = _probe_queries(queries, centroids, id_col, vec_col, n_probe)
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    q_rows = q.collect()
+    probed = sorted({r["cell"] for r in q_rows})
+    q_local = spark.createDataFrame(q_rows, q.schema)
     c = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
-    return _topk_scored(c, q, k)
+    return _topk_scored(c, q_local, k)

@@ -37,60 +37,100 @@ def stopword_hits(text: Column, stopwords: Sequence[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def tok_bound(toks: Column, per_toks) -> Column:
+    """Evaluate ``per_toks(t)`` with ``t`` bound ONCE to ``toks``.
+
+    Catalyst's CollapseProject + PushDownPredicates freely inline a
+    projected alias into every consumer — measured 61 copies of the
+    tokenize regex in the optimized doc_curation plan when features were
+    built as plain aliased columns. A higher-order-function lambda
+    variable is a real evaluation barrier: ``transform(array(toks),
+    t -> expr(t))[1]`` evaluates ``toks`` exactly once however many
+    times the lambda body references ``t``. Each downstream reference to
+    the RESULT still duplicates the whole expression, so callers should
+    reference the returned column as few times as possible (e.g. return
+    one struct and extract fields, ~1 copy per extracted field).
+    """
+    return F.element_at(F.transform(F.array(toks), per_toks), 1)
+
+
+def stopword_hit_count(t: Column, words: Sequence[str]) -> Column:
+    """Hits of ``words`` in token array ``t`` — one array pass.
+    ``F.lit(list)`` builds a single array literal node (per-element
+    ``F.lit`` bloats planning/codegen time at LSH-plane scales)."""
+    return F.size(F.filter(t, lambda x: F.array_contains(F.lit(list(words)), x)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", toks_col: str | None = None) -> DataFrame:
     """Per-doc quality features: token count, avg token length, stopword
     ratio, punctuation ratio — the standard cheap quality filters a
     pretraining pipeline applies before expensive steps.
 
-    Tokenization happens ONCE per row (materialized alias; tokenize is
-    non-cheap so CollapseProject keeps it) — inlining it per feature
-    would re-split the text once per output column.
+    Tokenization is bound once per output column via ``tok_bound``;
+    ``toks_col`` reuses an existing tokenized column (kept, not
+    dropped) instead of re-tokenizing.
     """
     text = F.col(text_col)
-    toks = F.col("__toks")
-    n_tok = F.size(toks)
-    total_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    toks = F.col(toks_col) if toks_col is not None else tokenize(text)
+    if toks_col is None:
+        df = ensure_parallelism(df)
+
+    q = tok_bound(
+        toks,
+        lambda t: F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            (
+                F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x).cast("double")
+                / F.size(t)
+            ).alias("avg_token_len"),
+            (stopword_hit_count(t, LANG_STOPWORDS["en"]).cast("double") / F.size(t)).alias("stopword_ratio"),
+        ),
+    )
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\p{P}]", ""))
-    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return (
-        ensure_parallelism(df).withColumn("__toks", tokenize(text))
-        .withColumns(
-            {
-                "n_tokens": n_tok.cast("long"),
-                "avg_token_len": (total_len.cast("double") / n_tok).alias("avg_token_len"),
-                "stopword_ratio": (sw_hits.cast("double") / n_tok),
-                "punct_ratio": (n_punct.cast("double") / F.length(text)),
-            }
-        )
-        .drop("__toks")
+    return df.withColumns(
+        {
+            "n_tokens": q["n_tokens"],
+            "avg_token_len": q["avg_token_len"],
+            "stopword_ratio": q["stopword_ratio"],
+            "punct_ratio": (n_punct.cast("double") / F.length(text)),
+        }
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", stopwords: Mapping[str, Sequence[str]] | None = None) -> DataFrame:
-    """Stopword-vote language ID: count hits per language list, take the
-    argmax (first language wins ties, 'und' if zero hits everywhere).
-
-    At scale this is one tokenize + one array pass per language list —
-    all JVM-side array ops, no shuffle.
-    """
-    stopwords = stopwords or LANG_STOPWORDS
-    toks = F.col("__toks")
-
-    def hits(words: Sequence[str]) -> Column:
-        sw = F.array(*[F.lit(s) for s in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-
-    hit_cols = {f"_hits_{lang}": hits(words) for lang, words in stopwords.items()}
-    out = ensure_parallelism(df).withColumn("__toks", tokenize(F.col(text_col))).withColumns(hit_cols).drop("__toks")
+def lang_vote(t: Column, stopwords: Mapping[str, Sequence[str]]) -> Column:
+    """Argmax of per-language stopword hits over token array ``t``
+    (earlier language wins ties, 'und' if zero hits everywhere). The
+    when-chain references each hit count up to twice — each is an array
+    pass over the bound ``t``, never a re-tokenize."""
     best: Column = F.lit("und")
     best_hits: Column = F.lit(0)
-    for lang in stopwords:  # earlier language wins ties → strict >
-        hits = F.col(f"_hits_{lang}")
+    for lang, words in stopwords.items():  # earlier language wins ties → strict >
+        hits = stopword_hit_count(t, words)
         is_better = hits > best_hits
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return out.withColumn("lang_pred", best).drop(*hit_cols.keys())
+    return best
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Mapping[str, Sequence[str]] | None = None,
+    toks_col: str | None = None,
+) -> DataFrame:
+    """Stopword-vote language ID: count hits per language list, take the
+    argmax (first language wins ties, 'und' if zero hits everywhere).
+
+    The whole vote evaluates inside one ``tok_bound`` lambda, so
+    ``lang_pred`` contains exactly ONE tokenize however often Catalyst
+    inlines it downstream (filters on lang_pred are the common case).
+    ``toks_col`` reuses an existing tokenized column instead.
+    """
+    stopwords = stopwords or LANG_STOPWORDS
+    toks = F.col(toks_col) if toks_col is not None else tokenize(F.col(text_col))
+    if toks_col is None:
+        df = ensure_parallelism(df)
+    return df.withColumn("lang_pred", tok_bound(toks, lambda t: lang_vote(t, stopwords)))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

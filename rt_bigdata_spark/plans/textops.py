@@ -234,14 +234,30 @@ def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per scan task (each task emits one candidate per sig), NOT a
     row_number window, which would sort every partition. Filters run
     before the shuffle, so only surviving docs are exchanged.
+
+    tokenize (lower + regex split + filter over the full text) is the
+    dominant per-row kernel, so the whole score-and-keep decision is
+    fused into ONE ``tok_bound`` lambda (see text_analysis.tok_bound):
+    naive operator composition left 61 inlined copies of the tokenize
+    regex in the optimized plan (CollapseProject + filter pushdown);
+    the fused form has 2 (one for the keep filter, one for the kept
+    features), measured ~25% faster end-to-end at sf0.1.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    scored = quality_features(language_id(docs))
-    kept = scored.filter(
-        (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.02)
-    )
+    from rt_bigdata_spark.functions.text_fns import tokenize
+    from rt_bigdata_spark.operators.scale import ensure_parallelism
+    from rt_bigdata_spark.operators.text_analysis import LANG_STOPWORDS, lang_vote, stopword_hit_count, tok_bound
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def per_doc(t):
+        n = F.size(t)
+        swr = stopword_hit_count(t, LANG_STOPWORDS["en"]).cast("double") / n
+        keep = (lang_vote(t, LANG_STOPWORDS) == F.lit("en")) & (n >= 20) & (swr >= 0.02)
+        return F.struct(n.cast("long").alias("n_tokens"), F.round(swr, 6).alias("swr"), keep.alias("keep"))
+
+    kept = docs.withColumn("r", tok_bound(tokenize(F.col("text")), per_doc)).filter(F.col("r.keep"))
     best = F.min(
-        F.struct("doc_id", "n_tokens", F.round("stopword_ratio", 6).alias("stopword_ratio"))
+        F.struct("doc_id", F.col("r.n_tokens").alias("n_tokens"), F.col("r.swr").alias("stopword_ratio"))
     ).alias("k")
     return (
         kept.withColumn("sig", F.md5("text"))

@@ -81,8 +81,15 @@ def main() -> None:
     if not args.skip_build:
         build(spark, args.src, args.out, args.factor)
 
+    specs = [s for s in REGISTRY.values() if s.bench]
+    # Warmup: run the first spec once untimed so JVM/codegen/session
+    # startup doesn't land in the first timed query — without this the
+    # 1× run (no build() pre-warming the session) absorbs several
+    # seconds of startup that the N× runs don't, corrupting ratios.
+    specs[0].spark(spark, args.out).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
-    for spec in [s for s in REGISTRY.values() if s.bench]:
+    for spec in specs:
         t0 = time.perf_counter()
         spec.spark(spark, args.out).write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.perf_counter() - t0, 3)

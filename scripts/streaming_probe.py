@@ -48,8 +48,13 @@ PAGES = ["home", "good_list", "detail", "cart", "pay"]
 
 def gen_events(spark, n: int, n_mids: int, files: int, path: str) -> None:
     """Deterministic synthetic page log: ~n/n_mids events per mid,
-    mix of entry events (last_page_id null) and follow-ups, ts spread
-    over n*20 ms so bounce timeouts and UV day boundaries both occur."""
+    mix of entry events (last_page_id null) and follow-ups. The ts
+    step is sized so the stream spans ~1.5 days regardless of n: the
+    per-mid gap always exceeds the 10 s bounce timeout, AND the UV
+    day boundary + 1-day TTL eviction actually fire (with a fixed
+    20 ms step a 200k-event stream spans only ~67 minutes and the TTL
+    machinery is armed but never exercised)."""
+    step_ms = max(20, int(1.5 * 86_400_000 / n))
     df = (
         spark.range(n)
         .select(
@@ -59,7 +64,7 @@ def gen_events(spark, n: int, n_mids: int, files: int, path: str) -> None:
             ),
             F.when(F.col("id") % 3 == 0, F.lit(None).cast("string")).otherwise(F.lit("home")).alias("last_page_id"),
             F.when(F.col("id") % 7 == 0, F.lit("1")).otherwise(F.lit("0")).alias("is_new"),
-            (F.lit(1_600_000_000_000) + F.col("id") * 20).alias("ts"),
+            (F.lit(1_600_000_000_000) + F.col("id") * step_ms).alias("ts"),
         )
     )
     df.repartition(files).write.mode("overwrite").parquet(path)
@@ -105,8 +110,13 @@ def main() -> None:
         "bounce_detection": (detect_bounces, True),
     }
     results: dict[str, dict[str, float]] = {}
-    # warmup: absorb session/Arrow/python-worker startup on a small run
-    run_stream(spark, in_dir, correct_is_new, False)
+    # warmup: absorb session/Arrow/python-worker startup on a genuinely
+    # small separate input (replaying the full stream would double the
+    # first operator's cost at large --events for no extra benefit)
+    warm_dir = tempfile.mkdtemp(prefix="probe_warm_")
+    gen_events(spark, 2_000, 200, 2, warm_dir)
+    run_stream(spark, warm_dir, correct_is_new, False)
+    shutil.rmtree(warm_dir, ignore_errors=True)
     for name, (op, wm) in ops.items():
         sec = run_stream(spark, in_dir, op, wm)
         results[name] = {"sec": round(sec, 3), "eps": round(args.events / sec)}

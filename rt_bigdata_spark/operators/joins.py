@@ -73,3 +73,78 @@ def enrich_dims(
     for dim, on in dims:
         out = out.join(F.broadcast(dim), on, how)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: enrich each left row with the single temporally
+    nearest right row per key — ``backward`` takes the latest right row
+    with ``right_ts <= left_ts``, ``forward`` the earliest with
+    ``right_ts >= left_ts`` (pandas ``merge_asof`` semantics, left-join:
+    unmatched left rows keep nulls). The canonical time-series
+    enrichment the reference lacks (its interval join, OrderWideAp
+    .scala:133, matches ALL rows in a window, not the nearest one).
+
+    Scale design — union + one window, NOT a range join: a range
+    predicate join explodes to O(left × right-per-key) candidate pairs
+    before picking the nearest; here both sides union (plan-level, no
+    materialization) and a single hash-partition-by-key + sort orders
+    each key's timeline, so cost is one shuffle of left+right and a
+    per-key sort, independent of time-window density. The right row
+    rides as ONE struct column filled with ``last(ignorenulls)`` —
+    per-column fills would be wrong when a right payload column is
+    legitimately NULL (they would look past the nearest row).
+
+    Ties: a right row at exactly ``left_ts`` matches in both
+    directions; among right rows sharing (key, ts) the one with the
+    highest ``right_tiebreak`` wins (pass one for deterministic
+    output — required for oracle hash-comparison).
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    key, t, side, rstruct, filled = "_asof_key", "_asof_t", "_asof_side", "_asof_r", "_asof_last"
+    lt = left.withColumn(key, F.col(left_on)).withColumn(t, F.col(left_ts)).withColumn(side, F.lit(1))
+    rt = right.select(
+        F.col(right_on).alias(key),
+        F.col(right_ts).alias(t),
+        F.lit(0).alias(side),
+        F.struct(F.col(right_ts).alias("_rt"), *[F.col(c) for c in right_payload]).alias(rstruct),
+    )
+    u = lt.withColumn(rstruct, F.lit(None).cast(rt.schema[rstruct].dataType)).unionByName(
+        rt, allowMissingColumns=True
+    )
+
+    t_order = F.col(t).asc() if direction == "backward" else F.col(t).desc()
+    # side asc puts right rows before left at equal ts (so an exact-ts
+    # right row matches); among right rows at equal (key, ts) the
+    # tiebreak sorts the highest LAST so last() picks it (left rows
+    # have a null tiebreak, but side already ordered them apart).
+    order = [t_order, F.col(side).asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(rstruct)[right_tiebreak].asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn(filled, F.last(rstruct, ignorenulls=True).over(w)).filter(F.col(side) == 1)
+
+    matched = F.col(filled).isNotNull()
+    if tolerance_seconds is not None:
+        gap = F.abs(F.unix_timestamp(F.col(t)) - F.unix_timestamp(F.col(filled)["_rt"]))
+        matched = matched & (gap <= tolerance_seconds)
+    payload_cols = {c: F.when(matched, F.col(filled)[c]) for c in right_payload}
+    return out.withColumns(payload_cols).drop(key, t, side, rstruct, filled)

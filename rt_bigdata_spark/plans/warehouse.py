@@ -22,7 +22,7 @@ from rt_bigdata_spark.operators.aggregations import (
     sliding_window_agg,
     tumbling_window_agg,
 )
-from rt_bigdata_spark.operators.joins import enrich_dims, interval_join
+from rt_bigdata_spark.operators.joins import asof_join, enrich_dims, interval_join
 from rt_bigdata_spark.operators.routing import route_by_config, union_all
 from rt_bigdata_spark.plans.registry import QuerySpec, register
 from rt_bigdata_spark.sources.tables import load_table
@@ -1085,6 +1085,66 @@ SELECT c_custkey, 'inactive' AS status FROM customer WHERE c_custkey NOT IN (SEL
 """
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution shape): each purchase event enriched
+    with the same user's most recent click at-or-before purchase time
+    (left join; un-attributed purchases keep nulls). A custom operator
+    the reference cannot express — its interval join
+    (OrderWideAp.scala:133) matches every row in a fixed window, not
+    the single nearest — implemented as union + one per-key window
+    (see joins.asof_join for the scale rationale: one shuffle, no
+    range-join pair explosion).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="c_user",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_ts", "click_id", "click_value"],
+        right_tiebreak="click_id",
+    )
+    # un-attributed purchases → sentinels, not NULLs: the driver's
+    # hash-compare contract is simplest over non-null cells, and the
+    # sentinel choice is mirrored exactly in the oracle SQL
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.coalesce("click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("click_ts"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+    )
+
+
+# DuckDB's ASOF JOIN leaves same-timestamp duplicates unspecified, so the
+# oracle pre-dedups the right side to the max click_id per (user, ts) —
+# the same choice asof_join's right_tiebreak makes.
+_ORACLE_ASOF = """
+WITH c AS (
+  SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       COALESCE(c.click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+       COALESCE(c.click_id, -1) AS click_id,
+       COALESCE(c.click_value, -1.0) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND c.click_ts <= p.ts
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -1113,5 +1173,6 @@ for spec in [
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
+    QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
 ]:
     register(spec)

@@ -20,7 +20,17 @@ ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
 
 
 def _norm(v):
-    """Normalize a cell so Spark and DuckDB values compare equal."""
+    """Normalize a cell so Spark and DuckDB values compare equal.
+    Every value is wrapped in a tagged tuple so heterogeneous columns
+    (and NULLs) sort without TypeError."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, str):
+        return ("s", v)
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
@@ -31,7 +41,7 @@ def _norm(v):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
-    return v
+    return ("o", repr(v))
 
 
 def _rowset(cols, rows):

@@ -126,8 +126,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.1)
 
 
-_ORACLE_JACCARD = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+# Shared CTE block: shingle → pair → Jaccard ≥ 0.1 (reused by the
+# cluster oracle below, which needs the same pair set as its edges).
+_JACCARD_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sh AS (
   SELECT doc_id,
          UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
@@ -139,14 +140,17 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.1
-"""
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.1
+)"""
+
+_ORACLE_JACCARD = f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +292,62 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the post-processing step every dedup
+    pipeline needs after pair discovery — transitively connect the
+    Jaccard ≥ 0.1 pairs and label each doc with its component's
+    smallest doc_id (the canonical keeper). Iterative min-label
+    propagation (operators/graph.py); the oracle is a DuckDB recursive
+    CTE over the same pair set, making this one of the few iterative
+    Spark workloads with an exact SQL cross-check.
+    """
+    from rt_bigdata_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return (
+        connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+    )
+
+
+_ORACLE_CLUSTERS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs UNION SELECT doc_b, doc_a FROM jpairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node
+"""
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/valid/test split (80/10/10) keyed on
+    md5(text): byte-identical docs land in the same split even before
+    dedup runs. Pure map-side expression (operators/sampling.py); the
+    oracle inlines the same hex boundaries (0.8·16⁴ = 0xcccc,
+    0.9·16⁴ = 0xe666)."""
+    from rt_bigdata_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "text", [("train", 0.8), ("valid", 0.1), ("test", 0.1)]).select(
+        "doc_id", "split"
+    )
+
+
+_ORACLE_SPLIT_DOCS = """
+SELECT doc_id,
+       CASE WHEN substring(md5(text), 1, 4) < 'cccc' THEN 'train'
+            WHEN substring(md5(text), 1, 4) < 'e666' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on real data: documents' bytes as opaque
     media content → mapInPandas feature extraction (Arrow-batched; the
@@ -317,5 +377,7 @@ for spec in [
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, None, ("dedup", "approx"), bench=True),
     QuerySpec("media_features", q_media_features, None, ("multimodal",)),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
+    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative")),
+    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),
 ]:
     register(spec)

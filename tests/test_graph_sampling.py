@@ -1,0 +1,72 @@
+"""connected_components (chains, multiple components, singletons,
+determinism) and hash_split (ratio accuracy, leakage-proofness,
+engine-portability of the boundary compare)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from rt_bigdata_spark.operators.graph import connected_components
+from rt_bigdata_spark.operators.sampling import hash_split, split_boundaries
+
+
+def _cc(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges = spark.createDataFrame(edge_pairs or [(None, None)], "src long, dst long")
+    if not edge_pairs:
+        edges = edges.filter(F.lit(False))
+    out = connected_components(nodes, edges, **kw)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: multi-hop propagation, needs >1 iteration
+    got = _cc(spark, [1, 2, 3, 4, 5], [(2, 1), (2, 3), (4, 3), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_singleton(spark):
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [7, 8], [])
+    assert got == {7: 7, 8: 8}
+
+
+def test_hash_split_ratios_and_determinism(spark):
+    n = 4000
+    df = spark.createDataFrame([(i, f"doc number {i}") for i in range(n)], "id long, text string")
+    splits = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    out = hash_split(df, "text", splits)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts.get("valid", 0) / n - 0.1) < 0.02
+    assert abs(counts.get("test", 0) / n - 0.1) < 0.02
+    # re-running yields identical assignment (no rand())
+    again = {r["id"]: r["split"] for r in hash_split(df, "text", splits).collect()}
+    first = {r["id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_hash_split_is_leakage_proof_on_content(spark):
+    # identical text, different ids → same split always
+    df = spark.createDataFrame([(1, "same content"), (2, "same content")], "id long, text string")
+    got = {r["id"]: r["split"] for r in hash_split(df, "text", [("a", 0.5), ("b", 0.5)]).collect()}
+    assert got[1] == got[2]
+
+
+def test_hash_split_matches_python_md5_reference(spark):
+    # the boundary compare must agree with an independent md5 computation
+    rows = [(i, f"text-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    splits = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    got = {r["id"]: r["split"] for r in hash_split(df, "text", splits).collect()}
+    bounds = split_boundaries(splits)
+    for i, text in rows:
+        prefix = hashlib.md5(text.encode()).hexdigest()[:4]
+        expect = next((name for name, b in bounds if prefix < b), splits[-1][0])
+        assert got[i] == expect, (i, prefix)

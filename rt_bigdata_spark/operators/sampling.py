@@ -35,6 +35,49 @@ def split_boundaries(splits: Sequence[tuple[str, float]], hex_chars: int = 4) ->
     return bounds
 
 
+def rate_boundary(rate: float, hex_chars: int = 4) -> str | None:
+    """Upper hex boundary for a keep-rate in [0, 1); None means keep
+    everything (a rate ≥ 1 has no 4-hex-char boundary — '10000' would
+    compare LOWER than 'ffff' lexicographically, so it must not be
+    emitted as a string bound)."""
+    if rate >= 1.0:
+        return None
+    return format(max(int(rate * 16**hex_chars), 0), f"0{hex_chars}x")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str | Column,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Per-group deterministic downsampling (data mixing): keep a row
+    iff the md5-prefix of its key falls under the group's rate
+    boundary. The mixing step of a training-data pipeline — e.g. keep
+    all of a high-quality source, 10%% of a noisy crawl — as one
+    map-side filter: reproducible (content-keyed, no rand()), stable
+    under re-runs and engine changes, zero shuffle, and composable
+    with hash_split (different hash positions would be needed for
+    independence; same position keeps subsets nested, which is what
+    you want when raising a source's rate later).
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    prefix = F.substring(F.md5(key), 1, hex_chars)
+
+    def keep_cond(rate: float) -> Column:
+        b = rate_boundary(rate, hex_chars)
+        return F.lit(True) if b is None else (prefix < F.lit(b))
+
+    chain: Column | None = None
+    for g, r in rates.items():
+        cond = keep_cond(r)
+        chain = F.when(F.col(group_col) == g, cond) if chain is None else chain.when(F.col(group_col) == g, cond)
+    keep = keep_cond(default_rate) if chain is None else chain.otherwise(keep_cond(default_rate))
+    return df.filter(keep)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str | Column,

@@ -348,6 +348,68 @@ FROM documents
 """
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profiling: doc counts, char volume, exact p50/
+    p95 length percentiles, language spread — the dashboard numbers a
+    curation run starts from. Exact ``percentile`` holds O(group) state
+    (it materializes each group's values), which is fine for tens of
+    sources; at 100 TB swap in ``percentile_approx`` (Greenwald-Khanna
+    sketch, bounded state, mergeable map-side) — same call shape, ~1%
+    error. Exact is used here because it hash-matches the DuckDB
+    ``quantile_cont`` oracle bit-for-bit (verified: identical linear
+    interpolation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+_ORACLE_PROFILE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+# Data-mixing rates: keep all of src0, halve src1, quarter src2, 10% of
+# src3, default 75% elsewhere. The oracle CASE is generated from the
+# SAME dict + boundary function, so Spark and SQL can never drift.
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.75
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling (data mixing): one
+    map-side md5-threshold filter, content-keyed so re-runs and rate
+    raises produce nested subsets (see operators/sampling.py)."""
+    from rt_bigdata_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "text", "source", _MIX_RATES, _MIX_DEFAULT).select("doc_id", "source")
+
+
+def _mix_oracle() -> str:
+    from rt_bigdata_spark.operators.sampling import rate_boundary
+
+    def cond(rate: float) -> str:
+        b = rate_boundary(rate)
+        return "true" if b is None else f"substring(md5(text), 1, 4) < '{b}'"
+
+    whens = " ".join(f"WHEN source = '{g}' THEN {cond(r)}" for g, r in _MIX_RATES.items())
+    return f"SELECT doc_id, source FROM documents WHERE CASE {whens} ELSE {cond(_MIX_DEFAULT)} END"
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on real data: documents' bytes as opaque
     media content → mapInPandas feature extraction (Arrow-batched; the
@@ -379,5 +441,7 @@ for spec in [
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative")),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),
+    QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
+    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",)),
 ]:
     register(spec)

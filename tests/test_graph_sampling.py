@@ -70,3 +70,30 @@ def test_hash_split_matches_python_md5_reference(spark):
         prefix = hashlib.md5(text.encode()).hexdigest()[:4]
         expect = next((name for name, b in bounds if prefix < b), splits[-1][0])
         assert got[i] == expect, (i, prefix)
+
+
+def test_weighted_sample_rates_and_nesting(spark):
+    from rt_bigdata_spark.operators.sampling import weighted_sample
+
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "a" if i % 3 == 0 else "b") for i in range(n)], "id long, text string, grp string"
+    )
+    kept_half = weighted_sample(df, "text", "grp", {"a": 0.5}, default_rate=1.0)
+    counts = {r["grp"]: r["count"] for r in kept_half.groupBy("grp").count().collect()}
+    n_a = n // 3 + (1 if n % 3 else 0)
+    assert abs(counts["a"] / n_a - 0.5) < 0.06
+    assert counts["b"] == n - n_a  # default 1.0 keeps everything
+
+    # raising the rate must yield a SUPERSET (nested subsets property)
+    kept_quarter = {r["id"] for r in weighted_sample(df, "text", "grp", {"a": 0.25}, 1.0).collect()}
+    kept_half_ids = {r["id"] for r in kept_half.collect()}
+    assert kept_quarter <= kept_half_ids
+
+
+def test_weighted_sample_rate_one_keeps_all_rate_zero_drops_all(spark):
+    from rt_bigdata_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, f"t{i}", "g") for i in range(100)], "id long, text string, grp string")
+    assert weighted_sample(df, "text", "grp", {"g": 1.0}).count() == 100
+    assert weighted_sample(df, "text", "grp", {"g": 0.0}).count() == 0

@@ -1145,6 +1145,40 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND c.click_ts <= p.ts
 """
 
 
+def q_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history from a change stream: events as a
+    per-user profile-change feed → version rows with [valid_from,
+    valid_to) intervals and an is_current flag. Upgrades the
+    reference's last-write-wins dim upserts (DimSink.scala:15-58) to
+    history-preserving versions; see operators/scd.py for the
+    one-shuffle-one-sort plan shape.
+    """
+    from rt_bigdata_spark.operators.scd import scd2_from_changes
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return scd2_from_changes(
+        ev, keys=["user_id"], ts_col="ts", tiebreak="event_id", attr_cols=["event_type", "value"]
+    )
+
+
+_ORACLE_SCD2 = """
+WITH last_writer AS (
+  SELECT user_id, ts, event_type, value
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+v AS (
+  SELECT user_id, event_type, value, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM last_writer
+)
+SELECT user_id, event_type, value, valid_from,
+       COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -1174,5 +1208,6 @@ for spec in [
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
+    QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn")),
 ]:
     register(spec)

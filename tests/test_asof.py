@@ -107,3 +107,50 @@ def test_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # union + one window: no Join node at all in the plan
     assert "Join" not in plan
+
+
+# --- property check against pandas.merge_asof (independent oracle) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=100_000),  # ts seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=_EVENTS, right=_EVENTS)
+def test_asof_backward_matches_pandas_merge_asof(spark, left, right):
+    import pandas as pd
+
+    def ts(s):
+        return datetime.fromtimestamp(s + 1_600_000_000)
+
+    # unique (key, ts) per side: merge_asof's duplicate-ts pick is
+    # positional, asof_join's is tiebreak-based — dedup to compare the
+    # well-defined core semantics
+    lrows = sorted({(k, t) for k, t in left})
+    rrows = sorted({(k, t) for k, t in right})
+    ldf = spark.createDataFrame([(k, ts(t), f"L{k}-{t}") for k, t in lrows], "k long, lt timestamp, tag string")
+    rdf = spark.createDataFrame(
+        [(k, ts(t), f"R{k}-{t}", t) for k, t in rrows], "rk long, rt timestamp, v string, pri long"
+    )
+    got = {
+        (r["k"], r["tag"]): r["v"]
+        for r in asof_join(
+            ldf, rdf, "k", "rk", "lt", "rt", right_payload=["v", "pri"], right_tiebreak="pri"
+        ).collect()
+    }
+
+    lp = pd.DataFrame([(k, ts(t), f"L{k}-{t}") for k, t in lrows], columns=["k", "lt", "tag"]).sort_values("lt")
+    rp = pd.DataFrame([(k, ts(t), f"R{k}-{t}") for k, t in rrows], columns=["k", "rt", "v"]).sort_values("rt")
+    merged = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k", direction="backward")
+    expect = {
+        (row.k, row.tag): (row.v if isinstance(row.v, str) else None) for row in merged.itertuples()
+    }
+    assert got == expect

@@ -107,3 +107,30 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     assert stream_rows == {(1, 10, "paid"), (2, 20, "paid")}
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """J3 streaming path: the SAME enrich_dims broadcast join runs on a
+    streaming fact against a static dim (the reference's async Phoenix
+    lookup + Redis cache, collapsed into a stream-static join)."""
+    from rt_bigdata_spark.operators.joins import enrich_dims
+
+    odir = tmp_path / "orders"
+    odir.mkdir()
+    _write(str(odir), "o.json", ORDERS)
+
+    dim = spark.createDataFrame(
+        [("paid", "Paid Order"), ("cart", "In Cart")], "status string, status_name string"
+    )
+    stream = spark.readStream.schema(ORDER_SCHEMA).json(str(odir))
+    enriched = enrich_dims(stream, [(dim, ["status"])])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("dim_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["order_id"], r["status_name"]) for r in spark.table("dim_stream").collect()}
+    assert got == {(1, "Paid Order"), (2, "Paid Order"), (3, "In Cart")}

@@ -34,12 +34,19 @@ def main() -> None:
     warm = REGISTRY["pricing_summary"].spark(spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
 
+    # SPARK_GRAFT_BENCH_REPS > 1 takes the per-query MIN across reps —
+    # the noise floor, robust to container load spikes (±2x drift was
+    # observed on single runs). Default 1 keeps the driver contract
+    # cheap and unchanged.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
-    for spec in bench_specs:
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+    for _ in range(reps):
+        for spec in bench_specs:
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[spec.name] = min(timings.get(spec.name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     print(

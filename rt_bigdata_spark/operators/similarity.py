@@ -137,6 +137,40 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: in
     return [norm([float(x) for x in r[vec_col]]) for r in cent_rows]
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """K-means centroid training for the IVF index via ``pyspark.ml``
+    (distributed Lloyd's iterations, k-means|| init — the real index
+    build for skewed corpora, where the first-n seeding of
+    ``_ivf_centroids`` would put all centroids inside one dense
+    region). Returns plain L2-normalized python lists, drop-in for the
+    ``centroids`` argument of ``ivf_topk``/``build_ivf_index``.
+
+    Kept out of the oracle-checked query path: k-means results depend
+    on partition layout, so the registry queries stay on the
+    deterministic seeded centroids; cell-pruning mechanics are
+    identical either way.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+
+    def norm(c: list[float]) -> list[float]:
+        s = sum(x * x for x in c) ** 0.5 or 1.0
+        return [x / s for x in c]
+
+    return [norm([float(x) for x in center]) for center in model.clusterCenters()]
+
+
 def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     """array<double> of dot(vec, centroid_i) — centroids are
     pre-normalized, and both consumers (nearest-cell argmax, probe-cell
@@ -192,9 +226,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
     Voronoi cells, probe only the ``n_probe`` nearest cells per query.
+    Pass ``centroids`` (e.g. from ``train_ivf_centroids``) to override
+    the deterministic first-n seeding.
 
     The centroid "model" is tiny (n_centroids × dim doubles), collected
     to the driver exactly like an MLlib model and inlined as literal
@@ -204,7 +241,7 @@ def ivf_topk(
     and probe with ``ivf_topk_indexed`` — the probed scan then
     partition-prunes to ~n_probe/n_centroids of the files.
     """
-    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    centroids = centroids or _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     c = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
     q = _probe_queries(queries, centroids, id_col, vec_col, n_probe)
     return _topk_scored(c, q, k)
@@ -216,6 +253,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF index: corpus written ``partitionBy("cell")``
     so probes become directory-pruned scans, centroids stored under
@@ -229,7 +267,7 @@ def build_ivf_index(
     tests/test_dedup_similarity.py).
     """
     spark = corpus.sparkSession
-    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    centroids = centroids or _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     assigned = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     cent_df = spark.createDataFrame(

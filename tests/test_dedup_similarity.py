@@ -190,3 +190,31 @@ def test_df_cap_drops_stop_shingle_pairs(spark):
     # minhash cap: candidates still found for the rare pair
     lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, threshold=0.1, df_cap=3).collect()}
     assert (3, 4) in lsh
+
+
+def test_kmeans_ivf_centroids_are_valid_and_improve_balance(spark, vectors):
+    from rt_bigdata_spark.operators.similarity import (
+        _assign_cells,
+        ivf_topk,
+        brute_force_topk,
+        train_ivf_centroids,
+    )
+
+    centroids = train_ivf_centroids(vectors, n_centroids=4, seed=42)
+    assert len(centroids) == 4
+    for c in centroids:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-6  # L2-normalized
+
+    # every cell gets assigned; trained-centroid IVF results stay a
+    # subset of brute force (same guarantee as seeded IVF)
+    cells = _assign_cells(vectors, centroids, "vec_id", "embedding")
+    assert cells.select("cell").distinct().count() >= 2
+    queries = vectors.limit(2)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vectors, queries, k=5, n_probe=2, centroids=centroids).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(vectors, queries, k=30).collect()
+    }
+    assert approx <= exact

@@ -1145,6 +1145,67 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND c.click_ts <= p.ts
 """
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): revenue shipped between
+    two nations, either direction, per year. Scale-first join order:
+    the highly selective nation-pair filter lands on the two TINY
+    nation slices, which broadcast into supplier and customer BEFORE
+    either touches a fact table — so the fact⋈fact shuffle only moves
+    rows belonging to the two nations, not the whole lineitem. The
+    ship-date filter pushes into the parquet scan.
+    """
+    a, b = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(a, b))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_ORACLE_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def q_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 dimension history from a change stream: events as a
     per-user profile-change feed → version rows with [valid_from,
@@ -1209,5 +1270,6 @@ for spec in [
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn")),
+    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True),
 ]:
     register(spec)

@@ -348,6 +348,39 @@ FROM documents
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/valid/test split: the split key is the
+    doc's CLUSTER label (smallest doc_id of its transitively-connected
+    near-dup group), so near-duplicate documents can never straddle
+    train and eval — the leakage mode a content-hash split misses
+    (near-dups hash differently). Composition of dup_clusters +
+    hash_split; the hex boundaries are shared with doc_split.
+    """
+    from rt_bigdata_spark.operators.sampling import hash_split
+
+    clusters = q_dup_clusters(spark, sf_dir)
+    return hash_split(
+        clusters, F.col("cluster").cast("string"), [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    ).select("doc_id", "cluster", "split")
+
+
+_ORACLE_CLUSTER_SPLIT = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs UNION SELECT doc_b, doc_a FROM jpairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node)
+SELECT doc_id, cluster,
+       CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profiling: doc counts, char volume, exact p50/
     p95 length percentiles, language spread — the dashboard numbers a
@@ -441,6 +474,7 @@ for spec in [
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative")),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),
+    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",)),
 ]:

@@ -1,0 +1,90 @@
+"""Ingest-shaped dedup: incremental batches against a signature table,
+and the streaming content gate (unbounded + watermark-bounded state)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from rt_bigdata_spark.operators.dedup import incremental_exact_dedup, streaming_exact_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_batches_accumulate(spark):
+    b1 = _docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 dups 1 in-batch
+    kept1, sigs1 = incremental_exact_dedup(b1, None)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2}
+
+    # batch 2: one doc already seen (alpha), one new, one in-batch dup of the new
+    b2 = _docs(spark, [(4, "alpha"), (5, "gamma"), (6, "gamma")])
+    kept2, sigs2 = incremental_exact_dedup(b2, sigs1)
+    assert {r["doc_id"] for r in kept2.collect()} == {5}
+    # sig table now covers all three uniques, keyed to first-keeper ids
+    assert {(r["sig"] is not None, r["doc_id"]) for r in sigs2.collect()} == {(True, 1), (True, 2), (True, 5)}
+
+    # batch 3: everything already seen → nothing kept, sig table stable
+    b3 = _docs(spark, [(7, "alpha"), (8, "beta"), (9, "gamma")])
+    kept3, sigs3 = incremental_exact_dedup(b3, sigs2)
+    assert kept3.count() == 0
+    assert sigs3.count() == 3
+
+
+def _write(dir_, name, rows):
+    p = os.path.join(dir_, name)
+    with open(p + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(p + ".tmp", p)
+    time.sleep(0.05)
+
+
+def test_streaming_dedup_unbounded(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(str(src), "b1.json", [
+        {"doc_id": 1, "text": "alpha", "ts": 1_000},
+        {"doc_id": 2, "text": "alpha", "ts": 2_000},
+        {"doc_id": 3, "text": "beta", "ts": 3_000},
+    ])
+    stream = spark.readStream.schema("doc_id long, text string, ts long").json(str(src))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.table("dedup_stream").collect())
+    assert texts == ["alpha", "beta"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(str(src), "b1.json", [
+        {"doc_id": 1, "text": "alpha", "ts": 1_000},
+        {"doc_id": 2, "text": "alpha", "ts": 2_000},  # dup within horizon → dropped
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts long")
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark_col="eventTime", delay="10 seconds")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in spark.table("dedup_wm").collect()] == [1]

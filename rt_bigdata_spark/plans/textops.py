@@ -443,6 +443,38 @@ def _mix_oracle() -> str:
     return f"SELECT doc_id, source FROM documents WHERE CASE {whens} ELSE {cond(_MIX_DEFAULT)} END"
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile quality gate: keep each source's top half
+    by document length. Percentile thresholds per GROUP (not global)
+    are the standard guard against one verbose source flooding the
+    kept set. percent_rank is rank-based — ties get equal rank in both
+    engines, so the cut is deterministic. One shuffle (partition by
+    source) + per-partition sort; at 100 TB with few sources, compute
+    approx per-source thresholds first and broadcast them instead
+    (percentile_approx + join) to avoid sorting whole sources.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
+    return (
+        docs.withColumn("len_pct", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("len_pct") >= 0.5)
+        .select("doc_id", "source", "n_chars", "len_pct")
+    )
+
+
+_ORACLE_QUALITY_GATE = """
+SELECT doc_id, source, n_chars, ROUND(len_pct, 6) AS len_pct
+FROM (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC) AS len_pct
+  FROM documents
+)
+WHERE ROUND(len_pct, 6) >= 0.5
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on real data: documents' bytes as opaque
     media content → mapInPandas feature extraction (Arrow-batched; the
@@ -476,6 +508,7 @@ for spec in [
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
+    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn")),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",)),
 ]:
     register(spec)

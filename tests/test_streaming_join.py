@@ -134,3 +134,52 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["order_id"], r["status_name"]) for r in spark.table("dim_stream").collect()}
     assert got == {(1, "Paid Order"), (2, "Paid Order"), (3, "In Cart")}
+
+
+def test_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Beyond-reference: the reference chose an INNER interval join
+    because Flink's lacked left-join support (OrderWideAp.scala
+    rationale comment). Spark's watermarked stream-stream LEFT join
+    emits unmatched left rows with nulls once the watermark passes the
+    join horizon — covered here: order 3 has no detail and must still
+    appear after a later batch advances the watermark."""
+    odir, ddir = tmp_path / "orders", tmp_path / "details"
+    odir.mkdir(), ddir.mkdir()
+    _write(str(odir), "o1.json", ORDERS)
+    _write(str(ddir), "d1.json", DETAILS)
+    # second files push event time (and thus the watermark) far past
+    # order 3's join horizon so its unmatched row can be finalized
+    _write(str(odir), "o2.json", [{"order_id": 900, "status": "late", "o_ts": 500_000}])
+    _write(str(ddir), "d2.json", [{"detail_id": 901, "d_order_id": 900, "d_ts": 500_000}])
+
+    o_stream = _with_times(
+        spark.readStream.schema(ORDER_SCHEMA).option("maxFilesPerTrigger", "1").json(str(odir))
+    ).withWatermark("o_time", "5 seconds")
+    d_stream = _with_times(
+        spark.readStream.schema(DETAIL_SCHEMA).option("maxFilesPerTrigger", "1").json(str(ddir))
+    ).withWatermark("d_time", "5 seconds")
+
+    from rt_bigdata_spark.operators.joins import interval_join
+
+    joined = interval_join(
+        o_stream,
+        d_stream,
+        left_key="order_id",
+        right_key="d_order_id",
+        left_ts="o_time",
+        right_ts="d_time",
+        lower_seconds=-5,
+        upper_seconds=5,
+        how="left",
+    ).select("order_id", "detail_id", "status")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("oj_left")
+        .option("checkpointLocation", str(tmp_path / "ckpt_left"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {tuple(r) for r in spark.table("oj_left").collect()}
+    assert (1, 10, "paid") in rows and (2, 20, "paid") in rows
+    assert (3, None, "cart") in rows  # unmatched left row emitted with nulls

@@ -488,6 +488,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing on real data: documents-as-media →
+    per-frame rows at 1 s cadence (decode stubbed; the Spark-side
+    shape — sequence/explode fan-out, byte slicing, schema — is real).
+    Rows-only check: frame bytes are outside DuckDB's vocabulary."""
+    from rt_bigdata_spark.operators.multimodal import documents_as_media, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(documents_as_media(docs))
+
+
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",)),
@@ -503,6 +514,7 @@ for spec in [
     QuerySpec("embedding_dedup", q_embedding_dedup, _ORACLE_EMB_DEDUP, ("dedup",)),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, None, ("dedup", "approx"), bench=True),
     QuerySpec("media_features", q_media_features, None, ("multimodal",)),
+    QuerySpec("media_frames", q_media_frames, None, ("multimodal",)),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative")),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),

@@ -133,6 +133,33 @@ def language_id(
     return df.withColumn("lang_pred", tok_bound(toks, lambda t: lang_vote(t, stopwords)))
 
 
+def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-style quality score: average −ln p(token) per doc
+    under the corpus's own unigram distribution (the cheap stand-in
+    for LM-perplexity filtering in pretraining pipelines — outlier
+    docs score high because their tokens are corpus-rare).
+
+    Two aggregations over the exploded token stream: corpus term
+    frequencies, then per-doc averages of the joined log-probs. At
+    100 TB the frequency table is vocab-sized — prune it with a
+    min-count threshold and broadcast it so the scoring join adds no
+    fact-side shuffle; here it stays a plain shuffle join for exact
+    oracle parity. The grand total rides along via a single-row
+    broadcast cross join (never `collect` into the driver plan).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n"))
+    scored = toks.join(tf, "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("tf") / F.col("n"))), 6).alias("surprisal"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: md5 over the token-normalized text
     (whitespace/punct-insensitive), the cheap exact-dup key."""

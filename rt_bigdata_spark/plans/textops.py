@@ -488,6 +488,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (see text_analysis.
+    unigram_surprisal): average −ln p(token) per doc under corpus
+    unigram stats — corpus-rare content scores high."""
+    from rt_bigdata_spark.operators.scale import ensure_parallelism
+    from rt_bigdata_spark.operators.text_analysis import unigram_surprisal
+
+    return unigram_surprisal(ensure_parallelism(load_table(spark, sf_dir, "documents")))
+
+
+_ORACLE_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents),
+tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT SUM(tf) AS n FROM tf)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-LN(tf / n)), 6) AS surprisal
+FROM toks JOIN tf USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -521,6 +542,7 @@ for spec in [
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn")),
+    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",)),
 ]:
     register(spec)

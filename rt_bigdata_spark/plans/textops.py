@@ -509,6 +509,50 @@ GROUP BY doc_id
 """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf·ln(N/df), ties broken lexicographically. The same exploded-token
+    shape as unigram_surprisal with the document-frequency table in
+    place of term counts; the per-doc top-k is a row_number window over
+    the scored (doc, term) pairs. At 100 TB prune the df table to
+    df ≥ 2 terms and broadcast it; the window partitions by doc_id —
+    maximal key cardinality, no skew possible.
+    """
+    from pyspark.sql import Window
+
+    from rt_bigdata_spark.functions.text_fns import tokenize
+    from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_ORACLE_KEYWORDS = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, tok, ROUND(tf * LN(n_docs / df), 6) AS tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ROUND(tf * LN(n_docs / df), 6) DESC, tok ASC) AS BIGINT) AS rk
+FROM tf JOIN dft USING (tok) CROSS JOIN nd
+QUALIFY rk <= 3
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -543,6 +587,7 @@ for spec in [
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn")),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
+    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn")),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",)),
 ]:
     register(spec)

@@ -1240,6 +1240,75 @@ FROM v
 """
 
 
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count orphan rows per FK edge
+    (lineitem→orders, lineitem→part/supplier, orders→customer,
+    customer→nation). Each check is one anti-join that Catalyst plans
+    as a broadcast anti-join for dim-sized parents and a shuffled one
+    for fact-sized parents; counts aggregate map-side. The pre-load
+    data-quality gate a warehouse runs before trusting joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, edge: str) -> DataFrame:
+        missing = child.join(parent.select(pk), child[ck] == parent[pk], "left_anti")
+        return missing.agg(F.lit(edge).alias("fk_edge"), F.count(F.lit(1)).cast("long").alias("orphans"))
+
+    checks = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", load_table(spark, sf_dir, "part"), "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", load_table(spark, sf_dir, "supplier"), "s_suppkey", "lineitem->supplier"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        orphans(cust, "c_nationkey", load_table(spark, sf_dir, "nation"), "n_nationkey", "customer->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_ORACLE_INTEGRITY = """
+SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS orphans FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part', COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders->customer', COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer->nation', COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type
+    (width_bucket — present in both engines): the profiling primitive
+    for choosing quality-filter thresholds. One partial-aggregated
+    shuffle; bucket count is fixed, so output size is independent of
+    row count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10)).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+
+
+# DuckDB has no width_bucket; the CASE mirrors its semantics exactly
+# (underflow → 0, overflow → num_buckets+1, else 1 + floor-scaled).
+_ORACLE_HISTOGRAM = """
+SELECT event_type,
+       CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 100.0 THEN 11
+                 ELSE 1 + FLOOR((value - 0.0) / ((100.0 - 0.0) / 10)) END AS BIGINT) AS bucket,
+       COUNT(*) AS ct
+FROM events GROUP BY 1, 2
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -1271,5 +1340,7 @@ for spec in [
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn")),
     QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True),
+    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop")),
+    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
 ]:
     register(spec)

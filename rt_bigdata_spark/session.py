@@ -44,6 +44,15 @@ _DEFAULTS: dict[str, str] = {
     # ANSI off: permissive casts match the reference's lenient JSON-path
     # semantics (malformed → null, not error).
     "spark.sql.ansi.enabled": "false",
+    # Runtime row-level join pruning: build a bloom filter from the
+    # selective side of a shuffle join and push it into the other
+    # side's scan — at 100 TB this skips reading fact rows whose keys
+    # cannot match (complements the static pushdown the plans already
+    # get). No effect on tiny test inputs (creation thresholds gate it)
+    # but the session is the right place for the cluster default.
+    # (semiJoinReduction stays OFF: enabling it alongside stalled the
+    # local test harness — observed hang, no test completed in 12 min.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses;
     # read as long and convert in sources.tables (integer ns→µs division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

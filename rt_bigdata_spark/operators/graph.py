@@ -10,12 +10,13 @@ Scale design (100 TB): min-label propagation converges in O(diameter)
 rounds; near-dup graphs have tiny diameters (clusters are cliques-ish),
 so 2-4 rounds dominate in practice. Each round is one join + one
 aggregate, both partitioned by node id — AQE coalesces the tail.
-Intermediates are persisted and the previous round unpersisted so
-lineage (and thus task re-execution scope) stays one round deep; for
-adversarial diameters switch to alternating large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14), which bounds rounds by O(log² n) — the loop structure below
-is unchanged, only the neighbor expansion differs.
+Every round's frontier is localCheckpoint'ed: persist does NOT
+truncate lineage, and an untruncated iterative plan doubles per round
+until the driver dies building plan strings (measured on an 11-round
+path graph). For adversarial diameters use
+``connected_components_two_phase`` (alternating large-star/small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14), which bounds rounds by O(log² n) independent of diameter.
 """
 
 from __future__ import annotations
@@ -41,30 +42,109 @@ def connected_components(
     CTE over the symmetrized edge set.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
-    try:
-        for _ in range(max_iter):
-            # each node also receives its neighbors' current labels …
-            neigh = e.join(labels, e["b"] == labels["node"]).select(
-                F.col("a").alias("node"), F.col("label")
-            )
-            new_labels = (
-                labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label")).persist()
-            )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-                .filter(F.col("label") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        # labels stays persisted for the caller; edges can go (a later
-        # recompute of an evicted labels partition would rebuild them
-        # from source — correctness is unaffected)
-        return labels
-    finally:
-        e.unpersist()
+    # localCheckpoint on every iterative frontier: persist alone does
+    # NOT truncate lineage, so after ~10 rounds the logical plan
+    # (labels referenced by the join AND the convergence check each
+    # round) grows until the driver OOMs building plan strings.
+    # Truncation per round is the standard iterative-Spark requirement;
+    # on a cluster prefer reliable `checkpoint()` to keep executor-loss
+    # recovery.
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        # each node also receives its neighbors' current labels …
+        neigh = e.join(labels, e["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _star_edges(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star round (Kiveris et al., SoCC'14).
+
+    ``e`` is a directed edge list (u, v). Per node u with neighbor set
+    Γ(u) and m = min(Γ(u) ∪ {u}):
+    - large-star rewires every LARGER neighbor to m: (v, m) ∀v>u;
+    - small-star rewires every not-larger neighbor AND u itself to m:
+      (v, m) ∀v≤u plus (u, m).
+    Both emit only non-self edges.
+    """
+    g = e.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    g = g.withColumn("m", F.least(F.array_min("nbrs"), F.col("u")))
+    exploded = g.select(F.col("u"), F.col("m"), F.explode("nbrs").alias("v"))
+    if large:
+        out = exploded.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        rewired = exploded.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        out = rewired.unionByName(g.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_two_phase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    adversarial-diameter variant promised by ``connected_components``:
+    rounds bounded O(log² n) regardless of component diameter (a path
+    graph collapses in a few alternations where min-label propagation
+    needs diameter rounds). Same output contract: ``(node, label)``
+    with label = smallest node id in the component.
+
+    Per round: two groupBy-explode passes over the shrinking edge set.
+    Convergence = small-star output unchanged (checked via an
+    order-insensitive count+hash aggregate — one tiny action per
+    round); ``max_iter`` caps adversarial inputs.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # localCheckpoint (not persist): each round references the previous
+    # edge set TWICE (symmetrize union), so without lineage truncation
+    # the logical plan doubles per round and the driver OOMs building
+    # plan strings long before the data is large. Truncation per round
+    # is the standard iterative-Spark requirement; at cluster scale use
+    # reliable `checkpoint()` on a durable dir instead (localCheckpoint
+    # trades executor-loss recovery for speed).
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("ct"), F.sum(F.hash("u", "v").cast("long")).alias("hs")
+        ).first()
+        return (row["ct"], row["hs"])
+
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star needs both directions of the current edge set
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        e2 = _star_edges(sym, large=True)
+        e = _star_edges(e2, large=False).localCheckpoint()
+        fp = fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged edge set is a star forest: every edge is (node, root)
+    labels = nodes.select(F.col(id_col).alias("node")).join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("label")), "node", "left"
+    )
+    return labels.select("node", F.coalesce("label", "node").alias("label"))

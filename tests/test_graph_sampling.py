@@ -97,3 +97,49 @@ def test_weighted_sample_rate_one_keeps_all_rate_zero_drops_all(spark):
     df = spark.createDataFrame([(i, f"t{i}", "g") for i in range(100)], "id long, text string, grp string")
     assert weighted_sample(df, "text", "grp", {"g": 1.0}).count() == 100
     assert weighted_sample(df, "text", "grp", {"g": 0.0}).count() == 0
+
+
+# --- large-star/small-star variant: equivalence with min-label ---
+
+
+def test_two_phase_matches_min_label_on_fixed_graphs(spark):
+    from rt_bigdata_spark.operators.graph import connected_components_two_phase
+
+    cases = [
+        ([1, 2, 3, 4, 5], [(2, 1), (2, 3), (4, 3), (4, 5)]),  # path graph
+        ([1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (10, 11)]),
+        ([7, 8], []),
+        (list(range(1, 13)), [(i, i + 1) for i in range(1, 12)]),  # longer path
+    ]
+    for node_ids, edge_pairs in cases:
+        expect = _cc(spark, node_ids, edge_pairs)
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+        edges = spark.createDataFrame(edge_pairs or [(None, None)], "src long, dst long")
+        if not edge_pairs:
+            edges = edges.filter(F.lit(False))
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_two_phase(nodes, edges).collect()
+        }
+        assert got == expect, (node_ids, edge_pairs, got, expect)
+
+
+def test_two_phase_matches_min_label_on_random_graphs(spark):
+    import random
+
+    from rt_bigdata_spark.operators.graph import connected_components_two_phase
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 30
+        node_ids = list(range(n))
+        edge_pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        edge_pairs = [(a, b) for a, b in edge_pairs if a != b]
+        expect = _cc(spark, node_ids, edge_pairs)
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+        edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_two_phase(nodes, edges).collect()
+        }
+        assert got == expect

@@ -1309,6 +1309,83 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (rows→columns): daily event counts, one column per event
+    type — the complement of the reference's C2R unpivot UDTF
+    (rt-flink …/app/udf/KeywordProductC2RUDTF.scala:12-34, which turns
+    columns into rows; U2's ``unpivot_counts`` is the other direction).
+    The pivot values are listed explicitly: an unlisted pivot makes
+    Spark run a full distinct-collection pre-scan of the fact table to
+    discover them — a whole extra pass at 100 TB. With values fixed,
+    this is one partial-aggregated shuffle of O(days × types) cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # absent (day, type) cells come back NULL from pivot; the oracle's
+    # COUNT(*) FILTER yields 0 — normalize to 0
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_ct") for t in types],
+    )
+
+
+_ORACLE_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click_ct,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error_ct,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_ct,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup_ct,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view_ct
+FROM events GROUP BY 1
+"""
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order annotated with the same
+    customer's trailing-30-day revenue and order count (inclusive of
+    the current order). The OVER-window surface the reference lacks
+    entirely (SURVEY §2.6 W1 "not present") beyond plain ranking: a
+    RANGE frame over event time is the standard "rolling metric"
+    report. Spark's ``rangeBetween`` needs a numeric ordering key, so
+    the TIMESTAMP_NTZ is rebased to epoch seconds via an intermediate
+    TIMESTAMP cast (identity under the engine's UTC session timezone —
+    session.py pins it exactly so time arithmetic is zone-free);
+    DuckDB's INTERVAL frame is second-exact equivalent. One hash-partition on the customer key +
+    one sort carries both window aggregates — no self-join, no
+    O(rows × window-rows) pair expansion, and cost is independent of
+    the 30-day density.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).alias("trailing_amount"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_orders"),
+    )
+
+
+_ORACLE_ROLLING = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS trailing_amount,
+       COUNT(*) OVER w AS trailing_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -1342,5 +1419,7 @@ for spec in [
     QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True),
     QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop")),
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
+    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2")),
+    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1")),
 ]:
     register(spec)

@@ -1,0 +1,284 @@
+"""transformWithState (v2 state engine) operators.
+
+Two layers:
+- unit tests drive the StatefulProcessor classes directly with a fake
+  state handle — the per-key logic is plain pandas, so UV dedup and
+  CEP-timeout semantics (including the stale-timer guard) are checked
+  hermetically;
+- integration tests run the real streaming path, but skip when the
+  ``protobuf`` package (required by Spark's TWS driver worker) is
+  absent, as it is in this container.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from rt_bigdata_spark.streaming.stateful import PAGE_EVENT_SCHEMA
+from rt_bigdata_spark.streaming.stateful_v2 import (
+    BounceProcessor,
+    UniqueVisitProcessor,
+    detect_bounces_v2,
+    unique_visits_v2,
+)
+
+try:
+    HAVE_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    HAVE_PROTOBUF = False
+
+FIXTURE = [
+    {"mid": "101", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 10000},
+    {"mid": "102", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 12000},
+    {"mid": "102", "page_id": "good_list", "last_page_id": "home", "is_new": "1", "ts": 15000},
+    {"mid": "102", "page_id": "good_list", "last_page_id": "detail", "is_new": "1", "ts": 30000},
+]
+
+
+# --- fakes -------------------------------------------------------------------
+
+
+class FakeValueState:
+    def __init__(self) -> None:
+        self.value: tuple | None = None
+        self.ttl_ms: int | None = None
+
+    def get(self):
+        return self.value
+
+    def update(self, new_value):
+        self.value = tuple(new_value)
+
+    def exists(self):
+        return self.value is not None
+
+    def clear(self):
+        self.value = None
+
+
+class FakeHandle:
+    def __init__(self) -> None:
+        self.states: dict[str, FakeValueState] = {}
+        self.timers: set[int] = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        st = self.states.setdefault(name, FakeValueState())
+        st.ttl_ms = ttlDurationMs
+        return st
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+class FakeExpiredTimer:
+    def __init__(self, ts: int) -> None:
+        self._ts = ts
+
+    def getExpiryTimeInMs(self) -> int:
+        return self._ts
+
+
+def _feed(proc, key, rows):
+    out = list(proc.handleInputRows(key, iter([pd.DataFrame(rows)]), None))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+
+# --- unit: UV processor ------------------------------------------------------
+
+
+def test_uv_processor_dedups_and_carries_state():
+    h = FakeHandle()
+    proc = UniqueVisitProcessor()
+    proc.init(h)
+    rows = [
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2_000},
+        {"mid": "A", "page_id": "list", "last_page_id": "home", "is_new": "1", "ts": 3_000},
+    ]
+    out = _feed(proc, ("A",), rows)
+    assert list(out["ts"]) == [1_000]
+    # second micro-batch, same day → state suppresses; next day → emits
+    out2 = _feed(
+        proc,
+        ("A",),
+        [
+            {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 5_000},
+            {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},
+        ],
+    )
+    assert list(out2["ts"]) == [90_000_000]
+
+
+def test_uv_processor_ttl_is_wired_to_native_state_ttl():
+    h = FakeHandle()
+    UniqueVisitProcessor(ttl_ms=86_400_000).init(h)
+    assert h.states["last_date"].ttl_ms == 86_400_000
+    h2 = FakeHandle()
+    UniqueVisitProcessor().init(h2)
+    assert h2.states["last_date"].ttl_ms is None
+
+
+# --- unit: bounce processor --------------------------------------------------
+
+
+def test_bounce_processor_canonical_fixture():
+    """CEP fixture (UserJumpDetailApp.scala:74-79): within the batch,
+    102's entry is followed in 3 s (discarded); 101's entry stays
+    pending with a registered timer, and the timer firing emits it."""
+    h = FakeHandle()
+    proc = BounceProcessor()
+    proc.init(h)
+    out_101 = _feed(proc, ("101",), [r for r in FIXTURE if r["mid"] == "101"])
+    assert out_101.empty and h.timers == {20000}
+    fired = pd.concat(list(proc.handleExpiredTimer(("101",), None, FakeExpiredTimer(20000))))
+    assert list(fired["ts"]) == [10000]
+    assert h.states["pending"].value is None
+
+    h2 = FakeHandle()
+    proc2 = BounceProcessor()
+    proc2.init(h2)
+    out_102 = _feed(proc2, ("102",), [r for r in FIXTURE if r["mid"] == "102"])
+    assert out_102.empty and h2.timers == set() and h2.states["pending"].value is None
+
+
+def test_bounce_processor_gap_within_batch_and_timer_cleanup():
+    h = FakeHandle()
+    proc = BounceProcessor()
+    proc.init(h)
+    out = _feed(
+        proc,
+        ("X",),
+        [
+            {"mid": "X", "page_id": "home", "last_page_id": None, "is_new": "0", "ts": 1_000},
+            {"mid": "X", "page_id": "list", "last_page_id": "home", "is_new": "0", "ts": 50_000},
+        ],
+    )
+    assert list(out["ts"]) == [1_000]  # 49 s gap > 10 s → bounce
+    assert h.timers == set()  # the pending entry's timer was deleted
+
+
+def test_bounce_processor_stale_timer_does_not_evict_newer_entry():
+    """A timer registered for an old entry must not flush a NEWER held
+    entry: the guard compares the held entry's own deadline with the
+    firing timestamp."""
+    h = FakeHandle()
+    proc = BounceProcessor()
+    proc.init(h)
+    _feed(proc, ("X",), [{"mid": "X", "page_id": "a", "last_page_id": None, "is_new": "0", "ts": 1_000}])
+    # successor + new entry in the next batch: old timer (11000) now stale
+    _feed(
+        proc,
+        ("X",),
+        [
+            {"mid": "X", "page_id": "b", "last_page_id": "a", "is_new": "0", "ts": 2_000},
+            {"mid": "X", "page_id": "c", "last_page_id": None, "is_new": "0", "ts": 100_000},
+        ],
+    )
+    assert h.states["pending"].value == ("c", 100_000)
+    # stale timer fires (was deleted in real flow, but guard must hold anyway)
+    fired = pd.concat(list(proc.handleExpiredTimer(("X",), None, FakeExpiredTimer(11_000))))
+    assert fired.empty
+    assert h.states["pending"].value == ("c", 100_000)
+    # the entry's own deadline firing DOES flush it
+    fired2 = pd.concat(list(proc.handleExpiredTimer(("X",), None, FakeExpiredTimer(110_000))))
+    assert list(fired2["ts"]) == [100_000]
+
+
+# --- integration (needs protobuf for the TWS driver worker) ------------------
+
+
+@pytest.fixture()
+def rocksdb(spark):
+    from rt_bigdata_spark.session import use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    yield spark
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _write_batch(dir_: str, name: str, rows: list[dict]) -> None:
+    path = os.path.join(dir_, name)
+    with open(path + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(path + ".tmp", path)
+    time.sleep(0.05)
+
+
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS driver worker requires protobuf")
+def test_uv_v2_stream(rocksdb, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 2_000},
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},
+    ]
+    _write_batch(str(src), "b1.json", rows)
+    stream = rocksdb.readStream.schema(PAGE_EVENT_SCHEMA).json(str(src))
+    q = (
+        unique_visits_v2(stream)
+        .writeStream.format("memory")
+        .queryName("uv_v2")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted((r.mid, r.ts) for r in rocksdb.sql("select * from uv_v2").collect())
+        assert got == [("A", 1_000), ("A", 90_000_000)]
+    finally:
+        q.stop()
+
+
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS driver worker requires protobuf")
+@pytest.mark.slow
+def test_bounce_v2_two_batches(rocksdb, tmp_path):
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src), "b1.json", FIXTURE)
+    stream = (
+        rocksdb.readStream.schema(PAGE_EVENT_SCHEMA)
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+        .withWatermark("eventTime", "1 second")
+    )
+    q = (
+        detect_bounces_v2(stream)
+        .writeStream.format("memory")
+        .queryName("bounce_v2")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(src), "b2.json", [
+            {"mid": "103", "page_id": "home", "last_page_id": "x", "is_new": "0", "ts": 60000},
+        ])
+        q.processAllAvailable()
+        _write_batch(str(src), "b3.json", [
+            {"mid": "103", "page_id": "home", "last_page_id": "x", "is_new": "0", "ts": 90000},
+        ])
+        q.processAllAvailable()
+        out = {(r.mid, r.ts) for r in rocksdb.sql("select * from bounce_v2").collect()}
+        assert ("101", 10000) in out
+        assert all(mid != "102" for mid, _ in out)
+    finally:
+        q.stop()

@@ -415,6 +415,27 @@ FROM documents GROUP BY source
 """
 
 
+def q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ``corpus_profile``: ``percentile_approx``
+    (Greenwald-Khanna sketch — bounded per-group state, mergeable
+    map-side, so partial aggregation works and no group ever
+    materializes its full value list) and HLL ``approx_count_distinct``
+    for the language spread. accuracy=10000 bounds rank error at
+    1/10000 of the group. No SQL oracle (sketch estimates are
+    engine-specific); accuracy vs the exact query is asserted in
+    tests/test_approx_variants.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50_chars"),
+        F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000)).alias("p95_chars"),
+        F.approx_count_distinct("lang").cast("long").alias("n_langs"),
+    )
+
+
 # Data-mixing rates: keep all of src0, halve src1, quarter src2, 10% of
 # src3, default 75% elsewhere. The oracle CASE is generated from the
 # SAME dict + boundary function, so Spark and SQL can never drift.
@@ -585,6 +606,7 @@ for spec in [
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
+    QuerySpec("corpus_profile_approx", q_corpus_profile_approx, None, ("profiling", "agg", "approx")),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn")),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
     QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn")),

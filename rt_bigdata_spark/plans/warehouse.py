@@ -169,6 +169,48 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ``province_stats``: HyperLogLog
+    ``approx_count_distinct`` instead of exact COUNT(DISTINCT). The
+    exact form two-phase-expands — every distinct order id is exchanged
+    (measured in SCALE.md: 10→91 MB shuffle at 1×→10×, linear in rows);
+    the sketch form exchanges one fixed-size HLL register set per
+    group, so shuffle bytes become O(groups) like the plain sums.
+    rsd=0.01 ≈ the reference's tolerance for dashboard counts. No SQL
+    oracle (sketch estimates are engine-specific); accuracy vs the
+    exact query is asserted in tests/test_approx_variants.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    enriched = enrich_dims(
+        orders,
+        [
+            (cust, F.col("o_custkey") == F.col("c_custkey")),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
+            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return tumbling_window_agg(
+        enriched,
+        ts_col="o_orderdate",
+        duration="1 day",
+        keys=["n_name", "r_name"],
+        aggs=[
+            F.approx_count_distinct("o_orderkey", rsd=0.01).alias("order_count"),
+            F.sum(_dec("o_totalprice")).alias("order_amount"),
+        ],
+    ).select(
+        "stt",
+        "edt",
+        F.col("n_name").alias("province_name"),
+        F.col("r_name").alias("area_name"),
+        "order_count",
+        "order_amount",
+    )
+
+
 # ---------------------------------------------------------------------------
 # keyword_stats — U1 tokenizer UDTF + J5 lateral join + A4 grouped count
 # (KeywordStatsApp.scala:51-80): tokenize document text, explode, count.
@@ -1420,6 +1462,7 @@ for spec in [
     QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop")),
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2")),
+    QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1")),
 ]:
     register(spec)

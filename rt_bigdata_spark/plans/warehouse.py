@@ -1463,6 +1463,6 @@ for spec in [
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2")),
     QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
-    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1")),
+    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True),
 ]:
     register(spec)

@@ -169,6 +169,42 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``province_stats`` expressed through the ``spark.sql`` entry
+    point — the engine's equivalent of the reference's SQL-first DWS
+    apps (rt-flink …/app/dws/ProvinceStatsSqlApp.scala:54-78: CREATE
+    TABLE + TUMBLE query). Flink's ``TUMBLE(rowtime, INTERVAL '10'
+    SECOND)`` + ``TUMBLE_START/END`` become ``window(ts, duration)``
+    and ``window.start/end``; the catalog entry becomes a temp view.
+    Catalyst compiles this to the IDENTICAL plan as the DataFrame form
+    (same oracle — the driver hash-checks both), demonstrating that
+    Table and DataFrame are one API in Spark, not a bridged pair.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    return spark.sql(
+        """
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(w.end,   'yyyy-MM-dd HH:mm:ss') AS edt,
+               n_name AS province_name,
+               r_name AS area_name,
+               COUNT(DISTINCT o_orderkey) AS order_count,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_amount
+        FROM (
+          SELECT window(o_orderdate, '1 day') AS w, o_orderkey, o_totalprice,
+                 n_name, r_name
+          FROM v_orders
+          LEFT JOIN v_customer ON o_custkey = c_custkey
+          LEFT JOIN v_nation   ON c_nationkey = n_nationkey
+          LEFT JOIN v_region   ON n_regionkey = r_regionkey
+        )
+        GROUP BY w, n_name, r_name
+        """
+    )
+
+
 def q_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of ``province_stats``: HyperLogLog
     ``approx_count_distinct`` instead of exact COUNT(DISTINCT). The
@@ -1463,6 +1499,7 @@ for spec in [
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2")),
     QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
+    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3")),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True),
 ]:
     register(spec)

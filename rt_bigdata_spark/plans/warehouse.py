@@ -1387,6 +1387,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery report (TPC-H Q4 shape, adapted to the synthetic
+    schema): orders per priority having at least one returned line —
+    an explicit ``left_semi`` join, the J6 surface no other query
+    exercises directly. Semi-join semantics are the scale win over the
+    naive ``JOIN + DISTINCT`` phrasing: the probe row is emitted at
+    the FIRST build-side match, so multi-line orders never multiply
+    and no dedup pass is needed; the returnflag filter pushes into the
+    lineitem scan before the exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+_ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (rows→columns): daily event counts, one column per event
     type — the complement of the reference's C2R unpivot UDTF
@@ -1498,6 +1532,7 @@ for spec in [
     QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop")),
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2")),
+    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi")),
     QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
     QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3")),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True),

@@ -153,6 +153,40 @@ def test_product_stats_app_distinct_orders(spark):
     assert (r.sku_id, r.click_ct, r.order_ct, float(r.order_amount)) == (7, 1, 2, 30.0)
 
 
+def test_ods_base_log_app_streaming(spark, tmp_path):
+    """The same builder runs unchanged on a streaming source — the
+    app layer's core claim. File-stream in, three memory sinks out of
+    ONE source (the reference's side-output topology, R1)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        _raw_log("m1", 1000, entry="icon")[0],
+        _raw_log("m1", 2000, page_id="home", displays=["s1"])[0],
+        _raw_log("m2", 3000, page_id="cart", last="home")[0],
+    ]
+    (src / "b1.txt").write_text("\n".join(rows) + "\n")
+    stream = spark.readStream.format("text").load(str(src))
+    out = apps.ods_base_log_app(stream)
+    queries = []
+    try:
+        for name, df in out.items():
+            queries.append(
+                df.writeStream.format("memory")
+                .queryName(f"app_{name}")
+                .option("checkpointLocation", str(tmp_path / f"chk_{name}"))
+                .outputMode("append")
+                .start()
+            )
+        for q in queries:
+            q.processAllAvailable()
+        assert [r.mid for r in spark.sql("select * from app_start").collect()] == ["m1"]
+        assert [r.display.item for r in spark.sql("select * from app_display").collect()] == ["s1"]
+        assert sorted(r.page_id for r in spark.sql("select * from app_page").collect()) == ["cart", "home"]
+    finally:
+        for q in queries:
+            q.stop()
+
+
 def test_keyword_stats_app(spark):
     page = spark.createDataFrame(
         [

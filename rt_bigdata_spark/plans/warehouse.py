@@ -1142,6 +1142,77 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7's third form: explicit GROUPING SETS — only the named
+    subtotal combinations, not rollup's prefix chain or cube's full
+    lattice. Spark exposes this through SQL (no DataFrame verb), so
+    the query doubles as spark.sql-surface coverage. The Expand
+    multiplies input by the number of sets (2 here) before one
+    aggregation — at 100 TB list only the sets a report needs instead
+    of cube's 2^n.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS order_ct,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS order_ct,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quantile bucketing (the OVER-window family member no other
+    query uses): customers ranked into spend quartiles within their
+    nation. The ORDER BY carries the customer key as a tiebreak so
+    bucket assignment is deterministic and hash-comparable across
+    engines. One exchange on the nation key + one sort, like every
+    well-planned window query.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("total_spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_spend").desc(), F.col("o_custkey")
+    )
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "c_nationkey",
+        "total_spend",
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+_ORACLE_QUARTILES = """
+SELECT o_custkey AS custkey, c_nationkey, total_spend,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY total_spend DESC, o_custkey) AS spend_quartile
+FROM (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders GROUP BY o_custkey
+) JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # customer_activity — R4 intersect/except (surface completeness): tag
 # customers having orders (intersect) vs never-ordered (except).
@@ -1525,6 +1596,8 @@ for spec in [
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5")),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7")),
+    QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql")),
+    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn")),

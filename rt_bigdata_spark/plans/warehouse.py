@@ -1176,6 +1176,36 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
 
 
+def q_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (the Catalyst decorrelation surface
+    SURVEY §4 lists as built-in — this query proves it): each
+    customer's maximal order(s). The correlated MAX rewrites to one
+    grouped aggregate joined back on the customer key — O(rows) with
+    one exchange, not the O(rows × per-customer-orders) a naive
+    per-row subquery evaluation would cost; ties all return, exactly
+    the SQL semantics.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_cmax")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        FROM v_orders_cmax o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                              FROM v_orders_cmax o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+_ORACLE_CUSTOMER_MAX = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
 def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quantile bucketing (the OVER-window family member no other
     query uses): customers ranked into spend quartiles within their
@@ -1598,6 +1628,7 @@ for spec in [
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7")),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql")),
     QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1")),
+    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery")),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn")),

@@ -33,6 +33,19 @@ def _dec(c: str | F.Column, p: int = 18, s: int = 2) -> F.Column:
     return col.cast(f"decimal({p},{s})")
 
 
+def _money_out(c: str) -> F.Column:
+    """Final-projection cast for money columns: DECIMAL → double.
+
+    Aggregation stays decimal-exact; only the OUTPUT representation
+    changes. The driver canonicalizes Spark decimals scale-preserved
+    ('253942.00') while DuckDB returns float64 ('253942.0'), so any
+    decimal output column hash-mismatches on trailing zeros despite
+    identical values. Every oracle SQL mirrors this with
+    CAST(... AS DOUBLE).
+    """
+    return F.col(c).cast("double").alias(c)
+
+
 # ---------------------------------------------------------------------------
 # pricing_summary — flagship batch aggregation (A6/A8; TPC-H Q1 shape).
 # Exercises filter pushdown, partial+final HashAggregate, exact decimal
@@ -57,17 +70,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
         .withColumn("avg_price", F.col("sum_base_price").cast("double") / F.col("count_order"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _money_out("sum_qty"),
+            _money_out("sum_base_price"),
+            _money_out("sum_disc_price"),
+            _money_out("sum_charge"),
+            "count_order",
+            "avg_qty",
+            "avg_price",
+        )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 _ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-            * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+            * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
@@ -97,7 +121,7 @@ def q_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uv_ct"),
             F.sum(_dec("value")).alias("dur_sum"),
         ],
-    ).select("stt", "edt", "event_type", "pv_ct", "uv_ct", "dur_sum")
+    ).select("stt", "edt", "event_type", "pv_ct", "uv_ct", _money_out("dur_sum"))
 
 
 _ORACLE_VISITOR = """
@@ -106,7 +130,7 @@ SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS 
        event_type,
        COUNT(*) AS pv_ct,
        COUNT(DISTINCT user_id) AS uv_ct,
-       SUM(CAST(value AS DECIMAL(18,2))) AS dur_sum
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -149,7 +173,7 @@ def q_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("province_name"),
             F.col("r_name").alias("area_name"),
             "order_count",
-            "order_amount",
+            _money_out("order_amount"),
         )
     )
 
@@ -160,7 +184,7 @@ SELECT strftime(time_bucket(INTERVAL '1 day', o_orderdate), '%Y-%m-%d %H:%M:%S')
        n_name AS province_name,
        r_name AS area_name,
        COUNT(DISTINCT o_orderkey) AS order_count,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_amount
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
 FROM orders
 LEFT JOIN customer ON o_custkey = c_custkey
 LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -191,7 +215,7 @@ def q_province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_name AS province_name,
                r_name AS area_name,
                COUNT(DISTINCT o_orderkey) AS order_count,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
         FROM (
           SELECT window(o_orderdate, '1 day') AS w, o_orderkey, o_totalprice,
                  n_name, r_name
@@ -243,7 +267,7 @@ def q_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("province_name"),
         F.col("r_name").alias("area_name"),
         "order_count",
-        "order_amount",
+        _money_out("order_amount"),
     )
 
 
@@ -338,9 +362,9 @@ def q_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         F.col("l_linenumber").alias("detail_id"),
         F.col("l_partkey").alias("sku_id"),
-        _dec("l_quantity", 12, 2).alias("sku_num"),
-        _dec("l_extendedprice", 12, 2).alias("split_total_amount"),
-        _dec("o_totalprice", 12, 2).alias("total_amount"),
+        _dec("l_quantity", 12, 2).cast("double").alias("sku_num"),
+        _dec("l_extendedprice", 12, 2).cast("double").alias("split_total_amount"),
+        _dec("o_totalprice", 12, 2).cast("double").alias("total_amount"),
         F.col("o_orderstatus").alias("order_status"),
     )
 
@@ -349,9 +373,9 @@ _ORACLE_ORDER_WIDE = """
 SELECT o_orderkey AS order_id,
        l_linenumber AS detail_id,
        l_partkey AS sku_id,
-       CAST(l_quantity AS DECIMAL(12,2)) AS sku_num,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS split_total_amount,
-       CAST(o_totalprice AS DECIMAL(12,2)) AS total_amount,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS sku_num,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS split_total_amount,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_amount,
        o_orderstatus AS order_status
 FROM orders JOIN lineitem
   ON o_orderkey = l_orderkey
@@ -387,7 +411,7 @@ def q_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "order_id",
         F.date_format("callback_time", "yyyy-MM-dd HH:mm:ss").alias("callback_time"),
-        "payment_amount",
+        _money_out("payment_amount"),
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderstatus").alias("order_status"),
     )
@@ -402,7 +426,7 @@ WITH payments AS (
 )
 SELECT p.order_id,
        strftime(p.callback_time, '%Y-%m-%d %H:%M:%S') AS callback_time,
-       p.payment_amount,
+       CAST(p.payment_amount AS DOUBLE) AS payment_amount,
        o.o_custkey AS user_id,
        o.o_orderstatus AS order_status
 FROM orders o JOIN payments p
@@ -456,13 +480,13 @@ def q_order_wide_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sku_name",
         "tm_name",
         "category3_name",
-        "sku_price",
+        _money_out("sku_price"),
         "supplier_name",
         F.col("o_custkey").alias("user_id"),
         "user_name",
         "province_name",
         "area_name",
-        _dec("l_extendedprice", 12, 2).alias("split_total_amount"),
+        _dec("l_extendedprice", 12, 2).cast("double").alias("split_total_amount"),
     )
 
 
@@ -473,13 +497,13 @@ SELECT l_orderkey AS order_id,
        p_name AS sku_name,
        p_brand AS tm_name,
        p_type AS category3_name,
-       CAST(p_retailprice AS DECIMAL(12,2)) AS sku_price,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS sku_price,
        s_name AS supplier_name,
        o_custkey AS user_id,
        c_name AS user_name,
        n_name AS province_name,
        r_name AS area_name,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS split_total_amount
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS split_total_amount
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 LEFT JOIN part ON l_partkey = p_partkey
@@ -504,7 +528,7 @@ def q_ads_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             conditional_sum(F.col("o_orderstatus") == "F", F.lit(1), F.lit(-1)).cast("long").alias("net_f"),
             F.sum(F.when(_dec("o_totalprice") > 150000, 1).otherwise(0)).cast("long").alias("big_order_ct"),
             F.count(F.lit(1)).alias("order_ct"),
-            F.sum(_dec("o_totalprice")).alias("amount"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("amount"),
         )
         .orderBy("o_orderpriority")
     )
@@ -515,7 +539,7 @@ SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END) AS BIGINT) AS net_f,
        CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS big_order_ct,
        COUNT(*) AS order_ct,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -540,7 +564,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
         .select(
@@ -556,7 +580,7 @@ _ORACLE_SHIP_PRIO = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -587,14 +611,14 @@ def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
 
 _ORACLE_SUPPLIER_VOLUME = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -623,7 +647,12 @@ def q_top_k_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("l_returnflag", F.col("l_partkey").alias("sku_id"), "revenue", F.col("rk").cast("long").alias("rk"))
+        .select(
+            "l_returnflag",
+            F.col("l_partkey").alias("sku_id"),
+            _money_out("revenue"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
 
 
@@ -633,7 +662,7 @@ WITH revenue AS (
          SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
   FROM lineitem GROUP BY 1, 2
 )
-SELECT l_returnflag, l_partkey AS sku_id, revenue,
+SELECT l_returnflag, l_partkey AS sku_id, CAST(revenue AS DOUBLE) AS revenue,
        CAST(rk AS BIGINT) AS rk
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey) AS rk

@@ -29,6 +29,11 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The testdata writes TIMESTAMP(NANOS) columns; without this conf any
+    # externally-built session (e.g. the correctness driver's) fails with
+    # PARQUET_TYPE_ILLEGAL before our ns→µs conversion can run. It is
+    # runtime-settable, so pin it here rather than only at session build.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):

@@ -406,7 +406,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_PROFILE = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_chars), 6) AS avg_chars,
        ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
@@ -500,13 +500,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on real data: documents' bytes as opaque
     media content → mapInPandas feature extraction (Arrow-batched; the
     decode kernel is the deterministic stub — no codecs in container).
-    No SQL oracle: mapInPandas is outside DuckDB's vocabulary; the
-    rows-only check plus tests/test_multimodal.py (determinism, batch
-    shape, pruning) define correctness."""
-    from rt_bigdata_spark.operators.multimodal import documents_as_media, extract_features
+
+    Output is canon-safe: the array<float> feature vector is flattened
+    to f0..f15 double columns (driver canonicalization can't sort list
+    cells). Re-rounding to 6 decimals after the float32 round-trip
+    recovers the exact 6-decimal value the kernel produced (float32
+    abs error < 6e-8 on [0,1] ≪ the 5e-7 rounding half-width), so the
+    values are engine-reproducible."""
+    from rt_bigdata_spark.operators.multimodal import FEATURE_DIM, documents_as_media, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs))
+    feats = extract_features(documents_as_media(docs))
+    flat = [
+        F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+        for i in range(FEATURE_DIM)
+    ]
+    return feats.select("media_id", "media_type", "n_bytes", *flat)
 
 
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -929,7 +929,7 @@ def q_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("display_ct").alias("display_ct"),
         F.sum("click_ct").alias("click_ct"),
         F.sum("favor_ct").alias("favor_ct"),
-        F.sum("order_amount").alias("order_amount"),
+        F.sum("order_amount").cast("double").alias("order_amount"),
         # A2: HashSet-union distinct count (ProductStatsApp.scala:183-222)
         F.size(F.array_compact(F.collect_set("order_id"))).cast("long").alias("order_ct"),
     )
@@ -952,7 +952,7 @@ SELECT sku_id,
        CAST(SUM(display_ct) AS BIGINT) AS display_ct,
        CAST(SUM(click_ct) AS BIGINT) AS click_ct,
        CAST(SUM(favor_ct) AS BIGINT) AS favor_ct,
-       SUM(order_amount) AS order_amount,
+       CAST(SUM(order_amount) AS DOUBLE) AS order_amount,
        COUNT(DISTINCT order_id) AS order_ct
 FROM unioned
 GROUP BY sku_id
@@ -1131,13 +1131,13 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_ct"), F.sum(_dec("o_totalprice")).alias("amount"))
-        .select("o_orderstatus", "o_orderpriority", "order_ct", "amount")
+        .select("o_orderstatus", "o_orderpriority", "order_ct", _money_out("amount"))
     )
 
 
 _ORACLE_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_ct,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
@@ -1157,7 +1157,7 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("order_ct"),
             F.sum(_dec("o_totalprice")).alias("amount"),
         )
-        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "order_ct", "amount")
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "order_ct", _money_out("amount"))
     )
 
 
@@ -1166,7 +1166,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
        COUNT(*) AS order_ct,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
@@ -1187,7 +1187,7 @@ def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
                COUNT(*) AS order_ct,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -1199,7 +1199,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT)  AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
        COUNT(*) AS order_ct,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
@@ -1218,7 +1218,7 @@ def q_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
         FROM v_orders_cmax o
         WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
                               FROM v_orders_cmax o2
@@ -1228,7 +1228,7 @@ def q_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CUSTOMER_MAX = """
-SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
 FROM orders o
 WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
                       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
@@ -1256,13 +1256,13 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         F.col("o_custkey").alias("custkey"),
         "c_nationkey",
-        "total_spend",
+        _money_out("total_spend"),
         F.ntile(4).over(w).alias("spend_quartile"),
     )
 
 
 _ORACLE_QUARTILES = """
-SELECT o_custkey AS custkey, c_nationkey, total_spend,
+SELECT o_custkey AS custkey, c_nationkey, CAST(total_spend AS DOUBLE) AS total_spend,
        NTILE(4) OVER (PARTITION BY c_nationkey
                       ORDER BY total_spend DESC, o_custkey) AS spend_quartile
 FROM (
@@ -1389,7 +1389,7 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 4, 2))
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -1398,7 +1398,7 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_NATION_TRADE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -1613,14 +1613,14 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(_dec("o_totalprice")).over(w).alias("trailing_amount"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_amount"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_orders"),
     )
 
 
 _ORACLE_ROLLING = """
 SELECT o_orderkey, o_custkey, o_orderdate,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS trailing_amount,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_amount,
        COUNT(*) OVER w AS trailing_orders
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate

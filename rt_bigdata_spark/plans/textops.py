@@ -1,11 +1,16 @@
 """Training-data pipeline query plans: dedup, similarity search, text
 analysis over ``documents`` / ``embeddings`` (SURVEY.md §7.2 step 9).
 
-MinHash-LSH / SimHash / hyperplane-LSH are registered without oracle
-SQL (driver does a rows-only check) — their semantics are validated by
-unit tests against constructed near-duplicates; the exact n-gram
-Jaccard and brute-force cosine queries are the oracle-checked ground
-truth the approximate variants are measured against.
+Every deterministic query — including the "approximate" ones — carries
+a DuckDB oracle. MinHash/SimHash/hyperplane-LSH/IVF are approximate
+w.r.t. the exact similarity they estimate, but they are DETERMINISTIC
+functions of the input (md5-derived hashes, seeded-LCG planes, first-n
+seeded centroids), so their exact output is SQL-expressible: the plane
+and permutation constants are generated once in Python and inlined
+into both the Spark plan and the oracle SQL from the SAME source
+(``lcg_planes`` / the minhash a·x+b family), so the two sides cannot
+drift. Only the codec-stubbed multimodal queries and the
+engine-specific sketch profile remain rows-only.
 """
 
 from __future__ import annotations
@@ -121,20 +126,33 @@ FROM documents
 """
 
 
+# Document-frequency cap for the registered Jaccard queries: shingles
+# appearing in more than this many documents are dropped BEFORE the
+# pair join on BOTH sides (operators/dedup.py df_cap ↔ the `hot` CTE
+# below). This is the 100 TB guard the operator docstring names — a
+# stop-shingle in k docs otherwise creates k² pair rows. At the test
+# scale factors no shingle comes near the cap, so the capped and
+# uncapped outputs coincide; the cap's pruning behavior itself is
+# unit-tested on a hot-shingle fixture (tests/test_dedup_similarity.py).
+_JACCARD_DF_CAP = 100
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.1)
+    return ngram_jaccard_pairs(docs, threshold=0.1, df_cap=_JACCARD_DF_CAP)
 
 
-# Shared CTE block: shingle → pair → Jaccard ≥ 0.1 (reused by the
-# cluster oracle below, which needs the same pair set as its edges).
+# Shared CTE block: shingle → df-cap → pair → Jaccard ≥ 0.1 (reused by
+# the cluster oracles below, which need the same pair set as edges).
 _JACCARD_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
-sh AS (
+sh_all AS (
   SELECT doc_id,
          UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
                                FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS shingle
   FROM toks
 ),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {_JACCARD_DF_CAP}),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -178,9 +196,70 @@ WHERE rk <= 10
 """
 
 
+# --- Oracles for the deterministic "approximate" operators ----------
+#
+# These queries are approximate ESTIMATORS but deterministic FUNCTIONS:
+# every hash/plane/centroid constant is fixed (md5, seeded LCG, first-n
+# seeding), so DuckDB can reproduce the exact output. Hash math that
+# Spark does with conv(md5)/bitwise ops is re-expressed with DuckDB
+# list lambdas; the LCG plane literals are inlined from the SAME
+# ``lcg_planes`` call the Spark plan uses.
+
+# md5 → first-8-hex-chars → integer, the portable 32-bit hash both
+# engines agree on (Spark: conv(substring(md5(x),1,8),16,10)).
+def _duck_md5_32(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split(substring(md5({expr}), 1, 8), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.1)
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.1) -> str:
+    """DuckDB twin of minhash_lsh_pairs: same permutation family
+    h_i(x) = (x·(2i+1) + i²+1) mod p, same band/bucket keys."""
+    from rt_bigdata_spark.operators.dedup import _MINHASH_PRIME as p
+
+    r = num_hashes // bands
+    mh_cols = ",\n         ".join(
+        f"MIN((h * {2 * i + 1} + {i * i + 1}) % {p}) AS mh_{i}" for i in range(num_hashes)
+    )
+    sig_list = "[" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + "]"
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+                               FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS shingle
+  FROM toks
+),
+hashed AS (SELECT doc_id, {_duck_md5_32("shingle")} % {p} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hashed GROUP BY doc_id
+),
+sigl AS (SELECT doc_id, {sig_list} AS sig FROM sig),
+banded AS (
+  SELECT doc_id, sig, g.b AS band,
+         md5(array_to_string(list_transform(sig[g.b * {r} + 1 : g.b * {r} + {r}],
+                                            x -> CAST(x AS VARCHAR)), ',')) AS bucket
+  FROM sigl CROSS JOIN generate_series(0, {bands - 1}) AS g(b)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_filter(range(1, {num_hashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+           / {num_hashes} AS est
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, MIN(est) AS est_jaccard
+FROM cand WHERE est >= {threshold} GROUP BY doc_a, doc_b
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,10 +267,64 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+_ORACLE_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_duck_md5_32("tok")} AS h FROM toks),
+votes AS (
+  SELECT doc_id, g.i,
+         SUM(CASE WHEN ((h >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN generate_series(0, 31) AS g(i)
+  GROUP BY doc_id, g.i
+)
+SELECT doc_id AS doc,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _duck_plane(plane: list[float]) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal. repr() round-trips
+    IEEE doubles exactly, so the literal parses to the bit-identical
+    value Spark gets from F.lit(python_float)."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _duck_bucket(vec_expr: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket: DuckDB twin of similarity.hyperplane_bucket."""
+    terms = " + ".join(
+        f"(CASE WHEN list_inner_product({vec_expr}, {_duck_plane(p)}) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return hyperplane_lsh_topk(emb, queries, k=10)
+
+
+def _ann_lsh_oracle(k: int = 10, num_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    from rt_bigdata_spark.operators.similarity import lcg_planes
+
+    planes = lcg_planes(num_planes, dim, seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_duck_bucket("v", planes)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_inner_product(q.qvec, c.v)
+               / (sqrt(list_inner_product(q.qvec, q.qvec)) * sqrt(list_inner_product(c.v, c.v))),
+               9) AS sim
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +336,51 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10)
+
+
+def _ann_ivf_oracle(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of ivf_topk with the deterministic first-n centroid
+    seeding expressed IN SQL (centroids are data-derived, so the oracle
+    derives them the same way instead of inlining literals). Tie rules
+    mirror the Spark side exactly: cell assignment takes the FIRST
+    maximal centroid (array_position ↔ ORDER BY sim DESC, cell ASC);
+    probe order is reverse(array_sort(struct(s, c))) ↔ ORDER BY s DESC,
+    c DESC."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
+    SELECT e.vec_id, e.v AS v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qvec, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_inner_product(q.v, c.cv) DESC, c.cell DESC) AS pr
+    FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cent c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_inner_product(p.qvec, a.cvec)
+               / (sqrt(list_inner_product(p.qvec, p.qvec)) * sqrt(list_inner_product(a.cvec, a.cvec))),
+               9) AS sim
+  FROM assign a JOIN probe p ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +401,41 @@ WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) >= 0.35
 
 
 def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding-dedup pipeline shape: multi-table hyperplane
+    LSH discovery (cell-local pairs, one shuffle on the cell key)
+    with every candidate re-scored by the TRUE cosine before the
+    threshold — i.e. the composed LSH→exact-verify pipeline; the plan
+    contains the cell exchange and NO corpus-wide nested-loop join
+    (asserted in tests/test_plan_quality.py). ``embedding_dedup`` (the
+    O(n²) broadcast NL join) is the small-set verify complement."""
     return embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def _emb_lsh_oracle(
+    threshold: float = 0.35, num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    from rt_bigdata_spark.operators.similarity import lcg_planes
+
+    cells = "\n  UNION ALL ".join(
+        f"SELECT id, v, nrm, {t} AS t, {_duck_bucket('v', lcg_planes(num_planes, dim, seed + t))} AS bkt FROM e"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cells AS (
+  {cells}
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS sim
+  FROM cells a JOIN cells b ON a.t = b.t AND a.bkt = b.bkt AND a.id < b.id
+)
+SELECT id_a, id_b, MIN(sim) AS sim FROM cand WHERE sim >= {threshold} GROUP BY id_a, id_b
+"""
 
 
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +516,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rt_bigdata_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.1).select(
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=_JACCARD_DF_CAP).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return (
@@ -596,29 +808,29 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",)),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True),
-    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",)),
-    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",)),
+    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
+    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True),
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True),
-    QuerySpec("minhash_lsh", q_minhash_lsh, None, ("dedup", "approx"), bench=True),
-    QuerySpec("simhash", q_simhash, None, ("dedup", "approx")),
-    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, None, ("similarity", "approx")),
-    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None, ("similarity", "approx")),
+    QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
+    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=10),
+    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=10),
+    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=10),
     QuerySpec("embedding_dedup", q_embedding_dedup, _ORACLE_EMB_DEDUP, ("dedup",)),
-    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, None, ("dedup", "approx"), bench=True),
+    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
     QuerySpec("media_features", q_media_features, None, ("multimodal",)),
     QuerySpec("media_frames", q_media_frames, None, ("multimodal",)),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
-    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative")),
-    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",)),
+    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True),
+    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
     QuerySpec("corpus_profile_approx", q_corpus_profile_approx, None, ("profiling", "agg", "approx")),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn")),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
-    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn")),
-    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",)),
+    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True),
+    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
 ]:
     register(spec)

@@ -1633,7 +1633,7 @@ for spec in [
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
     QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True),
     QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True),
-    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2")),
+    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
     QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True),
     QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2")),
     QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True),
@@ -1647,27 +1647,27 @@ for spec in [
     QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2")),
     QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1")),
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3")),
-    QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8")),
-    QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13")),
+    QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=80),
+    QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=80),
     QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True),
-    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11")),
-    QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5")),
-    QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5")),
+    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=80),
+    QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
+    QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
-    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7")),
-    QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql")),
-    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1")),
-    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery")),
-    QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4")),
-    QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True),
-    QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn")),
-    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True),
-    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop")),
-    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg")),
-    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2")),
-    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi")),
+    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=10),
+    QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=10),
+    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=10),
+    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=10),
+    QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=10),
+    QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=10),
+    QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=10),
+    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=10),
+    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=10),
+    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=10),
+    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=10),
+    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=10),
     QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
-    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3")),
-    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True),
+    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=10),
+    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=10),
 ]:
     register(spec)

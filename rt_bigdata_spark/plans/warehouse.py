@@ -42,6 +42,19 @@ def _money_out(c: str) -> F.Column:
     decimal output column hash-mismatches on trailing zeros despite
     identical values. Every oracle SQL mirrors this with
     CAST(... AS DOUBLE).
+
+    Magnitude assumption (applies to every decimal(…,2)→double output
+    cast in this module): the cast is bit-identical across Spark and
+    DuckDB only while the scaled integer (cents) fits in 2^53 —
+    i.e. |sum| < ~9.0e13 currency units. Spark converts via
+    BigDecimal.doubleValue (one correctly-rounded step); DuckDB
+    converts the int128 cents to double and divides by 100, which can
+    differ in the last ulp once cents exceed 2^53. The TPC-H-shaped
+    testdata tops out around 1e9 per aggregate (sf0.1), four orders of
+    magnitude under the bound, and a real deployment keying aggregates
+    this large would already be out of decimal(18,2) range (1e16).
+    If outputs ever approach the bound, ROUND(x, 2) on BOTH sides
+    restores hash equality at the cost of sub-cent formatting.
     """
     return F.col(c).cast("double").alias(c)
 

@@ -13,6 +13,8 @@ columns down to the parquet scan (verify with
 
 from __future__ import annotations
 
+import functools
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -21,21 +23,58 @@ from pyspark.sql.types import LongType
 
 from rt_bigdata_spark.config import TESTDATA_TABLES
 
-# Columns stored as TIMESTAMP(NANOS) in the testdata parquet; Spark reads
-# them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert via
-# integer ns→µs division (a double division would lose precision at
-# ~1.7e18 ns epochs).
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+@functools.lru_cache(maxsize=512)
+def _nanos_ts_cols(path: str) -> tuple[str, ...]:
+    """Top-level columns stored as TIMESTAMP(NANOS), read from the
+    parquet footer (pyarrow). Detected, not allowlisted: the testdata
+    has switched timestamp units between generations (nanos in earlier
+    rounds, micros now), and a hard-coded column list silently
+    surfaces any new nanos column as a raw long. Footer metadata is
+    the source of truth both engines read anyway; one footer fetch per
+    (path) is cached for the process lifetime.
+
+    For a directory-shaped dataset the first part file's footer stands
+    in for all of them (a writer that mixes timestamp units across
+    parts would already be unreadable as one table).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            e for e in os.listdir(path) if e.endswith(".parquet") and not e.startswith((".", "_"))
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
+    schema = pq.ParquetFile(path).schema
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        try:
+            lt = json.loads(col.logical_type.to_json())
+        except ValueError:
+            continue
+        if lt.get("Type") == "Timestamp" and lt.get("timeUnit") == "nanoseconds":
+            out.append(col.path.split(".", 1)[0])
+    return tuple(out)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The testdata writes TIMESTAMP(NANOS) columns; without this conf any
-    # externally-built session (e.g. the correctness driver's) fails with
-    # PARQUET_TYPE_ILLEGAL before our ns→µs conversion can run. It is
-    # runtime-settable, so pin it here rather than only at session build.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_ts_cols(path)
+    if nanos and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # Without this conf any session (e.g. the correctness driver's
+        # externally-built one) fails with PARQUET_TYPE_ILLEGAL on a
+        # TIMESTAMP(NANOS) column before our ns→µs conversion can run.
+        # It is runtime-settable; set only when the footer proves it is
+        # needed, and only once (the conf.get guard avoids re-mutating
+        # shared session state on every call).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos:
+        # Integer ns→µs division — a double division would lose
+        # precision at ~1.7e18 ns epochs.
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df

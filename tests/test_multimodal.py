@@ -52,3 +52,22 @@ def test_frame_sample(spark, media):
     assert all(r["count"] == 3 for r in per_media)  # 3500 ms → frames at 0/1000/2000
     first = frames.filter(F.col("frame_ts_ms") == 0).first()
     assert isinstance(first.frame_bytes, (bytes, bytearray)) and len(first.frame_bytes) > 0
+
+
+def test_media_features_query_pins_kernel_values(spark, sf_dir):
+    """ADVICE r3: the registered q_media_features flattens features to
+    f0..f15 with round(element_at(...i+1...)::double, 6). Pin BOTH the
+    1-based indexing and the float32 re-rounding claim: each fi must
+    equal round(v, 6) of the kernel's i-th feature for known docs."""
+    from rt_bigdata_spark.operators.multimodal import _fake_features
+    from rt_bigdata_spark.plans.textops import q_media_features
+    from rt_bigdata_spark.sources.tables import load_table as lt
+
+    docs = {r.doc_id: r.text for r in lt(spark, sf_dir, "documents").limit(5).collect()}
+    out = {r.media_id: r for r in q_media_features(spark, sf_dir).collect() if r.media_id in docs}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        expected = _fake_features(text.encode("utf-8"))
+        row = out[doc_id]
+        got = [row[f"f{i}"] for i in range(FEATURE_DIM)]
+        assert got == [round(v, 6) for v in expected], f"doc {doc_id}"

@@ -148,3 +148,42 @@ def test_interval_join_avoids_cartesian(plans):
     p = plans["order_wide"]
     assert "CartesianProduct" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_ngram_jaccard_registered_query_is_df_capped(plans):
+    """The registered dedup-discovery query must carry the stop-shingle
+    document-frequency cap (textops._JACCARD_DF_CAP) — the uncapped
+    shingle self-join is the named 100 TB hazard (a shingle in k docs
+    creates k² pair rows). The cap surfaces as a post-aggregate filter
+    on the shingle df column in the physical plan."""
+    from rt_bigdata_spark.plans.textops import _JACCARD_DF_CAP
+
+    assert f"<= {_JACCARD_DF_CAP}" in plans["ngram_jaccard"]
+    assert "NestedLoopJoin" not in plans["ngram_jaccard"]
+
+
+def test_embedding_dedup_lsh_is_cell_bucketed_not_nested_loop(plans):
+    """The flagship-scale embedding dedup (LSH→exact-verify pipeline)
+    must pair rows via an equi-join on the (table, bucket) cell — never
+    a corpus-wide nested-loop/cartesian join. (Locally the tiny cell
+    table broadcasts; at scale the same equi-join shuffles on the cell
+    key — both are the bucketed shape.) The deliberately-exact
+    ``embedding_dedup`` is the O(n²) verify complement and is the ONLY
+    query allowed a BroadcastNestedLoopJoin."""
+    p = plans["embedding_dedup_lsh"]
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    # Queries where a broadcast NL/cross join is the INTENDED shape:
+    # a provably tiny side is broadcast against the corpus scan —
+    # O(n·k) with k bounded, not O(n²) over the corpus.
+    justified = {
+        "embedding_dedup",  # deliberate exact O(n²) verify complement
+        "ann_cosine_topk",  # broadcast query set (vec_id < 5) vs corpus
+        "unigram_surprisal",  # broadcast 1-row corpus token total
+        "doc_keywords",  # broadcast 1-row n_docs scalar
+    }
+    offenders = [
+        n for n, pl in plans.items()
+        if ("BroadcastNestedLoopJoin" in pl or "CartesianProduct" in pl) and n not in justified
+    ]
+    assert not offenders, f"nested-loop/cartesian joins outside the justified set: {offenders}"

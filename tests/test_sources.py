@@ -1,0 +1,58 @@
+"""load_table source hygiene: TIMESTAMP(NANOS) columns are detected
+from the parquet footer (not an allowlist) and surfaced as proper
+timestamps; micros columns pass through untouched."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+from rt_bigdata_spark.sources.tables import _nanos_ts_cols, load_table
+
+
+def _write_tbl(path: str, unit: str) -> None:
+    if unit == "us":
+        ts = pa.array([1_700_000_000_123_456, 1_700_000_111_000_000], type=pa.timestamp("us"))
+    else:
+        ts = pa.array(
+            [1_700_000_000_123_456_789, 1_700_000_111_000_000_000], type=pa.timestamp("ns")
+        )
+    tbl = pa.table({"k": pa.array([1, 2], type=pa.int64()), "created_at": ts})
+    pq.write_table(tbl, path, coerce_timestamps=None)
+
+
+def test_nanos_column_outside_allowlist_roundtrips(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_tbl(os.path.join(sf_dir, "mytable.parquet"), "ns")
+    assert _nanos_ts_cols(os.path.join(sf_dir, "mytable.parquet")) == ("created_at",)
+
+    df = load_table(spark, sf_dir, "mytable")
+    assert isinstance(df.schema["created_at"].dataType, TimestampType)
+    rows = {r["k"]: r["created_at"] for r in df.collect()}
+    # ns→µs integer division truncates sub-microsecond digits.
+    assert rows[1] == dt.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert rows[2] == dt.datetime(2023, 11, 14, 22, 15, 11)
+
+
+def test_micros_column_not_converted(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_tbl(os.path.join(sf_dir, "mtable.parquet"), "us")
+    assert _nanos_ts_cols(os.path.join(sf_dir, "mtable.parquet")) == ()
+    df = load_table(spark, sf_dir, "mtable")
+    # Micros parquet reads natively (NTZ here: isAdjustedToUTC=false);
+    # the point is it must NOT surface as a raw long.
+    assert isinstance(df.schema["created_at"].dataType, (TimestampType, TimestampNTZType))
+    assert not isinstance(df.schema["created_at"].dataType, LongType)
+
+
+def test_directory_dataset_footer_detection(spark, tmp_path):
+    d = tmp_path / "dtable.parquet"
+    d.mkdir()
+    _write_tbl(str(d / "part-000.parquet"), "ns")
+    assert _nanos_ts_cols(str(d)) == ("created_at",)
+    df = load_table(spark, str(tmp_path), "dtable")
+    assert isinstance(df.schema["created_at"].dataType, TimestampType)

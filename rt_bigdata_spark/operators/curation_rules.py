@@ -1,0 +1,129 @@
+"""Corpus curation rules for training-data pipelines: repetition
+quality signals (Gopher-style), PII detection/redaction, and benchmark
+contamination checks.
+
+Beyond-reference operators extending the SURVEY.md §7.2 step-9 layer.
+Scale design notes per operator:
+
+- ``repetition_stats``: the Gopher repetition filters (Rae et al. 2021,
+  "Scaling Language Models", App. A1.1) — most-frequent-token fraction
+  and duplicate/top bigram fractions. Two exploded two-level
+  aggregations keyed by (doc_id, gram): maximal key cardinality, so the
+  shuffle cannot skew; partial aggregation combines map-side.
+- ``pii_scrub``: pure map-side regexp count + chained redaction — one
+  scan, no shuffle, no Python. Patterns are written in the common
+  Java-regex/RE2 dialect subset so the DuckDB oracle runs the SAME
+  pattern strings (the oracle is the cross-engine dialect check).
+- ``contamination_pairs``: n-gram overlap against a small probe set
+  (the benchmark/eval suite in a real deployment). The probe side is
+  broadcast — corpus-side work is one map-side shingle explode + a
+  broadcast hash join; the only shuffle is the final per-pair count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from rt_bigdata_spark.functions.text_fns import tokenize
+from rt_bigdata_spark.operators.dedup import word_shingles
+from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+# PII patterns — the Java-regex ∩ RE2 dialect subset (no lookarounds,
+# no backrefs), so Spark and DuckDB execute the identical strings.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition signals: (doc_id, n_tokens, top_token_frac,
+    top_bigram_frac, dup_bigram_frac).
+
+    top_token_frac = count of the most frequent token / n_tokens;
+    top_bigram_frac likewise over all (overlapping) bigrams;
+    dup_bigram_frac = 1 − distinct_bigrams / total_bigrams. High values
+    of any of these are the classic low-quality/templated-content
+    signal the Gopher rules cut on. Docs with zero tokens drop out
+    (nothing to score); docs with one token carry NULL bigram columns
+    (mirrored by the oracle's LEFT JOIN).
+    """
+    df = ensure_parallelism(df)
+    ident = F.col(id_col)
+    toks = df.select(ident, F.explode(tokenize(F.col(text_col))).alias("tok"))
+    tokc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("ct"))
+    tstats = tokc.groupBy(id_col).agg(
+        F.sum("ct").cast("long").alias("n_tokens"),
+        F.round(F.max("ct").cast("double") / F.sum("ct"), 6).alias("top_token_frac"),
+    )
+    tl = df.select(ident, tokenize(F.col(text_col)).alias("t")).filter(F.size("t") >= 2)
+    bigram = tl.select(
+        ident,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+            )
+        ).alias("bg"),
+    )
+    bgc = bigram.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("ct"))
+    bstats = bgc.groupBy(id_col).agg(
+        F.round(F.max("ct").cast("double") / F.sum("ct"), 6).alias("top_bigram_frac"),
+        F.round(F.lit(1) - F.count(F.lit(1)).cast("double") / F.sum("ct"), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
+    return tstats.join(bstats, id_col, "left")
+
+
+def _redact(text: Column) -> Column:
+    """Chained redaction; order matters (and is mirrored in the oracle):
+    emails first (most specific), then SSN-shaped, then the broad phone
+    pattern which would otherwise eat SSN digit runs."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_SSN, "<SSN>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII accounting + redaction: (doc_id, email_ct, ssn_ct,
+    phone_ct, clean_sig) where clean_sig is md5 of the redacted text
+    (the compact, hashable witness that both engines redacted to the
+    same bytes). One map-side pass; counts run against the ORIGINAL
+    text so overlapping patterns don't hide each other."""
+    t = F.col(text_col)
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("email_ct"),
+        F.regexp_count(t, F.lit(PII_SSN)).cast("long").alias("ssn_ct"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("phone_ct"),
+        F.md5(_redact(t)).alias("clean_sig"),
+    )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    probe_ids_below: int = 5,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: (doc_id, probe_id, shared_ngrams)
+    for every corpus doc sharing ≥1 word ``n``-gram with a probe doc
+    (the stand-in for an eval-suite decontamination list). Shingles are
+    distinct per doc, so shared_ngrams counts distinct shared n-grams.
+
+    The probe side is tiny by construction and broadcast; the corpus
+    side is one map-side shingle explode. 8-grams are the standard
+    decontamination unit (GPT-3 appendix C uses 8-13)."""
+    df = ensure_parallelism(df)
+    grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+    probes = grams.filter(F.col(id_col) < probe_ids_below).select(
+        F.col(id_col).alias("probe_id"), "g"
+    )
+    return (
+        grams.join(F.broadcast(probes), "g")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .groupBy(id_col, "probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )

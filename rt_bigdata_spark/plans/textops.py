@@ -795,6 +795,92 @@ QUALIFY rk <= 3
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (curation_rules.
+    repetition_stats): most-frequent-token fraction + duplicate/top
+    bigram fractions per document."""
+    from rt_bigdata_spark.operators.curation_rules import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents),
+tokc AS (SELECT doc_id, tok, COUNT(*) AS ct FROM toks GROUP BY 1, 2),
+tstats AS (
+  SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens,
+         ROUND(CAST(MAX(ct) AS DOUBLE) / SUM(ct), 6) AS top_token_frac
+  FROM tokc GROUP BY doc_id
+),
+tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)]) AS bg
+  FROM tl WHERE len(t) >= 2
+),
+bgc AS (SELECT doc_id, bg, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
+bstats AS (
+  SELECT doc_id,
+         ROUND(CAST(MAX(ct) AS DOUBLE) / SUM(ct), 6) AS top_bigram_frac,
+         ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(ct), 6) AS dup_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.top_token_frac, b.top_bigram_frac, b.dup_bigram_frac
+FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting (curation_rules.pii_scrub).
+    The oracle runs the IDENTICAL pattern strings under RE2 — the
+    cross-engine regex-dialect check; counts here are zero on the
+    synthetic corpus, and the redaction semantics are value-tested on a
+    PII fixture in tests/test_curation_rules.py."""
+    from rt_bigdata_spark.operators.curation_rules import pii_scrub
+
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    from rt_bigdata_spark.operators.curation_rules import PII_EMAIL, PII_PHONE, PII_SSN
+
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS email_ct,
+       CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT) AS ssn_ct,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS phone_ct,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_SSN}', '<SSN>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS clean_sig
+FROM documents
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination pairs (curation_rules.contamination_pairs):
+    corpus docs sharing a word 8-gram with the probe set (doc_id < 5
+    stands in for the eval-suite decontamination list)."""
+    from rt_bigdata_spark.operators.curation_rules import contamination_pairs
+
+    return contamination_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_CONTAMINATION = f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([array_to_string(t[i:i+7], ' ')
+                               FOR i IN generate_series(1, greatest(len(t) - 7, 1))])) AS g
+  FROM tl
+),
+probes AS (SELECT doc_id AS probe_id, g FROM g WHERE doc_id < 5)
+SELECT c.doc_id, p.probe_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM g c JOIN probes p ON c.g = p.g AND c.doc_id <> p.probe_id
+GROUP BY 1, 2
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -832,5 +918,13 @@ for spec in [
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
     QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
+    # priority=70: oracle-backed but deliberately OUTSIDE the driver's
+    # 50-row window (registered late in round 4) — displacing a
+    # thrice-green window row for them would cost more verification
+    # signal than it adds; tests/test_oracle_parity.py checks them
+    # every run with the identical rowset contract.
+    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), priority=70),
+    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=70),
+    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), priority=70),
 ]:
     register(spec)

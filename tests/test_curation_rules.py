@@ -1,0 +1,126 @@
+"""Curation-rule operators: Gopher repetition signals, PII scrub
+(including cross-engine regex-dialect parity on a fixture that
+actually contains PII — the corpus has none), and benchmark
+contamination pairs."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rt_bigdata_spark.operators.curation_rules import (
+    PII_EMAIL,
+    PII_PHONE,
+    PII_SSN,
+    contamination_pairs,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    rows = [
+        (1, "spam spam spam spam"),  # one token repeated: top_token_frac 1.0
+        (2, "a b a b a b"),  # alternating: top bigram "a b" = 3/5
+        (3, "all words here differ completely"),  # no repetition
+        (4, "solo"),  # single token: bigram columns NULL
+        (5, ""),  # zero tokens: dropped entirely
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_repetition_stats_values(spark, rep_docs):
+    out = {r.doc_id: r for r in repetition_stats(rep_docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 (zero tokens) drops
+
+    assert out[1].n_tokens == 4
+    assert out[1].top_token_frac == 1.0
+    assert out[1].top_bigram_frac == 1.0  # all 3 bigrams are "spam spam"
+    assert out[1].dup_bigram_frac == pytest.approx(1 - 1 / 3, abs=1e-6)
+
+    assert out[2].n_tokens == 6
+    assert out[2].top_token_frac == 0.5
+    assert out[2].top_bigram_frac == 0.6  # "a b" 3 of 5
+    assert out[2].dup_bigram_frac == 0.6  # 2 distinct of 5
+
+    assert out[3].top_token_frac == 0.2
+    assert out[3].top_bigram_frac == 0.25
+    assert out[3].dup_bigram_frac == 0.0
+
+    assert out[4].n_tokens == 1
+    assert out[4].top_bigram_frac is None and out[4].dup_bigram_frac is None
+
+
+PII_ROWS = [
+    (1, "contact jane.doe+spam@example-mail.co.uk or call +1 (555) 123-4567 now"),
+    (2, "ssn 123-45-6789 appears, then email bob@corp.io, then 555 867 5309"),
+    (3, "no pii at all in this document"),
+    (4, "double first.last@a.de second@b.fr emails"),
+]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].email_ct, out[1].ssn_ct, out[1].phone_ct) == (1, 0, 1)
+    assert (out[2].email_ct, out[2].ssn_ct, out[2].phone_ct) == (1, 1, 2)
+    assert (out[3].email_ct, out[3].ssn_ct, out[3].phone_ct) == (0, 0, 0)
+    assert out[4].email_ct == 2
+
+
+def test_pii_scrub_matches_duckdb_on_pii_fixture(spark):
+    """The registered pii_scrub oracle only sees the PII-free corpus;
+    this pins the dialect equivalence (Java regex vs RE2) where it
+    matters — on text with real matches, including the redacted-bytes
+    md5 witness."""
+    df = spark.createDataFrame(PII_ROWS, "doc_id: long, text: string")
+    s_rows = {tuple(r) for r in pii_scrub(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", PII_ROWS)
+    d_rows = set(
+        con.execute(
+            f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '{PII_SSN}')) AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT),
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_SSN}', '<SSN>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g'))
+            FROM d
+            """
+        ).fetchall()
+    )
+    assert s_rows == d_rows
+
+
+def test_contamination_pairs(spark):
+    toks = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, toks),  # probe
+        (10, "prefix words then " + toks + " suffix"),  # contains probe 8-grams
+        (11, "entirely unrelated words with no overlap whatsoever here"),
+        (12, toks),  # identical to probe
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {(r.doc_id, r.probe_id): r.shared_ngrams for r in contamination_pairs(df, probe_ids_below=5).collect()}
+    assert (10, 0) in out and out[(10, 0)] == 3  # probe's 3 distinct 8-grams all present
+    assert (12, 0) in out and out[(12, 0)] == 3
+    assert all(doc != 11 for doc, _ in out)
+
+
+def test_contamination_probe_side_is_broadcast(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(i, f"w{i} x y z a b c d e") for i in range(20)], "doc_id: long, text: string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        contamination_pairs(df).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

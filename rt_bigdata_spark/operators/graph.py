@@ -40,6 +40,15 @@ def connected_components(
     Deterministic (min over ids — no hash-partitioning dependence), so
     results are oracle-comparable; the DuckDB equivalent is a recursive
     CTE over the symmetrized edge set.
+
+    The iteration runs over the ACTIVE subgraph only — nodes that
+    appear in at least one edge. A node with no edges can never change
+    its label, so looping it through every round is pure waste; after a
+    near-dup pair discovery the edge-touched set is a small fraction of
+    the corpus (the whole point of dedup is that most docs are unique),
+    which shrinks every per-round shuffle from |corpus| to |near-dup
+    subgraph|. Singletons get their self-label in the single final
+    left join.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # localCheckpoint on every iterative frontier: persist alone does
@@ -50,7 +59,8 @@ def connected_components(
     # on a cluster prefer reliable `checkpoint()` to keep executor-loss
     # recovery.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint()
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint()
+    # Symmetrized, so the a-side alone covers every edge-touched node.
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
         # each node also receives its neighbors' current labels …
         neigh = e.join(labels, e["b"] == labels["node"]).select(
@@ -68,7 +78,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    out = nodes.select(F.col(id_col).alias("node")).join(labels, "node", "left")
+    return out.select("node", F.coalesce("label", "node").alias("label"))
 
 
 def _star_edges(e: DataFrame, large: bool) -> DataFrame:

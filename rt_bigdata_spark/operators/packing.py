@@ -1,0 +1,84 @@
+"""Sequence packing operators for training-data pipelines: fixed-size
+document chunking and deterministic per-source token budgeting.
+
+Beyond-reference operators extending the SURVEY.md §7.2 step-9 layer.
+
+- ``chunk_documents``: split each document into fixed-token-count
+  chunks (the pre-tokenizer packing step every LM data pipeline runs).
+  Pure map-side transform+explode — no shuffle, scales with the scan.
+- ``token_budget_sample``: fill a per-source token budget with a
+  DETERMINISTIC document order (md5 of content, doc_id tie-break), the
+  "take the first N tokens of this source" mixing primitive. Content-
+  keyed order means re-runs and budget raises produce nested subsets
+  (same property as sampling.weighted_sample). One window per source:
+  partition-by-source sort — at 100 TB with few giant sources, replace
+  the full sort with a two-pass threshold estimate (percentile of the
+  priority hash at budget/total_tokens) + filter; the exact window
+  form is the oracle-checkable reference semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from rt_bigdata_spark.functions.text_fns import tokenize
+from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per ``chunk_tokens``-token chunk: (doc_id, chunk_id,
+    n_tokens, chunk_text). The final chunk carries the remainder;
+    zero-token documents produce no chunks (nothing to pack)."""
+    k = chunk_tokens
+    df = ensure_parallelism(df)
+    toked = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("t")).filter(F.size("t") > 0)
+    n_chunks = F.floor((F.size("t") + F.lit(k - 1)) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(F.lit(k), F.size("t") - i * k).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("t", i * k + 1, k)).alias("chunk_text"),
+        ),
+    )
+    return toked.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.n_tokens", "c.chunk_text"
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents per group, in deterministic md5-priority order,
+    while the group's running token total has not yet reached
+    ``budget_tokens``: a document is kept iff the tokens BEFORE it are
+    under budget (so the budget may be exceeded by at most one
+    document — the standard greedy fill). Output: (doc_id, group,
+    n_tokens, cum_tokens)."""
+    df = ensure_parallelism(df)
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("pr"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("pr", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

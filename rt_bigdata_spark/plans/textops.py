@@ -881,6 +881,51 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-64-token sequence packing (packing.chunk_documents):
+    map-side transform+explode, no shuffle."""
+    from rt_bigdata_spark.operators.packing import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+_ORACLE_CHUNKS = f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+nz AS (SELECT doc_id, t FROM tl WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(least(64, len(t) - i * 64) AS BIGINT) AS n_tokens,
+       array_to_string(t[i * 64 + 1 : i * 64 + 64], ' ') AS chunk_text
+FROM nz, UNNEST(range((len(t) + 63) // 64)) AS u(i)
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2000-token greedy budget fill in deterministic
+    md5-priority order (packing.token_budget_sample)."""
+    from rt_bigdata_spark.operators.packing import token_budget_sample
+
+    return token_budget_sample(load_table(spark, sf_dir, "documents"), budget_tokens=2000)
+
+
+_ORACLE_TOKEN_BUDGET = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         md5(text) AS pr
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 2000
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -926,5 +971,7 @@ for spec in [
     QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), priority=70),
     QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=70),
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), priority=70),
+    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), priority=70),
+    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), priority=70),
 ]:
     register(spec)

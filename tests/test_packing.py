@@ -1,0 +1,64 @@
+"""Sequence-packing operators: fixed-token chunking and deterministic
+per-source token budgeting."""
+
+from __future__ import annotations
+
+from rt_bigdata_spark.operators.packing import chunk_documents, token_budget_sample
+
+
+def test_chunk_documents_exact_split(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens → 4+4+2 at k=4
+        (2, "a b c"),  # 3 tokens → one short chunk
+        (3, ""),  # 0 tokens → no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=4).collect()
+    )
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w4 w5 w6 w7"),
+        (1, 2, 2, "w8 w9"),
+        (2, 0, 3, "a b c"),
+    ]
+
+
+def test_chunk_reassembly_is_lossless(spark, sf_dir):
+    """Concatenating a doc's chunks in chunk_id order must reproduce
+    its full token stream — packing cannot drop or duplicate tokens."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.functions.text_fns import tokenize
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    chunks = chunk_documents(docs, chunk_tokens=7)
+    rebuilt = {
+        r.doc_id: r.joined
+        for r in chunks.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))).getField("chunk_text")).alias("joined"))
+        .collect()
+    }
+    expected = {
+        r.doc_id: r.joined
+        for r in docs.select("doc_id", F.concat_ws(" ", tokenize(F.col("text"))).alias("joined")).collect()
+        if r.joined
+    }
+    assert rebuilt == expected
+
+
+def test_token_budget_fill_and_nesting(spark):
+    rows = [(i, "s", " ".join(f"t{i}w{j}" for j in range(10))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+
+    out30 = {r.doc_id for r in token_budget_sample(df, 30, group_col="source").collect()}
+    out60 = {r.doc_id for r in token_budget_sample(df, 60, group_col="source").collect()}
+    assert len(out30) == 3  # 10 tokens/doc: exactly 3 docs fill a 30-token budget
+    assert len(out60) == 6
+    assert out30 <= out60  # nested-subset property of the content-keyed order
+
+    full = token_budget_sample(df, 10_000, group_col="source").collect()
+    assert {r.doc_id for r in full} == set(range(10))
+    assert max(r.cum_tokens for r in full) == 100

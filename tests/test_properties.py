@@ -57,3 +57,82 @@ def test_bpe_token_count_matches_python_regex(spark, texts):
     got = {r.id: r.n for r in df.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(pat.findall(t.lower())), repr(t)
+
+
+PII_TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab @.+-()0123456789x\n")),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(texts=PII_TEXTS)
+@settings(max_examples=12, deadline=None)
+def test_pii_counts_match_python_regex(spark, texts):
+    """pii_scrub's counts (Java regex) must agree with Python re on
+    adversarial digit/@/paren soup — a third dialect witness next to
+    the DuckDB RE2 parity fixture."""
+    from rt_bigdata_spark.operators.curation_rules import (
+        PII_EMAIL,
+        PII_PHONE,
+        PII_SSN,
+        pii_scrub,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.email_ct, r.ssn_ct, r.phone_ct) for r in pii_scrub(df).collect()}
+    for i, t in rows:
+        exp = tuple(len(re.findall(p, t)) for p in (PII_EMAIL, PII_SSN, PII_PHONE))
+        assert got[i] == exp, (t, got[i], exp)
+
+
+CHUNK_TEXTS = st.lists(
+    st.text(alphabet=st.sampled_from(list("abz 019 .,!-\u00e9\u4e2d\n\t")), max_size=60),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _py_tokenize(t: str) -> list[str]:
+    """Python reference for text_fns.tokenize: maximal runs of unicode
+    letters/digits of the lowercased text (Java \\p{L}\\p{N})."""
+    import unicodedata
+
+    out, cur = [], []
+    for ch in t.lower():
+        if unicodedata.category(ch)[0] in ("L", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+@given(texts=CHUNK_TEXTS)
+@settings(max_examples=10, deadline=None)
+def test_chunking_is_lossless_and_sized(spark, texts):
+    """chunk_documents invariants on arbitrary text: chunk token counts
+    are k except possibly the last, they sum to the doc's token count,
+    and reassembly reproduces the token stream."""
+    from rt_bigdata_spark.operators.packing import chunk_documents
+
+    k = 5
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    chunks = {}
+    for r in chunk_documents(df, chunk_tokens=k).collect():
+        chunks.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk_text))
+    for i, t in rows:
+        toks = _py_tokenize(t)
+        got = sorted(chunks.get(i, []))
+        assert [c[0] for c in got] == list(range(len(got)))
+        assert sum(c[1] for c in got) == len(toks)
+        assert all(c[1] == k for c in got[:-1])
+        if toks:
+            assert " ".join(c[2] for c in got).split(" ") == toks

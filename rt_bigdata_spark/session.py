@@ -87,6 +87,42 @@ def get_spark(app_name: str = "rt_bigdata_spark", extra_conf: dict[str, str] | N
     return builder.getOrCreate()
 
 
+def get_hive_spark(
+    warehouse_dir: str,
+    app_name: str = "rt_bigdata_spark-hive",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """SparkSession with a persistent Hive catalog (S13 — the
+    reference's HiveCatalog registration, rt-flink
+    demo/$01_FlinkWithHive.scala:27-63).
+
+    Uses the embedded Derby metastore rooted under ``warehouse_dir``:
+    databases/tables created via ``spark.sql("CREATE TABLE ...")`` or
+    ``df.write.saveAsTable`` survive process restarts (verified
+    cross-process in tests/test_hive_catalog.py). In a cluster deploy
+    point ``hive.metastore.uris`` at the shared metastore instead; the
+    engine code is identical — only this factory changes.
+
+    Note: one catalog implementation per JVM — call this from a fresh
+    process, not after ``get_spark`` has already built an in-memory-
+    catalog session.
+    """
+    conf = dict(_DEFAULTS)
+    conf.update(
+        {
+            "spark.sql.warehouse.dir": os.path.join(warehouse_dir, "warehouse"),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={os.path.join(warehouse_dir, 'derby')}",
+        }
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.enableHiveSupport().getOrCreate()
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -1,0 +1,96 @@
+"""Driver simulation (the /verify recipe): runs __spark_entry__.entry()
+plus every queries() entry vs its oracle_sql() on DuckDB at sf0.01,
+comparing row count, sorted column names, and order-insensitive
+normalized value sets — the same contract the correctness driver
+applies. Usage:
+
+    timeout 580 python scripts/driver_sim.py      # expect FAILED: none
+    SIM_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sim.py
+"""
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo")
+
+import duckdb
+
+from rt_bigdata_spark.session import get_spark
+
+SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        return ("f", "nan") if math.isnan(v) else ("f", repr(v))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    return ("o", repr(v))
+
+
+def rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+
+
+import __spark_entry__ as entrymod
+
+spark = get_spark("driver-sim")
+spark.sparkContext.setLogLevel("ERROR")
+
+edf = entrymod.entry(spark)
+n = edf.count()
+print(f"entry(): {n} rows, schema={[f.name for f in edf.schema.fields]}", flush=True)
+
+duck = duckdb.connect()
+for t in TABLES:
+    duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+queries = entrymod.queries()
+oracles = entrymod.oracle_sql()
+print(f"{len(queries)} queries, {len(oracles)} oracles; window[:50] all-oracle="
+      f"{all(name in oracles for name in list(queries)[:50])}", flush=True)
+
+failed = []
+for name, fn in queries.items():
+    try:
+        sdf = fn(spark, SF_DIR)
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only {len(s_rows)} rows OK", flush=True)
+            continue
+        res = duck.execute(oracles[name])
+        d_cols = [c[0].lower() for c in res.description]
+        d_rows = res.fetchall()
+        if sorted(s_cols) != sorted(d_cols):
+            raise AssertionError(f"cols {s_cols} vs {d_cols}")
+        if len(s_rows) != len(d_rows):
+            raise AssertionError(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if rowset(s_cols, s_rows) != rowset(d_cols, d_rows):
+            s_set, d_set = rowset(s_cols, s_rows), rowset(d_cols, d_rows)
+            diff = [r for r in s_set if r not in d_set][:2]
+            raise AssertionError(f"values differ, e.g. spark-only {diff}")
+        print(f"{name}: MATCH ({len(s_rows)} rows)", flush=True)
+    except Exception as e:
+        failed.append(name)
+        print(f"{name}: MISMATCH {e}", flush=True)
+
+print("FAILED:", ", ".join(failed) if failed else "none")
+spark.stop()

@@ -16,7 +16,16 @@ from pyspark.sql import DataFrame
 
 def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Repartition iff the DataFrame has fewer partitions than
-    ``min_factor ×`` the cluster's default parallelism."""
+    ``min_factor ×`` the cluster's default parallelism.
+
+    Streaming DataFrames pass through untouched: the partition probe
+    (`df.rdd`) is an eager action that streaming plans forbid, and
+    micro-batch parallelism is governed by the source's own options
+    (maxFilesPerTrigger, minPartitions) — so the batch-only widening
+    simply doesn't apply. This keeps every operator that calls it
+    usable verbatim on streams (the batch=stream contract)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):

@@ -124,3 +124,43 @@ def test_contamination_probe_side_is_broadcast(spark):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_curation_ops_run_unchanged_on_streams(spark, tmp_path):
+    """Batch=stream promise for the map-side curation layer: pii_scrub
+    and chunk_documents are plain DataFrame->DataFrame functions, so
+    the SAME code must run on a streaming DataFrame (file source,
+    micro-batch) and produce the batch answer."""
+    import json
+
+    from rt_bigdata_spark.operators.packing import chunk_documents
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "mail me at a@b.io today one two three four five six"},
+        {"doc_id": 2, "text": "clean text with several words to chunk into pieces"},
+    ]
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    assert stream.isStreaming
+
+    scrubbed = pii_scrub(stream)
+    chunked = chunk_documents(stream, chunk_tokens=4)
+
+    q1 = scrubbed.writeStream.format("memory").queryName("pii_out").outputMode("append").start()
+    q2 = chunked.writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got_pii = {r.doc_id: r.email_ct for r in spark.sql("SELECT * FROM pii_out").collect()}
+        got_chunks = spark.sql("SELECT * FROM chunk_out").count()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    batch_df = spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows], "doc_id: long, text: string")
+    assert got_pii == {r.doc_id: r.email_ct for r in pii_scrub(batch_df).collect()}
+    assert got_pii[1] == 1 and got_pii[2] == 0
+    assert got_chunks == chunk_documents(batch_df, chunk_tokens=4).count()

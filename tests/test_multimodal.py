@@ -71,3 +71,38 @@ def test_media_features_query_pins_kernel_values(spark, sf_dir):
         row = out[doc_id]
         got = [row[f"f{i}"] for i in range(FEATURE_DIM)]
         assert got == [round(v, 6) for v in expected], f"doc {doc_id}"
+
+
+def test_media_frames_query_pins_cadence_and_bytes(spark, sf_dir):
+    """Sibling of the media_features value test: the registered
+    q_media_frames is rows-only at the driver, so pin its semantics
+    here — documents_as_media sets duration_ms=0, giving exactly ONE
+    frame at ts 0 whose stub bytes are the first 16 bytes of the
+    content; and a nonzero duration yields the 1s cadence."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.plans.textops import q_media_frames
+    from rt_bigdata_spark.sources.tables import load_table as lt
+
+    docs = {r.doc_id: r.text for r in lt(spark, sf_dir, "documents").limit(5).collect()}
+    rows = [r for r in q_media_frames(spark, sf_dir).collect() if r.media_id in docs]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == 1  # duration 0 → single frame
+        assert frames[0].frame_ts_ms == 0
+        assert bytes(frames[0].frame_bytes) == docs[doc_id].encode("utf-8")[:16]
+
+    # nonzero duration: ceil-less cadence, duration//1000 frames
+    from rt_bigdata_spark.operators.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(lt(spark, sf_dir, "documents").limit(3)).withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(3500).cast("long"))
+    )
+    out = frame_sample(media, every_ms=1000)
+    per = {r[0]: r[1] for r in out.groupBy("media_id").count().collect()}
+    assert all(v == 3 for v in per.values())
+    ts = sorted(r.frame_ts_ms for r in out.filter(F.col("media_id") == min(per)).collect())
+    assert ts == [0, 1000, 2000]

@@ -15,7 +15,7 @@ ODS→DWD→DWM→DWS pipeline) as an idiomatic Spark engine:
   analysis, multimodal plumbing) on the same DataFrame substrate.
 """
 
-from rt_bigdata_spark.session import get_spark, stop_spark
+from rt_bigdata_spark.session import get_hive_spark, get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_hive_spark", "get_spark", "stop_spark"]
 __version__ = "0.1.0"

@@ -148,6 +148,42 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"))
 
 
+def _banded(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc, signature, band, bucket) rows: ``bands`` LSH cells per
+    signature, bucket = md5 of the band's signature slice."""
+    return sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.transform(F.slice("signature", b * r + 1, r), lambda x: x.cast("string"))
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+
+def _est_agreement(num_hashes: int) -> Column:
+    """Estimated Jaccard between aliased signatures a/b: fraction of
+    agreeing minhash positions."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    ).cast("double")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -173,21 +209,7 @@ def minhash_lsh_pairs(
     # aggregation runs once. At warehouse scale this stage would be
     # written to its own table instead.
     sig = sig.persist()
-    banded = sig.select(
-        "doc",
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(F.concat_ws(",", F.transform(F.slice("signature", b * r + 1, r), lambda x: x.cast("string")))).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", "signature", "bb.band", "bb.bucket")
+    banded = _banded(sig, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
     # Score per collision, THEN dedup on the (doc_a, doc_b) key: first()
@@ -195,15 +217,7 @@ def minhash_lsh_pairs(
     # signature arrays would force a sort-based aggregate. A pair
     # colliding in k bands is scored k (≤ bands) times — cheaper than
     # the sort at any realistic duplicate rate.
-    agreement = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
-                lambda v: v,
-            )
-        )
-        / F.lit(num_hashes)
-    ).cast("double")
+    agreement = _est_agreement(num_hashes)
     return (
         a.join(
             b,
@@ -380,6 +394,58 @@ def incremental_exact_dedup(
         kept = batch.join(seen_sigs.select("sig"), "sig", "left_anti")
         updated = seen_sigs.select("sig", id_col).unionByName(kept.select("sig", id_col))
     return kept.select(id_col, text_col, "sig"), updated
+
+
+def incremental_minhash_lsh(
+    new_docs: DataFrame,
+    seen_sigs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-shaped near-dup discovery: LSH candidates between the NEW
+    batch and the accumulated corpus (``seen_sigs`` — the persisted
+    (doc, signature) table from prior batches), never all×all. Returns
+    ``(pairs, updated_sigs)``; persist ``updated_sigs`` between batches
+    exactly like ``incremental_exact_dedup``'s signature table.
+
+    The production complement of ``minhash_lsh_pairs``: re-running the
+    full self-join on every ingest re-pays O(corpus) pairing per batch,
+    while here the banded join is new×(new+corpus) — the corpus side is
+    touched only through its stored signatures (~260 B/doc, no re-scan
+    or re-shingling of old text), and at warehouse scale the stored
+    sig table is bucketed on the band/bucket key so the join co-locates.
+    Pairs are normalized (doc_a < doc_b) so new-new pairs emit once;
+    old-old pairs never re-emit. ``df_cap`` is evaluated within the new
+    batch only (batch-local stop-shingle control — a corpus-global df
+    would require re-reading old text, defeating the incremental shape).
+    """
+    r = num_hashes // bands
+    sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, df_cap=df_cap).persist()
+    all_sigs = sig_new if seen_sigs is None else seen_sigs.unionByName(sig_new)
+    a = _banded(sig_new, bands, r).alias("a")
+    b = _banded(all_sigs, bands, r).alias("b")
+    agreement = _est_agreement(num_hashes)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+            agreement.alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est").alias("est_jaccard"))
+    )
+    return pairs, all_sigs
 
 
 def streaming_exact_dedup(

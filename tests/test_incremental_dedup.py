@@ -88,3 +88,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r["doc_id"] for r in spark.table("dedup_wm").collect()] == [1]
+
+
+def test_incremental_minhash_lsh_finds_cross_batch_near_dups(spark):
+    """Ingest-shaped LSH: batch-2 docs must pair against batch-1 docs
+    through the STORED signatures only; old-old pairs never re-emit."""
+    from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words about spark engines")],
+        "doc_id: long, text: string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " tail"), (11, "unrelated new content with novel tokens entirely")],
+        "doc_id: long, text: string",
+    )
+
+    pairs1, sigs1 = incremental_minhash_lsh(b1, None, threshold=0.3)
+    got1 = {(r.doc_a, r.doc_b) for r in pairs1.collect()}
+    assert (1, 2) in got1  # in-batch near-dup found on the first batch
+
+    pairs2, sigs2 = incremental_minhash_lsh(b2, sigs1, threshold=0.3)
+    got2 = {(r.doc_a, r.doc_b) for r in pairs2.collect()}
+    assert any(10 in p for p in got2)  # new doc pairs with the stored corpus
+    assert (1, 2) not in got2  # old-old pairs never re-emit
+    assert all(10 in p or 11 in p for p in got2)  # every pair touches the new batch
+    assert sigs2.count() == 5  # signature table accumulated
+
+    # Equivalence: incremental pairs across both batches ⊆ full-corpus
+    # LSH pairs at the same threshold (the full run also sees old-old).
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(b1.unionByName(b2), threshold=0.3).collect()
+    }
+    assert got2 <= full
+    assert got1 <= full

@@ -201,6 +201,11 @@ def minhash_lsh_pairs(
     the bucket groupBy; candidate pairs are bucket-local. ``df_cap``
     passes through to the signature stage (stop-shingle control).
     """
+    if num_hashes % bands:
+        # r=0 (bands > num_hashes) would hash every doc into the SAME
+        # md5("") bucket in every band — a silent all-pairs explosion;
+        # a non-dividing bands silently ignores trailing hash positions.
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, df_cap=df_cap)
     # The self-join's two sides are planned as two full signature
@@ -422,9 +427,22 @@ def incremental_minhash_lsh(
     old-old pairs never re-emit. ``df_cap`` is evaluated within the new
     batch only (batch-local stop-shingle control — a corpus-global df
     would require re-reading old text, defeating the incremental shape).
+
+    Redelivery-safe: docs whose id already exists in ``seen_sigs`` are
+    dropped (anti-join on the id) before signatures are computed, so an
+    ingest retry neither grows the signature state nor re-pairs — the
+    same idempotency contract as ``incremental_exact_dedup``. No
+    ``persist`` here: the caller owns the state lifecycle (writing
+    ``updated_sigs`` to its table per batch materializes the new
+    signatures exactly once; a persist inside the operator would leak
+    one cached DataFrame per batch with no handle to unpersist).
     """
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     r = num_hashes // bands
-    sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, df_cap=df_cap).persist()
+    if seen_sigs is not None:
+        new_docs = new_docs.join(seen_sigs.select(F.col("doc").alias(id_col)), id_col, "left_anti")
+    sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, df_cap=df_cap)
     all_sigs = sig_new if seen_sigs is None else seen_sigs.unionByName(sig_new)
     a = _banded(sig_new, bands, r).alias("a")
     b = _banded(all_sigs, bands, r).alias("b")

@@ -56,7 +56,17 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
         except ValueError:
             continue
         if lt.get("Type") == "Timestamp" and lt.get("timeUnit") == "nanoseconds":
-            out.append(col.path.split(".", 1)[0])
+            if "." in col.path:
+                # A nanos field nested inside a struct/list cannot be
+                # fixed by the top-level withColumn rewrite below, and
+                # letting it through would silently surface a raw long
+                # inside the struct — fail loudly instead.
+                raise NotImplementedError(
+                    f"TIMESTAMP(NANOS) at nested path {col.path!r} in {path}: "
+                    "only top-level nanos columns are auto-converted; restructure "
+                    "the source or convert the nested field explicitly"
+                )
+            out.append(col.path)
     return tuple(out)
 
 

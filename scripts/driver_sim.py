@@ -7,9 +7,6 @@ applies. Usage:
     timeout 580 python scripts/driver_sim.py      # expect FAILED: none
     SIM_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sim.py
 """
-import datetime as dt
-import decimal
-import math
 import os
 import sys
 
@@ -24,29 +21,7 @@ SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
-    if v is None:
-        return ("null",)
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, str):
-        return ("s", v)
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        return ("f", "nan") if math.isnan(v) else ("f", repr(v))
-    if isinstance(v, dt.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, dt.date):
-        return ("d", v.isoformat())
-    return ("o", repr(v))
-
-
-def rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+from rt_bigdata_spark.testing import rowset  # noqa: E402  (shared compare contract)
 
 
 import __spark_entry__ as entrymod

@@ -124,3 +124,24 @@ def test_incremental_minhash_lsh_finds_cross_batch_near_dups(spark):
     }
     assert got2 <= full
     assert got1 <= full
+
+
+def test_incremental_minhash_lsh_is_redelivery_safe_and_validates_bands(spark):
+    from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, "totally different doc here")],
+        "doc_id: long, text: string",
+    )
+    _, sigs1 = incremental_minhash_lsh(b1, None, threshold=0.3)
+    sigs1 = spark.createDataFrame(sigs1.collect(), sigs1.schema)  # "persisted" state
+
+    # Redelivering the SAME batch must not grow state or emit pairs.
+    pairs_r, sigs_r = incremental_minhash_lsh(b1, sigs1, threshold=0.3)
+    assert pairs_r.count() == 0
+    assert sigs_r.count() == sigs1.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        incremental_minhash_lsh(b1, None, num_hashes=8, bands=16)

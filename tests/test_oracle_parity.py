@@ -5,13 +5,10 @@ the same contract the driver's CORRECTNESS gate applies."""
 
 from __future__ import annotations
 
-import datetime as dt
-import decimal
-import math
-
 import pytest
 
 from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
+from rt_bigdata_spark.testing import norm_cell as _norm, rowset as _shared_rowset
 
 _ensure_loaded()
 
@@ -19,34 +16,7 @@ ORACLE_SPECS = [s for s in REGISTRY.values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
 
 
-def _norm(v):
-    """Normalize a cell so Spark and DuckDB values compare equal.
-    Every value is wrapped in a tagged tuple so heterogeneous columns
-    (and NULLs) sort without TypeError."""
-    if v is None:
-        return ("null",)
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, str):
-        return ("s", v)
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, dt.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, dt.date):
-        return ("d", v.isoformat())
-    return ("o", repr(v))
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+_rowset = _shared_rowset
 
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)

@@ -56,3 +56,21 @@ def test_directory_dataset_footer_detection(spark, tmp_path):
     assert _nanos_ts_cols(str(d)) == ("created_at",)
     df = load_table(spark, str(tmp_path), "dtable")
     assert isinstance(df.schema["created_at"].dataType, TimestampType)
+
+
+def test_nested_nanos_column_fails_loudly(tmp_path):
+    """A TIMESTAMP(NANOS) field inside a struct can't be fixed by the
+    top-level rewrite — it must raise, not silently surface as a long."""
+    import pytest
+
+    inner = pa.array([1_700_000_000_123_456_789], type=pa.timestamp("ns"))
+    tbl = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "meta": pa.StructArray.from_arrays([inner], names=["ts_ns"]),
+        }
+    )
+    path = str(tmp_path / "nested.parquet")
+    pq.write_table(tbl, path)
+    with pytest.raises(NotImplementedError, match="nested"):
+        _nanos_ts_cols(path)

@@ -383,6 +383,47 @@ WHERE rk <= {k}
 """
 
 
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the retrieval shape of a
+    training-data/RAG pipeline): restrict the corpus RELATIONALLY
+    (lang='en', n_chars ≥ 200 — pushed to the documents scan) and run
+    exact cosine top-k only over the surviving vectors. The filter
+    joins BEFORE scoring, so vector math runs on the filtered subset —
+    at 100 TB the same composition rides the IVF index instead
+    (filtered ids → semi-join against the partition-pruned cell scan);
+    scoring the full corpus and filtering afterwards would waste
+    (1 − selectivity) of the similarity work and, worse, return fewer
+    than k survivors per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200)).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb.join(keep, "vec_id"), queries, k=10)
+
+
+_ORACLE_FILTERED_ANN = """
+WITH keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings JOIN keep ON vec_id = doc_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_inner_product(qvec, cvec)
+               / (sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec))), 9) AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 10
+"""
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
@@ -973,5 +1014,6 @@ for spec in [
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), priority=70),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), priority=70),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), priority=70),
+    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=70),
 ]:
     register(spec)

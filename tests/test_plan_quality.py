@@ -179,6 +179,7 @@ def test_embedding_dedup_lsh_is_cell_bucketed_not_nested_loop(plans):
     justified = {
         "embedding_dedup",  # deliberate exact O(n²) verify complement
         "ann_cosine_topk",  # broadcast query set (vec_id < 5) vs corpus
+        "filtered_ann",  # same broadcast query set, over the filtered corpus
         "unigram_surprisal",  # broadcast 1-row corpus token total
         "doc_keywords",  # broadcast 1-row n_docs scalar
     }

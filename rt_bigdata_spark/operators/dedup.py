@@ -148,6 +148,16 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"))
 
 
+def _band_width(num_hashes: int, bands: int) -> int:
+    """Validated rows-per-band. bands MUST divide num_hashes: r=0
+    (bands > num_hashes) would hash every doc into the same md5("")
+    bucket in every band — a silent all-pairs explosion — and a
+    non-dividing bands silently ignores trailing hash positions."""
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    return num_hashes // bands
+
+
 def _banded(sig: DataFrame, bands: int, r: int) -> DataFrame:
     """(doc, signature, band, bucket) rows: ``bands`` LSH cells per
     signature, bucket = md5 of the band's signature slice."""
@@ -201,12 +211,7 @@ def minhash_lsh_pairs(
     the bucket groupBy; candidate pairs are bucket-local. ``df_cap``
     passes through to the signature stage (stop-shingle control).
     """
-    if num_hashes % bands:
-        # r=0 (bands > num_hashes) would hash every doc into the SAME
-        # md5("") bucket in every band — a silent all-pairs explosion;
-        # a non-dividing bands silently ignores trailing hash positions.
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    r = num_hashes // bands
+    r = _band_width(num_hashes, bands)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, df_cap=df_cap)
     # The self-join's two sides are planned as two full signature
     # pipelines (no exchange reuse under a broadcast join) — persist the
@@ -428,18 +433,28 @@ def incremental_minhash_lsh(
     batch only (batch-local stop-shingle control — a corpus-global df
     would require re-reading old text, defeating the incremental shape).
 
-    Redelivery-safe: docs whose id already exists in ``seen_sigs`` are
-    dropped (anti-join on the id) before signatures are computed, so an
-    ingest retry neither grows the signature state nor re-pairs — the
-    same idempotency contract as ``incremental_exact_dedup``. No
-    ``persist`` here: the caller owns the state lifecycle (writing
-    ``updated_sigs`` to its table per batch materializes the new
-    signatures exactly once; a persist inside the operator would leak
-    one cached DataFrame per batch with no handle to unpersist).
+    Redelivery-safe by DOCUMENT IDENTITY: docs whose id already exists
+    in ``seen_sigs`` are dropped (anti-join on the id) before
+    signatures are computed, so an ingest retry neither grows the
+    signature state nor re-pairs. Note the contrast with
+    ``incremental_exact_dedup``, which keys on CONTENT md5: here a
+    re-ingest of an existing id with CHANGED text is treated as a
+    duplicate delivery and skipped — an id is an immutable document in
+    this model. Pipelines that update documents in place must delete
+    the id's row from the signature table first (making the new text
+    visible as a fresh doc). Consume ``pairs`` before — or atomically
+    with — committing ``updated_sigs``: once the state commit lands, a
+    retry of the same batch yields zero pairs by design.
+
+    No ``persist`` here: a persist inside the operator would leak one
+    cached DataFrame per batch with no handle to unpersist. The cost is
+    that the new batch's signature pipeline is planned on both join
+    sides (and again when the caller writes ``updated_sigs``) — in the
+    incremental regime the batch is small relative to the corpus, so
+    re-computing it is cheaper than unbounded executor-cache growth;
+    callers that disagree can persist/write ``new_docs`` first.
     """
-    if num_hashes % bands:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    r = num_hashes // bands
+    r = _band_width(num_hashes, bands)
     if seen_sigs is not None:
         new_docs = new_docs.join(seen_sigs.select(F.col("doc").alias(id_col)), id_col, "left_anti")
     sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, df_cap=df_cap)

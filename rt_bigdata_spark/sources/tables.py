@@ -56,18 +56,30 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
         except ValueError:
             continue
         if lt.get("Type") == "Timestamp" and lt.get("timeUnit") == "nanoseconds":
-            if "." in col.path:
-                # A nanos field nested inside a struct/list cannot be
-                # fixed by the top-level withColumn rewrite below, and
-                # letting it through would silently surface a raw long
-                # inside the struct — fail loudly instead.
+            if ".list." in col.path or ".key_value." in col.path:
+                # Inside an array or map the per-element rewrite below
+                # can't reach the field; letting it through would
+                # silently surface raw longs — fail loudly, confined to
+                # this one table (queries on other tables are unaffected).
                 raise NotImplementedError(
-                    f"TIMESTAMP(NANOS) at nested path {col.path!r} in {path}: "
-                    "only top-level nanos columns are auto-converted; restructure "
-                    "the source or convert the nested field explicitly"
+                    f"TIMESTAMP(NANOS) at repeated/map path {col.path!r} in {path}: "
+                    "convert the element type in the writer, or restructure the source"
                 )
             out.append(col.path)
     return tuple(out)
+
+
+def _convert_nanos_col(df: DataFrame, dotted: str) -> DataFrame:
+    """Rewrite one (possibly struct-nested) nanos-long column to a
+    timestamp via integer ns→µs division. Top-level: plain withColumn;
+    struct-nested ("meta.ts"): withField on the enclosing struct, which
+    preserves the struct's other fields."""
+    expr = F.expr(f"timestamp_micros(`{dotted.replace('.', '`.`')}` div 1000)")
+    parts = dotted.split(".")
+    if len(parts) == 1:
+        return df.withColumn(dotted, expr)
+    col = F.col(parts[0]).withField(".".join(parts[1:]), expr)
+    return df.withColumn(parts[0], col)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -84,10 +96,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for col in nanos:
         # Integer ns→µs division — a double division would lose
-        # precision at ~1.7e18 ns epochs.
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        # precision at ~1.7e18 ns epochs. Convert only when the field
+        # actually read back as long (nanosAsLong in effect).
+        if _leaf_is_long(df.schema, col.split(".")):
+            df = _convert_nanos_col(df, col)
     return df
+
+
+def _leaf_is_long(schema, parts: list[str]) -> bool:
+    from pyspark.sql.types import StructType
+
+    dt: object = schema
+    for p in parts:
+        if not isinstance(dt, StructType) or p not in dt.fieldNames():
+            return False
+        dt = dt[p].dataType
+    return isinstance(dt, LongType)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

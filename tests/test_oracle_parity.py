@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
-from rt_bigdata_spark.testing import norm_cell as _norm, rowset as _shared_rowset
+from rt_bigdata_spark.testing import rowset as _rowset
 
 _ensure_loaded()
 
@@ -16,7 +16,6 @@ ORACLE_SPECS = [s for s in REGISTRY.values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
 
 
-_rowset = _shared_rowset
 
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)

@@ -58,19 +58,36 @@ def test_directory_dataset_footer_detection(spark, tmp_path):
     assert isinstance(df.schema["created_at"].dataType, TimestampType)
 
 
-def test_nested_nanos_column_fails_loudly(tmp_path):
-    """A TIMESTAMP(NANOS) field inside a struct can't be fixed by the
-    top-level rewrite — it must raise, not silently surface as a long."""
-    import pytest
-
+def test_struct_nested_nanos_column_converts(spark, tmp_path):
+    """A TIMESTAMP(NANOS) field inside a plain struct is rewritten via
+    withField (other struct fields preserved), same ns->us integer
+    division as top-level columns."""
     inner = pa.array([1_700_000_000_123_456_789], type=pa.timestamp("ns"))
+    other = pa.array(["x"], type=pa.string())
     tbl = pa.table(
         {
             "k": pa.array([1], type=pa.int64()),
-            "meta": pa.StructArray.from_arrays([inner], names=["ts_ns"]),
+            "meta": pa.StructArray.from_arrays([inner, other], names=["ts_ns", "tag"]),
         }
     )
-    path = str(tmp_path / "nested.parquet")
+    pq.write_table(tbl, str(tmp_path / "nested.parquet"))
+    assert _nanos_ts_cols(str(tmp_path / "nested.parquet")) == ("meta.ts_ns",)
+
+    df = load_table(spark, str(tmp_path), "nested")
+    assert isinstance(df.schema["meta"].dataType["ts_ns"].dataType, TimestampType)
+    row = df.collect()[0]
+    assert row["meta"]["ts_ns"] == dt.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert row["meta"]["tag"] == "x"  # sibling field untouched
+
+
+def test_array_nested_nanos_fails_loudly(tmp_path):
+    """Inside an array the per-element rewrite can't reach the field —
+    raise (confined to this table) instead of silently surfacing longs."""
+    import pytest
+
+    inner = pa.array([[1_700_000_000_123_456_789]], type=pa.list_(pa.timestamp("ns")))
+    tbl = pa.table({"k": pa.array([1], type=pa.int64()), "ts_list": inner})
+    path = str(tmp_path / "arr.parquet")
     pq.write_table(tbl, path)
-    with pytest.raises(NotImplementedError, match="nested"):
+    with pytest.raises(NotImplementedError, match="repeated"):
         _nanos_ts_cols(path)

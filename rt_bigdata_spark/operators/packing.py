@@ -52,6 +52,50 @@ def chunk_documents(
     )
 
 
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Publish step: write the corpus as ``n_shards`` deterministic
+    shards (parquet, ``partitionBy("shard")``) plus a manifest at
+    ``<path>/_manifest`` (underscore prefix — invisible to a plain
+    parquet read of the data, the same convention as ``_centroids``).
+
+    Shard = first 8 hex digits of md5(content key) mod n_shards:
+    content-keyed, so re-exports of the same corpus land every doc in
+    the same shard regardless of partitioning/cluster layout (stable
+    dataloader resume points), and the md5 uniformity keeps shards
+    balanced without a sort or repartition-by-range pass. The write
+    shuffles once on the shard key; the manifest (docs + token count
+    per shard) is what a training dataloader reads to plan epochs.
+
+    Returns the manifest DataFrame (also persisted at
+    ``<path>/_manifest``).
+    """
+    from rt_bigdata_spark.functions.text_fns import tokenize
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn("shard", shard)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokenize(F.col(key_col)))).cast("long").alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

@@ -1,5 +1,6 @@
 """Sequence packing operators for training-data pipelines: fixed-size
-document chunking and deterministic per-source token budgeting.
+document chunking, deterministic per-source token budgeting, and the
+sharded-export publish step.
 
 Beyond-reference operators extending the SURVEY.md §7.2 step-9 layer.
 

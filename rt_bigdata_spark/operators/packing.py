@@ -69,25 +69,36 @@ def export_shards(
     content-keyed, so re-exports of the same corpus land every doc in
     the same shard regardless of partitioning/cluster layout (stable
     dataloader resume points), and the md5 uniformity keeps shards
-    balanced without a sort or repartition-by-range pass. The write
-    shuffles once on the shard key; the manifest (docs + token count
-    per shard) is what a training dataloader reads to plan epochs.
+    balanced without a sort or repartition-by-range pass. A null
+    content key hashes as the empty string — deterministic, never
+    dropped, never a null partition directory. The write repartitions
+    on the shard key first (one task per shard → one file per shard;
+    without it every input task opens a file per shard it sees —
+    input_partitions × n_shards small files); a corpus too large for
+    one task per shard should raise ``n_shards``, which is the
+    dataloader-facing granularity anyway.
 
-    Returns the manifest DataFrame (also persisted at
+    The manifest (docs + token counts per shard — what a dataloader
+    reads to plan epochs) is computed FROM THE WRITTEN FILES, not by
+    re-evaluating the input lineage: a nondeterministic upstream
+    (limit/sample) could otherwise describe different rows than were
+    written. Returns the manifest DataFrame (also persisted at
     ``<path>/_manifest``).
     """
-    from rt_bigdata_spark.functions.text_fns import tokenize
-
     shard = (
-        F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast("long") % n_shards
+        F.conv(F.substring(F.md5(F.coalesce(F.col(key_col), F.lit(""))), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % n_shards
     ).cast("int")
-    out = df.withColumn("shard", shard)
+    out = df.withColumn("shard", shard).repartition(n_shards, F.col("shard"))
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = df.sparkSession.read.parquet(path)
     manifest = (
-        out.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(tokenize(F.col(key_col)))).cast("long").alias("n_tokens"),
+            F.sum(F.size(tokenize(F.coalesce(F.col(key_col), F.lit(""))))).cast("long").alias("n_tokens"),
             F.min(id_col).alias("min_id"),
             F.max(id_col).alias("max_id"),
         )

@@ -56,11 +56,14 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
         except ValueError:
             continue
         if lt.get("Type") == "Timestamp" and lt.get("timeUnit") == "nanoseconds":
-            if ".list." in col.path or ".key_value." in col.path:
-                # Inside an array or map the per-element rewrite below
-                # can't reach the field; letting it through would
+            if col.max_repetition_level > 0:
+                # Repetition level > 0 means the field sits inside an
+                # array or map — regardless of the encoding's path
+                # naming (modern '.list.element', legacy '.bag.array',
+                # parquet-mr maps, ...). The per-field rewrite below
+                # can't reach elements; letting them through would
                 # silently surface raw longs — fail loudly, confined to
-                # this one table (queries on other tables are unaffected).
+                # this one table (other tables load fine).
                 raise NotImplementedError(
                     f"TIMESTAMP(NANOS) at repeated/map path {col.path!r} in {path}: "
                     "convert the element type in the writer, or restructure the source"
@@ -71,10 +74,15 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
 
 def _convert_nanos_col(df: DataFrame, dotted: str) -> DataFrame:
     """Rewrite one (possibly struct-nested) nanos-long column to a
-    timestamp via integer ns→µs division. Top-level: plain withColumn;
+    timestamp via integer ns→µs FLOOR division (`x - pmod(x, 1000)` is
+    the next-lower multiple of 1000, so the truncating `div` is an
+    exact floor — plain `div` truncates toward zero, which would round
+    pre-epoch negative nanos UP by 1 µs; a double division would lose
+    precision at ~1.7e18 ns magnitudes). Top-level: plain withColumn;
     struct-nested ("meta.ts"): withField on the enclosing struct, which
     preserves the struct's other fields."""
-    expr = F.expr(f"timestamp_micros(`{dotted.replace('.', '`.`')}` div 1000)")
+    q = f"`{dotted.replace('.', '`.`')}`"
+    expr = F.expr(f"timestamp_micros(({q} - pmod({q}, 1000)) div 1000)")
     parts = dotted.split(".")
     if len(parts) == 1:
         return df.withColumn(dotted, expr)
@@ -95,9 +103,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in nanos:
-        # Integer ns→µs division — a double division would lose
-        # precision at ~1.7e18 ns epochs. Convert only when the field
-        # actually read back as long (nanosAsLong in effect).
+        # Convert only when the field actually read back as long
+        # (nanosAsLong in effect); see _convert_nanos_col for the
+        # precision/rounding rationale.
         if _leaf_is_long(df.schema, col.split(".")):
             df = _convert_nanos_col(df, col)
     return df

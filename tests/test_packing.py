@@ -92,3 +92,26 @@ def test_export_shards_roundtrip_and_determinism(spark, sf_dir, tmp_path):
     got = {r.shard: r["count"] for r in r1.groupBy("shard").count().collect()}
     assert man == got
     assert "n_tokens" not in r1.columns
+
+
+def test_export_shards_null_key_and_file_layout(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from rt_bigdata_spark.operators.packing import export_shards
+
+    rows = [(1, None), (2, "some real text here"), (3, "other content entirely")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    path = str(tmp_path / "shards")
+    man = export_shards(df, path, n_shards=4)
+
+    back = spark.read.parquet(path)
+    got = {r.doc_id: r.shard for r in back.collect()}
+    assert len(got) == 3  # null-text doc neither dropped nor in a null partition
+    assert got[1] == int(hashlib.md5(b"").hexdigest()[:8], 16) % 4
+    assert man.agg({"n_docs": "sum"}).first()[0] == 3
+
+    # one data file per non-empty shard (repartition before partitionBy)
+    for d in glob.glob(f"{path}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d

@@ -91,3 +91,16 @@ def test_array_nested_nanos_fails_loudly(tmp_path):
     pq.write_table(tbl, path)
     with pytest.raises(NotImplementedError, match="repeated"):
         _nanos_ts_cols(path)
+
+
+def test_pre_epoch_nanos_floor_not_truncate(spark, tmp_path):
+    """ns->us must FLOOR for negative (pre-1970) epochs: -1500 ns is
+    1969-12-31T23:59:59.999998500, whose microsecond floor is ...999998
+    — truncate-toward-zero would give ...999999."""
+    ts = pa.array([-1_500, 1_500], type=pa.timestamp("ns"))
+    tbl = pa.table({"k": pa.array([1, 2], type=pa.int64()), "t": ts})
+    pq.write_table(tbl, str(tmp_path / "pre.parquet"))
+    df = load_table(spark, str(tmp_path), "pre")
+    rows = {r.k: r.t for r in df.collect()}
+    assert rows[1] == dt.datetime(1969, 12, 31, 23, 59, 59, 999998)
+    assert rows[2] == dt.datetime(1970, 1, 1, 0, 0, 0, 1)

@@ -302,6 +302,88 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Discovery HALF of the two-stage embedding dedup: distinct
+    candidate ``(id_a, id_b)`` pairs that collide in ANY hyperplane-LSH
+    table — ids only, no similarity math. Feed the output to
+    ``embedding_verify_pairs`` for the exact rescore. Same cell
+    construction as ``embedding_near_dup_lsh`` (which fuses both stages
+    into one plan); this split form is the production pipeline shape
+    where discovery output is materialized/checkpointed between stages.
+    One shuffle on the (table, bucket) cell; pair formation confined to
+    cells; `distinct` dedups multi-table collisions.
+    """
+    v = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    from rt_bigdata_spark.operators.similarity import dot, lcg_planes
+
+    planes_lit = F.lit([lcg_planes(num_planes, dim, seed + t) for t in range(num_tables)])
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("t"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    dot(F.col("v"), F.element_at(F.element_at(planes_lit, t + 1), i + 1)) >= 0,
+                    F.pow(F.lit(2.0), i).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("bkt"),
+        ),
+    )
+    sig = v.select("id", F.explode(cells).alias("cell"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """VERIFY half: exact cosine rescore of an explicit candidate-pair
+    set. Two hash joins on the id key bring each side's vector to its
+    pair — work is O(|candidates|), never O(n²), and the plan contains
+    no nested-loop join regardless of corpus size (asserted in
+    tests/test_plan_quality.py). This is the scale-correct way to run
+    the exact similarity kernel: only over pairs some discovery stage
+    (LSH bands, IVF cells, SimHash radius) already nominated.
+    """
+    from rt_bigdata_spark.operators.similarity import dot
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9)
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     threshold: float = 0.35,
@@ -456,6 +538,25 @@ def incremental_minhash_lsh(
     """
     r = _band_width(num_hashes, bands)
     if seen_sigs is not None:
+        # Schema contract: stored signatures MUST have been built with
+        # the same num_hashes — a different length would silently band
+        # into wrong buckets and skew agreement estimates. The length
+        # check rides inside the plan (no extra action): any offending
+        # row raises at execution time.
+        seen_sigs = seen_sigs.withColumn(
+            "signature",
+            F.when(F.size("signature") == num_hashes, F.col("signature")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "incremental_minhash_lsh: stored signature length %s != num_hashes "
+                        + str(num_hashes)
+                        + " for doc %s",
+                        F.size("signature").cast("string"),
+                        F.col("doc").cast("string"),
+                    )
+                )
+            ),
+        )
         new_docs = new_docs.join(seen_sigs.select(F.col("doc").alias(id_col)), id_col, "left_anti")
     sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, df_cap=df_cap)
     all_sigs = sig_new if seen_sigs is None else seen_sigs.unionByName(sig_new)

@@ -72,11 +72,16 @@ def export_shards(
     balanced without a sort or repartition-by-range pass. A null
     content key hashes as the empty string — deterministic, never
     dropped, never a null partition directory. The write repartitions
-    on the shard key first (one task per shard → one file per shard;
-    without it every input task opens a file per shard it sees —
-    input_partitions × n_shards small files); a corpus too large for
-    one task per shard should raise ``n_shards``, which is the
-    dataloader-facing granularity anyway.
+    on the shard key first, so each shard's rows land in one task and
+    the export produces one file per shard (without it every input
+    task opens a file per shard it sees — input_partitions × n_shards
+    small files). Hash partitioning may co-locate two shard values in
+    one task (task balance is approximate, the file-per-shard output
+    is not affected); a corpus too large for a shard per task should
+    raise ``n_shards``, which is the dataloader-facing granularity
+    anyway. Raises if the input already has a ``shard`` column — the
+    export owns that name, and silently overwriting a caller's column
+    would corrupt their data.
 
     The manifest (docs + token counts per shard — what a dataloader
     reads to plan epochs) is computed FROM THE WRITTEN FILES, not by
@@ -85,6 +90,11 @@ def export_shards(
     written. Returns the manifest DataFrame (also persisted at
     ``<path>/_manifest``).
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "export_shards: input already has a 'shard' column — rename it; "
+            "the export writes its own shard key under that name"
+        )
     shard = (
         F.conv(F.substring(F.md5(F.coalesce(F.col(key_col), F.lit(""))), 1, 8), 16, 10).cast(
             "long"
@@ -122,11 +132,17 @@ def token_budget_sample(
     document — the standard greedy fill). Output: (doc_id, group,
     n_tokens, cum_tokens)."""
     df = ensure_parallelism(df)
+    # NULL text coalesces to '' BEFORE md5/tokenize: md5(NULL) is NULL,
+    # and NULL priorities sort NULLS FIRST in Spark but NULLS LAST in
+    # most SQL engines (divergent kept sets), while a NULL n_tokens
+    # would poison the running sum. '' gives a deterministic priority
+    # and 0 tokens on every engine.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     scored = df.select(
         F.col(id_col),
         F.col(group_col),
-        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
-        F.md5(F.col(text_col)).alias("pr"),
+        F.size(tokenize(txt)).cast("long").alias("n_tokens"),
+        F.md5(txt).alias("pr"),
     )
     w = (
         Window.partitionBy(group_col)

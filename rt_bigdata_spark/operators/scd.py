@@ -24,7 +24,12 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-END_OF_TIME = "9999-12-31 00:00:00"
+# Open-version sentinel. Deliberately BOUNDED: pandas datetime64[ns]
+# (used by Arrow/driver-side conversions of query results) overflows at
+# 2262-04-11, so the classic 9999-12-31 sentinel makes any consumer that
+# converts results through pandas raise OutOfBoundsDatetime. 2200-01-01
+# is far enough to order after any real event yet representable in ns.
+END_OF_TIME = "2200-01-01 00:00:00"
 
 
 def scd2_from_changes(

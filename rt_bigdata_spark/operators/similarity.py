@@ -284,6 +284,7 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a materialized IVF index (``build_ivf_index`` output).
 
@@ -293,6 +294,15 @@ def ivf_topk_indexed(
     time, so the scan cost is ~n_probe/n_centroids of the corpus
     regardless of corpus size. Scoring then joins cell-local candidates
     against the broadcast query set, identical to ``ivf_topk``.
+
+    ``keep`` (optional) is a one-column DataFrame of allowed candidate
+    ids — the metadata-filtered ANN composition at index scale: the
+    relational filter lands as a semi-join against the already
+    partition-pruned cell scan, BEFORE any similarity math, so the
+    vector kernel runs only on rows that are both in a probed cell and
+    filter-eligible. Filtering after scoring would waste
+    (1 − selectivity) of the cosine work and return fewer than k
+    survivors per query.
     """
     cent_rows = spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
     centroids = [list(r["centroid"]) for r in cent_rows]
@@ -307,4 +317,9 @@ def ivf_topk_indexed(
     probed = sorted({r["cell"] for r in q_rows})
     q_local = spark.createDataFrame(q_rows, q.schema)
     c = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
+    if keep is not None:
+        kc = keep.columns[0]
+        c = c.join(
+            keep.select(F.col(kc).alias("neighbor_id")).distinct(), "neighbor_id", "semi"
+        )
     return _topk_scored(c, q_local, k)

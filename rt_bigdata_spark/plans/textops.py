@@ -19,14 +19,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from rt_bigdata_spark.operators.dedup import (
+    embedding_lsh_candidates,
     embedding_near_dup_lsh,
-    embedding_near_dup_pairs,
+    embedding_verify_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
-from rt_bigdata_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
+from rt_bigdata_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    hyperplane_lsh_topk,
+    ivf_topk,
+    ivf_topk_indexed,
+)
 from rt_bigdata_spark.operators.text_analysis import (
     fingerprint,
     language_id,
@@ -424,21 +431,109 @@ WHERE rk <= 10
 """
 
 
-def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+# One materialized IVF index per (process, sf_dir): the registered
+# indexed queries probe a written-once partitionBy("cell") parquet
+# index, exactly the 100 TB amortization story — built lazily on first
+# use into a tempdir (the driver and tests run many queries per
+# process, so the build cost is paid once).
+_IVF_INDEX_PATHS: dict[str, str] = {}
 
 
-_ORACLE_EMB_DEDUP = """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _IVF_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="rtbd_ivf_index_")
+        build_ivf_index(load_table(spark, sf_dir, "embeddings"), path)
+        _IVF_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def q_filtered_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN at INDEX scale — the composition
+    ``q_filtered_ann``'s docstring promises: the relational filter
+    (lang='en', n_chars ≥ 200, pushed to the documents scan) produces a
+    keep-id set that is SEMI-JOINED against the partition-pruned IVF
+    cell scan before any similarity math. The probe scan reads only the
+    probed cells' directories (PartitionFilters asserted in
+    tests/test_plan_quality.py), the semi-join then drops
+    filter-ineligible candidates, and the cosine kernel runs on the
+    intersection — at 100 TB that is (n_probe/n_centroids) ×
+    selectivity of the corpus, vs 100% for score-then-filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200)).select("doc_id")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(
+        spark, _ivf_index_for(spark, sf_dir), queries, k=10, keep=keep
+    )
+
+
+def _filtered_ann_ivf_oracle(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of q_filtered_ann_indexed: the _ann_ivf_oracle cell
+    assignment/probe (centroids seeded from the FULL corpus — the index
+    predates any query-time filter) with the keep-set join applied to
+    candidates before ranking, mirroring the semi-join's position in
+    the Spark plan."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keep AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
+    SELECT e.vec_id, e.v AS v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qvec, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_inner_product(q.v, c.cv) DESC, c.cell DESC) AS pr
+    FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cent c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_inner_product(p.qvec, a.cvec)
+               / (sqrt(list_inner_product(p.qvec, p.qvec)) * sqrt(list_inner_product(a.cvec, a.cvec))),
+               9) AS sim
+  FROM assign a
+  JOIN keep ON a.neighbor_id = keep.doc_id
+  JOIN probe p ON a.cell = p.cell AND a.neighbor_id <> p.query_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) >= 0.35
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
 """
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage embedding dedup as a PIPELINE: LSH discovery emits
+    candidate id pairs (ids only), then the exact-cosine VERIFY stage
+    joins the ids back to the vector table and thresholds at 0.5 — the
+    production composition where discovery output is materialized
+    between stages. Work is O(candidates): two hash joins, no
+    nested-loop join anywhere in the plan (asserted in
+    tests/test_plan_quality.py). The raw O(n²) all-pairs helper
+    (``dedup.embedding_near_dup_pairs``) stays unregistered — it is the
+    small-candidate-set verify kernel, never a corpus-wide query.
+    Threshold 0.5 (vs the fused ``embedding_dedup_lsh``'s 0.35)
+    exercises the verify stage's own filter rather than replaying the
+    fused query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = embedding_lsh_candidates(emb)
+    return embedding_verify_pairs(emb, cands, threshold=0.5)
 
 
 def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,8 +1047,8 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_TOKEN_BUDGET = f"""
 WITH scored AS (
   SELECT doc_id, source,
-         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
-         md5(text) AS pr
+         CAST(len({_DUCK_TOKS.replace("lower(text)", "lower(COALESCE(text, ''))")}) AS BIGINT) AS n_tokens,
+         md5(COALESCE(text, '')) AS pr
   FROM documents
 ),
 cum AS (
@@ -990,7 +1085,7 @@ for spec in [
     QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=10),
     QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=10),
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=10),
-    QuerySpec("embedding_dedup", q_embedding_dedup, _ORACLE_EMB_DEDUP, ("dedup",)),
+    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.5), ("dedup", "approx")),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
     QuerySpec("media_features", q_media_features, None, ("multimodal",)),
     QuerySpec("media_frames", q_media_frames, None, ("multimodal",)),
@@ -1004,16 +1099,17 @@ for spec in [
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
     QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
-    # priority=70: oracle-backed but deliberately OUTSIDE the driver's
-    # 50-row window (registered late in round 4) — displacing a
-    # thrice-green window row for them would cost more verification
-    # signal than it adds; tests/test_oracle_parity.py checks them
-    # every run with the identical rowset contract.
-    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), priority=70),
-    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=70),
-    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), priority=70),
-    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), priority=70),
-    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), priority=70),
-    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=70),
+    # priority=10: the round-4 additions were parked at 70 (outside the
+    # driver's 50-row window) for one round; round 5 rotates them IN —
+    # they are the only oracle-backed specs that have never had a
+    # driver row. Seven multi-round-green trivials yielded their slots
+    # (demoted to 80; still oracle-verified every CI run).
+    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=10),
+    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=10),
+    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=10),
+    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=10),
+    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=10),
+    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=10),
+    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), priority=10),
 ]:
     register(spec)

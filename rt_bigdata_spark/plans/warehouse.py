@@ -1455,7 +1455,7 @@ v AS (
   FROM last_writer
 )
 SELECT user_id, event_type, value, valid_from,
-       COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
        (valid_to IS NULL) AS is_current
 FROM v
 """
@@ -1653,7 +1653,7 @@ for spec in [
     QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6")),
     QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True),
     QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True),
-    QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3")),
+    QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=80),
     QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2")),
     QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1")),
     QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3")),
@@ -1674,13 +1674,13 @@ for spec in [
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=10),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=10),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=10),
-    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=10),
-    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=10),
-    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=10),
-    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=10),
-    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=10),
+    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=80),
+    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=80),
+    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=80),
+    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=80),
+    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
     QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
-    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=10),
+    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=10),
 ]:
     register(spec)

@@ -24,7 +24,6 @@ from pyspark.sql.types import LongType
 from rt_bigdata_spark.config import TESTDATA_TABLES
 
 
-@functools.lru_cache(maxsize=512)
 def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     """Top-level columns stored as TIMESTAMP(NANOS), read from the
     parquet footer (pyarrow). Detected, not allowlisted: the testdata
@@ -32,14 +31,14 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     rounds, micros now), and a hard-coded column list silently
     surfaces any new nanos column as a raw long. Footer metadata is
     the source of truth both engines read anyway; one footer fetch per
-    (path) is cached for the process lifetime.
+    (footer file, mtime) is cached — the mtime key means regenerating
+    testdata at the same path within one process serves fresh schema
+    info, not a stale cache entry.
 
     For a directory-shaped dataset the first part file's footer stands
     in for all of them (a writer that mixes timestamp units across
     parts would already be unreadable as one table).
     """
-    import pyarrow.parquet as pq
-
     if os.path.isdir(path):
         parts = sorted(
             e for e in os.listdir(path) if e.endswith(".parquet") and not e.startswith((".", "_"))
@@ -47,6 +46,13 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
         if not parts:
             return ()
         path = os.path.join(path, parts[0])
+    return _nanos_ts_cols_of_file(path, os.path.getmtime(path))
+
+
+@functools.lru_cache(maxsize=512)
+def _nanos_ts_cols_of_file(path: str, mtime: float) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
     schema = pq.ParquetFile(path).schema
     out = []
     for i in range(len(schema)):

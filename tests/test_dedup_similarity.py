@@ -218,3 +218,27 @@ def test_kmeans_ivf_centroids_are_valid_and_improve_balance(spark, vectors):
         (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(vectors, queries, k=30).collect()
     }
     assert approx <= exact
+
+
+def test_embedding_candidate_verify_pipeline_matches_fused_lsh(spark, sf_dir):
+    """The split discovery→verify pipeline (embedding_lsh_candidates →
+    embedding_verify_pairs) must return exactly the fused
+    embedding_near_dup_lsh pairs at the same threshold: same candidate
+    cells, same exact-cosine rescore, different plan shape only."""
+    from rt_bigdata_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_near_dup_lsh,
+        embedding_verify_pairs,
+    )
+    from rt_bigdata_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = {
+        (r.id_a, r.id_b, r.sim) for r in embedding_near_dup_lsh(emb, threshold=0.35).collect()
+    }
+    cands = embedding_lsh_candidates(emb)
+    split = {
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_verify_pairs(emb, cands, threshold=0.35).collect()
+    }
+    assert split == fused and len(split) > 0

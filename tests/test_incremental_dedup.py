@@ -145,3 +145,23 @@ def test_incremental_minhash_lsh_is_redelivery_safe_and_validates_bands(spark):
 
     with _pytest.raises(ValueError, match="must divide"):
         incremental_minhash_lsh(b1, None, num_hashes=8, bands=16)
+
+
+def test_incremental_minhash_lsh_rejects_mismatched_signature_length(spark):
+    """Stored signatures built with a different num_hashes must raise
+    at execution, not silently band into wrong buckets."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh, minhash_signatures
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id: long, text: string"
+    )
+    wrong = minhash_signatures(b1, num_hashes=16)  # stored with 16, probed with 32
+    wrong = spark.createDataFrame(wrong.collect(), wrong.schema)
+    b2 = spark.createDataFrame([(2, "another doc entirely")], "doc_id: long, text: string")
+    pairs, sigs = incremental_minhash_lsh(b2, wrong, num_hashes=32, bands=8)
+    with _pytest.raises(Exception, match="stored signature length"):
+        sigs.collect()

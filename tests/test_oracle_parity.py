@@ -18,11 +18,40 @@ ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
 
 
 
+def _assert_pandas_representable(name: str, rows: list[tuple]) -> None:
+    """The correctness driver hashes query results through pandas:
+    any datetime outside datetime64[ns] range (1677-09-21..2262-04-11)
+    raises OutOfBoundsDatetime in ITS pipeline even though Spark and
+    DuckDB both computed it fine (the r4 dim_history failure — a
+    9999-12-31 SCD sentinel). Guard every oracle-backed result here so
+    the failure mode cannot recur silently."""
+    import datetime
+
+    # Strictly inside pd.Timestamp.min/max (1677-09-21..2262-04-11);
+    # whole-day bounds avoid the nanosecond-discard warning of
+    # Timestamp.to_pydatetime() and are conservative by < 1 day.
+    lo, hi = datetime.datetime(1677, 9, 22), datetime.datetime(2262, 4, 11)
+    lo_d, hi_d = lo.date(), hi.date()
+    for row in rows:
+        for v in row:
+            if isinstance(v, datetime.datetime):
+                assert lo <= v.replace(tzinfo=None) <= hi, (
+                    f"{name}: timestamp {v} outside pandas datetime64[ns] range — "
+                    "the driver's hash path will crash on this row"
+                )
+            elif isinstance(v, datetime.date):
+                assert lo_d <= v <= hi_d, (
+                    f"{name}: date {v} outside pandas datetime64[ns] range — "
+                    "the driver's hash path will crash on this row"
+                )
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_parity(spark, duck, sf_dir, spec):
     sdf = spec.spark(spark, sf_dir)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
+    _assert_pandas_representable(spec.name, s_rows)
 
     res = duck.execute(spec.oracle)
     d_cols = [c[0].lower() for c in res.description]

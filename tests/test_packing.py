@@ -115,3 +115,25 @@ def test_export_shards_null_key_and_file_layout(spark, tmp_path):
     for d in glob.glob(f"{path}/shard=*"):
         files = [f for f in glob.glob(f"{d}/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_token_budget_null_text_is_deterministic_zero_tokens(spark):
+    """NULL text coalesces to '' before md5/tokenize: 0 tokens (never a
+    NULL poisoning the running sum) and a deterministic priority — the
+    Spark/oracle NULLS FIRST/LAST divergence cannot arise."""
+    rows = [(1, "s", "a b c"), (2, "s", None), (3, "s", "d e f")]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = {r.doc_id: r for r in token_budget_sample(df, 100, group_col="source").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].n_tokens == 0
+    assert all(r.cum_tokens is not None for r in out.values())
+
+
+def test_export_shards_rejects_existing_shard_column(spark):
+    import pytest as _pytest
+
+    from rt_bigdata_spark.operators.packing import export_shards
+
+    df = spark.createDataFrame([(1, "x", 0)], "doc_id: long, text: string, shard: int")
+    with _pytest.raises(ValueError, match="shard"):
+        export_shards(df, "/tmp/never_written")

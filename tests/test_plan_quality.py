@@ -167,17 +167,27 @@ def test_embedding_dedup_lsh_is_cell_bucketed_not_nested_loop(plans):
     must pair rows via an equi-join on the (table, bucket) cell — never
     a corpus-wide nested-loop/cartesian join. (Locally the tiny cell
     table broadcasts; at scale the same equi-join shuffles on the cell
-    key — both are the bucketed shape.) The deliberately-exact
-    ``embedding_dedup`` is the O(n²) verify complement and is the ONLY
-    query allowed a BroadcastNestedLoopJoin."""
+    key — both are the bucketed shape.)"""
     p = plans["embedding_dedup_lsh"]
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
-    # Queries where a broadcast NL/cross join is the INTENDED shape:
-    # a provably tiny side is broadcast against the corpus scan —
-    # O(n·k) with k bounded, not O(n²) over the corpus.
+
+
+def test_embedding_dedup_verify_is_hash_joins_not_nested_loop(plans):
+    """Since round 5 ``embedding_dedup`` is the two-stage pipeline
+    (LSH candidates → exact rescore of the candidate subset): its plan
+    must contain ONLY equi joins — the raw O(n²) all-pairs kernel
+    (``dedup.embedding_near_dup_pairs``) stays unregistered."""
+    p = plans["embedding_dedup"]
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
+    """No registered query may pair the corpus against itself with a
+    nested-loop/cartesian join. The only sanctioned NL joins broadcast
+    a provably TINY side (bounded query set or 1-row scalar) against
+    one corpus scan — O(n·k) with k bounded, not O(n²)."""
     justified = {
-        "embedding_dedup",  # deliberate exact O(n²) verify complement
         "ann_cosine_topk",  # broadcast query set (vec_id < 5) vs corpus
         "filtered_ann",  # same broadcast query set, over the filtered corpus
         "unigram_surprisal",  # broadcast 1-row corpus token total
@@ -188,3 +198,14 @@ def test_embedding_dedup_lsh_is_cell_bucketed_not_nested_loop(plans):
         if ("BroadcastNestedLoopJoin" in pl or "CartesianProduct" in pl) and n not in justified
     ]
     assert not offenders, f"nested-loop/cartesian joins outside the justified set: {offenders}"
+
+
+def test_filtered_ann_indexed_prunes_partitions_and_semi_joins(spark):
+    """filtered_ann_indexed must (a) partition-prune the IVF index scan
+    to the probed cells (PartitionFilters on the cell directory key)
+    and (b) apply the metadata filter as a semi-join BEFORE scoring."""
+    df = queries()["filtered_ann_indexed"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters", 1)[1][:200], p
+    assert "LeftSemi" in p, p
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p

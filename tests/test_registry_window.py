@@ -6,18 +6,26 @@ composition to be a conscious choice, not a side effect."""
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from rt_bigdata_spark.plans.registry import REGISTRY, get_oracles, get_queries
 
 DRIVER_WINDOW = 50
 
-# Queries that MUST sit inside the driver's verified window: the r3
-# verdict's never-verified set + the round-4 newly-oracled approx set +
-# the long-green bench headliners.
+# Queries that MUST sit inside the driver's verified window: the six
+# round-4 operators that have never had a driver row + the round-5
+# additions (filtered_ann_indexed, re-shaped embedding_dedup) + the
+# never-rotated bench headliners. Seven multi-round-green trivials
+# (nation_trade, integrity_audit, value_histogram, event_pivot,
+# order_priority, province_stats_sql, top_k_products) yielded their
+# slots in round 5 (priority=80; still oracle-verified every CI run by
+# tests/test_oracle_parity.py).
 MUST_BE_IN_WINDOW = {
+    "repetition_stats", "pii_scrub", "contamination", "doc_chunks",
+    "token_budget", "filtered_ann", "filtered_ann_indexed",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
-    "customer_activity", "purchase_attribution", "dim_history", "nation_trade",
-    "integrity_audit", "value_histogram", "event_pivot", "order_priority",
-    "province_stats_sql", "rolling_revenue",
+    "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "ngram_jaccard", "dup_clusters", "cluster_split", "embedding_dedup",
     "pricing_summary", "visitor_stats", "province_stats", "keyword_stats",
@@ -48,4 +56,27 @@ def test_window_budget_is_exactly_spent():
     in_budget = [s for s in REGISTRY.values() if s.oracle is not None and s.priority <= 50]
     assert len(in_budget) == DRIVER_WINDOW, (
         f"{len(in_budget)} oracle-backed specs at priority<=50 vs window of {DRIVER_WINDOW}"
+    )
+
+
+def test_no_oracle_backed_spec_is_never_driver_verified():
+    """Window honesty across rounds: every oracle-backed spec must
+    either already have a driver row in some committed
+    CORRECTNESS_r*.json, or sit inside the CURRENT window (so it gets
+    its first row this round). Fails if a spec is parked outside the
+    window before it has ever been externally verified — the r4
+    failure mode where the newest operators were the only ones the
+    driver never saw."""
+    root = Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen.update(json.loads(f.read_text()))
+    window = set(list(get_queries())[:DRIVER_WINDOW])
+    never = sorted(
+        s.name
+        for s in REGISTRY.values()
+        if s.oracle is not None and s.name not in seen and s.name not in window
+    )
+    assert not never, (
+        f"oracle-backed specs with no driver row ever, parked outside the window: {never}"
     )

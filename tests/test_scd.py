@@ -30,7 +30,9 @@ def test_versions_chain_and_current_flag(spark):
     assert out[0]["valid_to"] == out[1]["valid_from"] == _ts("2021-01-02 00:00:00")
     assert out[1]["valid_to"] == out[2]["valid_from"] == _ts("2021-01-03 00:00:00")
     assert [r["is_current"] for r in out] == [False, False, True]
-    assert out[2]["valid_to"].year == 9999  # open version sentinel
+    # open-version sentinel: bounded (2200) so results survive pandas
+    # datetime64[ns] conversion (max 2262) — the driver hashes via pandas
+    assert out[2]["valid_to"].year == 2200
 
 
 def test_same_ts_last_writer_wins(spark):

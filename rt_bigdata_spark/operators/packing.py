@@ -118,6 +118,53 @@ def export_shards(
     return manifest
 
 
+def concat_pack(
+    df: DataFrame,
+    seq_len: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Causal-LM concatenation packing map: per group, documents are
+    concatenated in deterministic md5-priority order into one token
+    stream that is cut into fixed ``seq_len`` training sequences;
+    each document's span is reported as the half-open sequence-index
+    range it occupies: ``first_seq = floor((cum - n) / L)``,
+    ``last_seq = floor((cum - 1) / L)`` where ``cum`` is the running
+    token total through the document. This is the packing bookkeeping a
+    dataloader needs to map sequences back to documents (attribution,
+    contamination audits, resume points) without re-tokenizing.
+
+    Zero-token documents occupy no tokens and emit no row (consistent
+    with ``chunk_documents``). One window per group — a single shuffle
+    on the group key, running sum computed in-sort; identical plan
+    shape to ``token_budget_sample``. Closed-form (no sequential scan):
+    the span indices are pure functions of the cumulative sum, so the
+    whole operator is window + map-side arithmetic.
+    """
+    df = ensure_parallelism(df)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokenize(txt)).cast("long").alias("n_tokens"),
+        F.md5(txt).alias("pr"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("pr", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return scored.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / seq_len).cast("long").alias("first_seq"),
+        F.floor((cum - 1) / seq_len).cast("long").alias("last_seq"),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

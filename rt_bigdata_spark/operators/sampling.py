@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def split_boundaries(splits: Sequence[tuple[str, float]], hex_chars: int = 4) -> list[tuple[str, str]]:
@@ -100,3 +100,91 @@ def hash_split(
         out = out.when(prefix < F.lit(b), F.lit(name))
     out = out.otherwise(F.lit(splits[-1][0]))
     return df.withColumn(out_col, out)
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous 1-based ``position`` in the order of
+    ``(md5(seed:id), id)`` — the epoch-order materialization a
+    resumable dataloader needs (seed change ⇒ a fresh, reproducible
+    permutation; no ``rand()``, engine-portable).
+
+    Scale shape: a naive global ``row_number`` window has NO partition
+    key, which Catalyst executes as a single-partition sort — the
+    canonical 100 TB failure. Instead the total order is decomposed by
+    its own prefix: bucket = first ``bucket_chars`` hex of the shuffle
+    key (256 buckets at 2 chars) — ordering by (bucket, key) equals
+    ordering by key since the bucket IS a key prefix. Ranks are
+    computed per-bucket (parallel windows over ~n/256 rows each), and
+    each bucket's starting offset is the cumulative count of earlier
+    buckets — a 256-row aggregate, broadcast back. One shuffle on the
+    bucket + one tiny broadcast join; the only single-partition window
+    runs over ≤ 16^bucket_chars count rows.
+    """
+    from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    b = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), key.alias("skey"))
+        .withColumn("bkt", F.substring("skey", 1, bucket_chars))
+    )
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select("bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    w_bkt = Window.partitionBy("bkt").orderBy("skey", id_col)
+    return (
+        b.join(F.broadcast(offsets), "bkt")
+        .select(
+            id_col,
+            (F.col("off") + F.row_number().over(w_bkt)).cast("long").alias("position"),
+        )
+    )
+
+
+def mix_schedule(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stride-scheduled source interleaving: the deterministic global
+    ORDER in which a training run should consume a weighted mix of
+    sources (``weighted_sample`` decides WHAT to keep; this decides
+    WHEN). Each source's docs are ranked in content-keyed md5 order,
+    and doc r of source s is scheduled at key ``r / w_s`` — classic
+    stride scheduling, so a weight-3 source appears 3× as often as a
+    weight-1 source at every horizon of the schedule, not just in
+    aggregate. Consumers materialize the order by sorting on
+    ``(sched_key, group, src_rank)`` — a range-partition sort; the
+    operator itself needs only one per-source window (single shuffle
+    on the group key), no global window.
+    """
+    from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    w = Window.partitionBy(group_col).orderBy(F.md5(txt), id_col)
+    ranked = ensure_parallelism(df).select(
+        F.col(id_col), F.col(group_col), F.row_number().over(w).alias("src_rank")
+    )
+    wexpr: Column | None = None
+    for g, wt in weights.items():
+        wexpr = (
+            F.when(F.col(group_col) == g, F.lit(float(wt)))
+            if wexpr is None
+            else wexpr.when(F.col(group_col) == g, F.lit(float(wt)))
+        )
+    weight = F.lit(float(default_weight)) if wexpr is None else wexpr.otherwise(F.lit(float(default_weight)))
+    return ranked.select(
+        id_col,
+        group_col,
+        F.col("src_rank").cast("long").alias("src_rank"),
+        (F.col("src_rank") / weight).alias("sched_key"),
+    )

@@ -1062,6 +1062,83 @@ FROM cum WHERE cum_tokens - n_tokens < 2000
 """
 
 
+def q_concat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM concatenation packing map at seq_len=256: per-source
+    token streams cut into fixed sequences, each doc labeled with the
+    [first_seq, last_seq] span it occupies (packing.concat_pack)."""
+    from rt_bigdata_spark.operators.packing import concat_pack
+
+    return concat_pack(load_table(spark, sf_dir, "documents"), seq_len=256)
+
+
+_DUCK_TOKS_COALESCED = _DUCK_TOKS.replace("lower(text)", "lower(COALESCE(text, ''))")
+
+_ORACLE_CONCAT_PACK = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKS_COALESCED}) AS BIGINT) AS n_tokens,
+         md5(COALESCE(text, '')) AS pr
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS first_seq,
+       CAST(floor((cum - 1) / 256) AS BIGINT) AS last_seq
+FROM cum
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-order shuffle: contiguous 1-based position
+    in (md5(seed:doc_id), doc_id) order, computed WITHOUT a global
+    single-partition window (bucket-prefix decomposition — see
+    sampling.global_shuffle for the 100 TB shape)."""
+    from rt_bigdata_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(load_table(spark, sf_dir, "documents"), seed="42")
+
+
+_ORACLE_GLOBAL_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position
+FROM documents
+"""
+
+# Source-interleave weights: a few named sources over/under-weighted,
+# everything else at 1.0. Shared by the Spark query and the generated
+# oracle so the two sides cannot drift.
+_SCHED_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 0.5}
+
+
+def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled source interleaving: doc r of source s is
+    scheduled at key r/w_s, so a weight-3 source appears 3x as often
+    at EVERY horizon of the training order (sampling.mix_schedule)."""
+    from rt_bigdata_spark.operators.sampling import mix_schedule
+
+    return mix_schedule(load_table(spark, sf_dir, "documents"), _SCHED_WEIGHTS)
+
+
+def _mix_schedule_oracle() -> str:
+    whens = " ".join(f"WHEN source = '{g}' THEN {w!r}" for g, w in _SCHED_WEIGHTS.items())
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY md5(COALESCE(text, '')), doc_id) AS BIGINT) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, src_rank,
+       src_rank / (CASE {whens} ELSE 1.0 END) AS sched_key
+FROM ranked
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1111,5 +1188,11 @@ for spec in [
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=10),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=10),
     QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), priority=10),
+    # round-5 additions (training-order / packing bookkeeping); three
+    # more multi-round greens (payment_wide, uv_dedup, log_split)
+    # yielded window slots so these verify on their first round.
+    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=10),
+    QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=10),
+    QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=10),
 ]:
     register(spec)

@@ -1648,17 +1648,17 @@ for spec in [
     QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True),
     QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
     QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True),
-    QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2")),
+    QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=80),
     QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True),
     QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6")),
     QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True),
     QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True),
     QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=80),
-    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2")),
+    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=80),
     QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1")),
     QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3")),
     QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2")),
-    QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1")),
+    QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1"), priority=80),
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3")),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=80),
     QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=80),

@@ -64,7 +64,7 @@ class UniqueVisitProcessor(StatefulProcessor):
         )
 
     def handleInputRows(
-        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         held = self._last_date.get()
         out, last_date, _ = _uv_scan(rows, held[0] if held is not None else None)
@@ -88,7 +88,7 @@ class BounceProcessor(StatefulProcessor):
         self._pending = handle.getValueState("pending", "page_id STRING, ts LONG")
 
     def handleInputRows(
-        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         held = self._pending.get()
         pending_page, pending_ts = held if held is not None else (None, None)
@@ -110,14 +110,14 @@ class BounceProcessor(StatefulProcessor):
         yield pd.DataFrame(out, columns=_BOUNCE_COLS)
 
     def handleExpiredTimer(
-        self, key: tuple, timer_values: TimerValues, expired_timer_info: ExpiredTimerInfo
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
         held = self._pending.get()
         out: list[dict] = []
         # Guard: only flush if the firing timer belongs to the held entry
         # (a newer entry re-registers a later timer; the stale one must
         # not evict it).
-        if held is not None and held[1] + BOUNCE_TIMEOUT_MS <= expired_timer_info.getExpiryTimeInMs():
+        if held is not None and held[1] + BOUNCE_TIMEOUT_MS <= expiredTimerInfo.getExpiryTimeInMs():
             out.append({"mid": key[0], "page_id": held[0], "ts": held[1]})
             self._pending.clear()
         yield pd.DataFrame(out, columns=_BOUNCE_COLS)

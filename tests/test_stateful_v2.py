@@ -5,9 +5,17 @@ Two layers:
   state handle — the per-key logic is plain pandas, so UV dedup and
   CEP-timeout semantics (including the stale-timer guard) are checked
   hermetically;
-- integration tests run the real streaming path, but skip when the
-  ``protobuf`` package (required by Spark's TWS driver worker) is
-  absent, as it is in this container.
+- integration tests run the real streaming path. The container has no
+  ``protobuf`` wheel, but tests/conftest.py bridges the gcloud SDK's
+  bundled pure-Python protobuf 6.32 in (tests/_pbshim), so these run
+  for real here; they skip only when BOTH the wheel and the SDK copy
+  are absent (the skip reason names the exact missing pieces).
+
+  The real path caught what the fakes could not: Spark's TWS runtime
+  invokes handlers with KEYWORD arguments (``timerValues=``,
+  ``expiredTimerInfo=``), so processor signatures must use the exact
+  pyspark API parameter names — snake_case renames TypeError at
+  runtime.
 """
 
 from __future__ import annotations
@@ -218,7 +226,7 @@ def _write_batch(dir_: str, name: str, rows: list[dict]) -> None:
     time.sleep(0.05)
 
 
-@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS driver worker requires protobuf")
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
 def test_uv_v2_stream(rocksdb, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
@@ -245,7 +253,7 @@ def test_uv_v2_stream(rocksdb, tmp_path):
         q.stop()
 
 
-@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS driver worker requires protobuf")
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
 @pytest.mark.slow
 def test_bounce_v2_two_batches(rocksdb, tmp_path):
     import pyspark.sql.functions as F

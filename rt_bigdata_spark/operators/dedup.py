@@ -451,6 +451,75 @@ def embedding_near_dup_lsh(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup — the RefinedWeb/FineWeb
+    curation step that removes boilerplate repeated ACROSS documents
+    while keeping the documents themselves: split each doc into
+    paragraph units, keep only the corpus-wide FIRST occurrence
+    (lowest (doc_id, chunk_id)) of each distinct unit, and reassemble
+    every document from its surviving units in original order.
+
+    Paragraph unit = fixed ``chunk_tokens``-token windows
+    (``packing.chunk_documents``): this corpus has no newline
+    structure, and fixed windows are the Spark-friendly approximation
+    of paragraph splitting — aligned repeats (exact-dup and
+    shared-prefix docs, the dominant case after crawl ingest) dedup
+    exactly; unaligned substring repeats need suffix-array machinery
+    that does not distribute, and are out of scope by design.
+
+    Output: (doc_id, n_chunks, n_chunks_kept, n_tokens_kept,
+    dedup_text); docs whose every unit was seen earlier disappear
+    entirely (their text contributes nothing new — the doc-level
+    consequence of paragraph dedup).
+
+    Scale shape: chunking is map-side; first-occurrence is ONE
+    min(struct) hash-agg on the md5 unit key (partial map-side, no
+    sort-window); the keeper join reuses the sig key; reassembly and
+    the per-doc totals group on doc_id — co-partitioned, so AQE plans
+    them on one exchange. Reassembly order is array_sort over
+    (chunk_id, text) structs — deterministic regardless of shuffle
+    arrival order.
+    """
+    from rt_bigdata_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(df, chunk_tokens, text_col, id_col)
+    sig = F.md5("chunk_text")
+    keep = chunks.groupBy(sig.alias("sig")).agg(
+        F.min(F.struct(id_col, "chunk_id")).alias("k")
+    )
+    kept = (
+        chunks.withColumn("sig", sig)
+        .join(keep, "sig")
+        .filter(
+            (F.col(id_col) == F.col(f"k.{id_col}")) & (F.col("chunk_id") == F.col("k.chunk_id"))
+        )
+        .drop("sig", "k")
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    ordered_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+            lambda s: s.getField("chunk_text"),
+        ),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+            ordered_text.alias("dedup_text"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "n_chunks", "n_chunks_kept", "n_tokens_kept", "dedup_text")
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_sigs: DataFrame | None,

@@ -1036,6 +1036,39 @@ FROM nz, UNNEST(range((len(t) + 63) // 64)) AS u(i)
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at 32-token paragraph units: corpus-wide
+    first-occurrence per distinct unit, docs reassembled from their
+    surviving units (dedup.paragraph_dedup — the boilerplate-removal
+    step between exact and near-dup passes)."""
+    from rt_bigdata_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"), chunk_tokens=32)
+
+
+_ORACLE_PARAGRAPH_DEDUP = f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+nz AS (SELECT doc_id, t FROM tl WHERE len(t) > 0),
+chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         CAST(least(32, len(t) - i * 32) AS BIGINT) AS n_tokens,
+         array_to_string(t[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text
+  FROM nz, UNNEST(range((len(t) + 31) // 32)) AS u(i)
+),
+kept AS (
+  SELECT * FROM chunks
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) = 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT k.doc_id, t.n_chunks,
+       COUNT(*) AS n_chunks_kept,
+       SUM(k.n_tokens) AS n_tokens_kept,
+       string_agg(k.chunk_text, ' ' ORDER BY k.chunk_id) AS dedup_text
+FROM kept k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id, t.n_chunks
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source 2000-token greedy budget fill in deterministic
     md5-priority order (packing.token_budget_sample)."""
@@ -1192,6 +1225,7 @@ for spec in [
     # more multi-round greens (payment_wide, uv_dedup, log_split)
     # yielded window slots so these verify on their first round.
     QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=10),
+    QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=10),
     QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=10),
     QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=10),
 ]:

@@ -1659,7 +1659,7 @@ for spec in [
     QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3")),
     QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2")),
     QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1"), priority=80),
-    QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3")),
+    QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3"), priority=80),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=80),
     QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=80),
     QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True),

@@ -242,3 +242,33 @@ def test_embedding_candidate_verify_pipeline_matches_fused_lsh(spark, sf_dir):
         for r in embedding_verify_pairs(emb, cands, threshold=0.35).collect()
     }
     assert split == fused and len(split) > 0
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """Doc 1 and doc 2 share an identical leading paragraph (aligned):
+    doc 1 keeps it (lowest doc_id), doc 2 survives with only its novel
+    tail; a doc that is entirely a repeat disappears."""
+    from rt_bigdata_spark.operators.dedup import paragraph_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one 4-token unit
+    rows = [
+        (1, f"{boiler} u1a u1b u1c u1d"),
+        (2, f"{boiler} u2a u2b u2c u2d"),
+        (3, boiler),  # pure repeat -> vanishes
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, chunk_tokens=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_chunks == 2 and out[1].n_chunks_kept == 2
+    assert out[1].dedup_text == f"{boiler} u1a u1b u1c u1d"
+    assert out[2].n_chunks == 2 and out[2].n_chunks_kept == 1
+    assert out[2].dedup_text == "u2a u2b u2c u2d"
+
+
+def test_paragraph_dedup_reassembly_preserves_order(spark):
+    from rt_bigdata_spark.operators.dedup import paragraph_dedup
+
+    text = " ".join(f"w{i}" for i in range(20))  # 5 units of 4 tokens, all distinct
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    out = paragraph_dedup(df, chunk_tokens=4).collect()[0]
+    assert out.dedup_text == text and out.n_chunks_kept == 5 and out.n_tokens_kept == 20

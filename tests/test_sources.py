@@ -104,3 +104,35 @@ def test_pre_epoch_nanos_floor_not_truncate(spark, tmp_path):
     rows = {r.k: r.t for r in df.collect()}
     assert rows[1] == dt.datetime(1969, 12, 31, 23, 59, 59, 999998)
     assert rows[2] == dt.datetime(1970, 1, 1, 0, 0, 0, 1)
+
+
+def test_read_jsonl_permissive_splits_clean_and_corrupt(spark, tmp_path):
+    from rt_bigdata_spark.sources.files import corrupt_records, read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "name": "b"}\n'
+        '{"id": "not_an_int", "name": "c"}\n'
+    )
+    clean = read_jsonl(spark, str(p), "id BIGINT, name STRING").collect()
+    assert sorted((r.id, r.name) for r in clean) == [(1, "a"), (2, "b")]
+    bad = corrupt_records(
+        read_jsonl(spark, str(p), "id BIGINT, name STRING", keep_corrupt=True)
+    ).collect()
+    assert len(bad) == 2  # the non-JSON line AND the type-mismatched one
+    assert any("NOT JSON" in r.raw for r in bad)
+
+
+def test_read_csv_permissive_splits_clean_and_corrupt(spark, tmp_path):
+    from rt_bigdata_spark.sources.files import corrupt_records, read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,a\nnot_an_int,b\n3,c\n")
+    clean = read_csv(spark, str(p), "id BIGINT, name STRING").collect()
+    assert sorted((r.id, r.name) for r in clean) == [(1, "a"), (3, "c")]
+    bad = corrupt_records(
+        read_csv(spark, str(p), "id BIGINT, name STRING", keep_corrupt=True)
+    ).collect()
+    assert [r.raw for r in bad] == ["not_an_int,b"]

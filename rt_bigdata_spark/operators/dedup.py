@@ -477,30 +477,43 @@ def paragraph_dedup(
     entirely (their text contributes nothing new — the doc-level
     consequence of paragraph dedup).
 
-    Scale shape: chunking is map-side; first-occurrence is ONE
-    min(struct) hash-agg on the md5 unit key (partial map-side, no
-    sort-window); the keeper join reuses the sig key; reassembly and
-    the per-doc totals group on doc_id — co-partitioned, so AQE plans
-    them on one exchange. Reassembly order is array_sort over
-    (chunk_id, text) structs — deterministic regardless of shuffle
-    arrival order.
+    Scale shape — ONE corpus scan, two exchanges, no joins. The naive
+    composition (chunk → keeper agg → join chunks back → join per-doc
+    totals) plans THREE scan+tokenize+explode branches — the tokenize
+    kernel is the dominant per-row cost, so that is 3× the scan work.
+    Instead: (a) ``n_chunks`` is computed map-side from the token
+    array BEFORE exploding and rides along on every chunk row, so the
+    totals need no second pass; (b) the first-occurrence keeper is
+    ``min(struct(doc_id, chunk_id, …full row))`` per unit md5 — the
+    (doc_id, chunk_id) prefix is unique, so the min IS the surviving
+    row with all its fields, and no join-back is needed. Both
+    aggregations combine partially map-side. Reassembly order is
+    array_sort over (chunk_id, text) structs — deterministic
+    regardless of shuffle arrival order.
     """
-    from rt_bigdata_spark.operators.packing import chunk_documents
-
-    chunks = chunk_documents(df, chunk_tokens, text_col, id_col)
-    sig = F.md5("chunk_text")
-    keep = chunks.groupBy(sig.alias("sig")).agg(
-        F.min(F.struct(id_col, "chunk_id")).alias("k")
+    k = chunk_tokens
+    toked = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
+        .filter(F.size("t") > 0)
+        .withColumn("n_chunks", F.floor((F.size("t") + F.lit(k - 1)) / F.lit(k)).cast("long"))
     )
-    kept = (
-        chunks.withColumn("sig", sig)
-        .join(keep, "sig")
-        .filter(
-            (F.col(id_col) == F.col(f"k.{id_col}")) & (F.col("chunk_id") == F.col("k.chunk_id"))
-        )
-        .drop("sig", "k")
+    unit = F.transform(
+        F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(F.lit(k), F.size("t") - i * k).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("t", i * k + 1, k)).alias("chunk_text"),
+        ),
     )
-    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    chunks = toked.select(id_col, "n_chunks", F.explode(unit).alias("c")).select(
+        id_col, "n_chunks", "c.chunk_id", "c.n_tokens", "c.chunk_text"
+    )
+    keep = (
+        chunks.groupBy(F.md5("chunk_text").alias("sig"))
+        .agg(F.min(F.struct(id_col, "chunk_id", "n_tokens", "chunk_text", "n_chunks")).alias("r"))
+        .select("r.*")
+    )
     ordered_text = F.concat_ws(
         " ",
         F.transform(
@@ -508,15 +521,11 @@ def paragraph_dedup(
             lambda s: s.getField("chunk_text"),
         ),
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
-            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
-            ordered_text.alias("dedup_text"),
-        )
-        .join(totals, id_col)
-        .select(id_col, "n_chunks", "n_chunks_kept", "n_tokens_kept", "dedup_text")
+    return keep.groupBy(id_col).agg(
+        F.min("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+        ordered_text.alias("dedup_text"),
     )
 
 

@@ -1,4 +1,4 @@
-"""T2/T3 stateful operators on Spark 4's transformWithState API.
+"""T1/T2/T3 stateful operators on Spark 4's transformWithState API.
 
 ``stateful.py`` carries the ``applyInPandasWithState`` implementations
 (the Spark 3.4-portable path). These re-express the same reference
@@ -19,11 +19,12 @@ maps the reference's Flink primitives more directly:
 Requires the RocksDB state store provider
 (``session.use_rocksdb_state``) — the v2 engine only runs there, which
 mirrors the reference's RocksDB backend (…/app/dwd/OdsBaseLogApp.scala:
-43-44) — plus the ``protobuf`` package for the TWS driver worker (not
-present in this container, so integration tests skip; the processor
-logic itself is plain pandas and unit-tested with a fake handle).
-Scale shape is unchanged from v1: one keyBy shuffle, O(bytes) state
-per key, Arrow-batched Python execution.
+43-44) — plus the ``protobuf`` runtime for the TWS Python worker
+(bridged from the gcloud SDK bundle by tests/_pbshim, so the
+integration path runs for real here). Handler parameter names MUST be
+the exact pyspark API names (``timerValues``, ``expiredTimerInfo``) —
+Spark invokes them as keywords. Scale shape is unchanged from v1: one
+keyBy shuffle, O(bytes) state per key, Arrow-batched Python execution.
 """
 
 from __future__ import annotations
@@ -42,13 +43,62 @@ from pyspark.sql.streaming.stateful_processor import (
 from rt_bigdata_spark.streaming.stateful import (
     BOUNCE_OUT_SCHEMA,
     BOUNCE_TIMEOUT_MS,
+    IS_NEW_OUT_SCHEMA,
     UV_OUT_SCHEMA,
     _DAY_MS,
+    _day,
     _uv_scan,
 )
 
 _UV_COLS = [f.name for f in UV_OUT_SCHEMA.fields]
 _BOUNCE_COLS = [f.name for f in BOUNCE_OUT_SCHEMA.fields]
+_IS_NEW_COLS = [f.name for f in IS_NEW_OUT_SCHEMA.fields]
+
+
+class IsNewProcessor(StatefulProcessor):
+    """T1 new-visitor correction on the v2 engine: rewrite is_new=1 → 0
+    when the mid has an earlier first-visit date
+    (OdsBaseLogApp.scala:90-135); a returning visitor with empty state
+    back-dates first_date to yesterday so later is_new=1 claims are
+    corrected (reference stores yesterday, :128-131). Same semantics as
+    ``stateful._is_new_fn`` — both engines share the reference's
+    contract and the same fixture tests."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._first_date = handle.getValueState("first_date", "value STRING")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        held = self._first_date.get()
+        first_date = held[0] if held is not None else None
+        out: list[dict] = []
+        for pdf in rows:
+            for r in pdf.sort_values("ts").itertuples(index=False):
+                d = _day(r.ts)
+                is_new = r.is_new
+                if is_new == "1":
+                    if first_date is None:
+                        first_date = d
+                    elif first_date != d:
+                        is_new = "0"
+                elif first_date is None:
+                    first_date = _day(r.ts - _DAY_MS)
+                out.append(
+                    {
+                        "mid": r.mid,
+                        "page_id": r.page_id,
+                        "last_page_id": r.last_page_id,
+                        "is_new": is_new,
+                        "ts": r.ts,
+                    }
+                )
+        if first_date is not None:
+            self._first_date.update((first_date,))
+        yield pd.DataFrame(out, columns=_IS_NEW_COLS)
+
+    def close(self) -> None:
+        pass
 
 
 class UniqueVisitProcessor(StatefulProcessor):
@@ -124,6 +174,16 @@ class BounceProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def correct_is_new_v2(events: DataFrame) -> DataFrame:
+    """T1 on transformWithState (timer-less: pure keyed value state)."""
+    return events.groupBy("mid").transformWithStateInPandas(
+        IsNewProcessor(),
+        outputStructType=IS_NEW_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
 
 
 def unique_visits_v2(events: DataFrame, ttl: bool = False) -> DataFrame:

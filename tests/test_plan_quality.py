@@ -209,3 +209,14 @@ def test_filtered_ann_indexed_prunes_partitions_and_semi_joins(spark):
     assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters", 1)[1][:200], p
     assert "LeftSemi" in p, p
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_paragraph_dedup_is_single_scan_no_joins(plans):
+    """paragraph_dedup must stay the one-scan two-agg shape: the naive
+    chunk->keeper->join-back->totals composition plans THREE
+    scan+tokenize+explode branches (the tokenize kernel 3x); the
+    rewrite carries n_chunks on chunk rows and keeps full rows in the
+    min(struct) keeper, so no join ever re-reads the corpus."""
+    p = plans["paragraph_dedup"]
+    assert p.count("Scan parquet") + p.count("FileScan") <= 2, p  # formatted lists the node once + details
+    assert "Join" not in p, p

@@ -290,3 +290,102 @@ def test_bounce_v2_two_batches(rocksdb, tmp_path):
         assert all(mid != "102" for mid, _ in out)
     finally:
         q.stop()
+
+
+# --- unit + integration: T1 is_new correction on v2 --------------------------
+
+
+def test_is_new_processor_corrects_claims_across_batches():
+    from rt_bigdata_spark.streaming.stateful_v2 import IsNewProcessor
+
+    h = FakeHandle()
+    proc = IsNewProcessor()
+    proc.init(h)
+    out1 = pd.concat(
+        list(
+            proc.handleInputRows(
+                ("A",),
+                iter([pd.DataFrame([
+                    {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+                    {"mid": "A", "page_id": "list", "last_page_id": "home", "is_new": "1", "ts": 2_000},
+                ])]),
+                None,
+            )
+        )
+    )
+    assert list(out1["is_new"]) == ["1", "1"]  # same day: claims stand
+    # next day, the claim must be corrected to 0
+    out2 = pd.concat(
+        list(
+            proc.handleInputRows(
+                ("A",),
+                iter([pd.DataFrame([
+                    {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},
+                ])]),
+                None,
+            )
+        )
+    )
+    assert list(out2["is_new"]) == ["0"]
+
+
+def test_is_new_processor_backdates_returning_visitor():
+    from rt_bigdata_spark.streaming.stateful_v2 import IsNewProcessor
+
+    h = FakeHandle()
+    proc = IsNewProcessor()
+    proc.init(h)
+    # first sighting is ALREADY is_new=0: state must remember "yesterday"
+    pd.concat(
+        list(
+            proc.handleInputRows(
+                ("B",),
+                iter([pd.DataFrame([
+                    {"mid": "B", "page_id": "home", "last_page_id": None, "is_new": "0", "ts": 90_000_000},
+                ])]),
+                None,
+            )
+        )
+    )
+    out = pd.concat(
+        list(
+            proc.handleInputRows(
+                ("B",),
+                iter([pd.DataFrame([
+                    {"mid": "B", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_001_000},
+                ])]),
+                None,
+            )
+        )
+    )
+    assert list(out["is_new"]) == ["0"]  # same-day late claim corrected
+
+
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
+def test_is_new_v2_stream(rocksdb, tmp_path):
+    from rt_bigdata_spark.streaming.stateful_v2 import correct_is_new_v2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src), "b1.json", [
+        {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 1_000},
+    ])
+    stream = rocksdb.readStream.schema(PAGE_EVENT_SCHEMA).json(str(src))
+    q = (
+        correct_is_new_v2(stream)
+        .writeStream.format("memory")
+        .queryName("is_new_v2")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(src), "b2.json", [
+            {"mid": "A", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 90_000_000},
+        ])
+        q.processAllAvailable()
+        got = {(r.ts, r.is_new) for r in rocksdb.sql("select * from is_new_v2").collect()}
+        assert got == {(1_000, "1"), (90_000_000, "0")}  # cross-batch state corrected day 2
+    finally:
+        q.stop()

@@ -136,3 +136,53 @@ def test_chunking_is_lossless_and_sized(spark, texts):
         assert all(c[1] == k for c in got[:-1])
         if toks:
             assert " ".join(c[2] for c in got).split(" ") == toks
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_concat_pack_tiles_the_token_stream(spark, texts):
+    """For arbitrary text: per-source spans tile the concatenated
+    stream exactly — sum of n_tokens equals the stream length, spans
+    are non-overlapping and ordered, and each span's endpoints obey
+    the closed-form floor arithmetic."""
+    from rt_bigdata_spark.operators.packing import concat_pack
+
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)], "doc_id: long, source: string, text: string"
+    )
+    out = sorted(concat_pack(df, seq_len=8).collect(), key=lambda r: (r.first_seq, r.last_seq, r.doc_id))
+    cum = 0
+    for r in out:
+        assert r.n_tokens > 0
+        assert r.first_seq == cum // 8
+        cum += r.n_tokens
+        assert r.last_seq == (cum - 1) // 8
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=1, max_value=400), st.text(max_size=8))
+def test_global_shuffle_is_contiguous_permutation(spark, n, seed):
+    from rt_bigdata_spark.operators.sampling import global_shuffle
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, seed=seed).collect()
+    assert sorted(r.position for r in out) == list(range(1, n + 1))
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_paragraph_dedup_conserves_unique_units(spark, texts):
+    """For arbitrary text: the number of surviving units equals the
+    number of DISTINCT units in the corpus, and every doc's kept count
+    is bounded by its total count."""
+    from rt_bigdata_spark.operators.dedup import paragraph_dedup
+    from rt_bigdata_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=4)
+    n_distinct = chunks.select("chunk_text").distinct().count()
+    out = paragraph_dedup(df, chunk_tokens=4).collect()
+    assert sum(r.n_chunks_kept for r in out) == n_distinct
+    assert all(0 < r.n_chunks_kept <= r.n_chunks for r in out)

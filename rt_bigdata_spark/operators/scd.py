@@ -32,6 +32,34 @@ from pyspark.sql import DataFrame, Window
 END_OF_TIME = "2200-01-01 00:00:00"
 
 
+def _scd2(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    end_of_time: str,
+) -> DataFrame:
+    """Core SCD-2 window pass over (ts, *order_cols)-ordered changes;
+    see scd2_from_changes for semantics and the plan-shape rationale."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    ts = F.col(ts_col)
+    # last writer per (key, ts): a row survives iff the next row in the
+    # same key's (ts, *order) order starts a DIFFERENT timestamp
+    staged = changes.withColumn("_nxt_ts", F.lead(ts).over(w))
+    kept = staged.filter(F.col("_nxt_ts").isNull() | (F.col("_nxt_ts") != ts)).drop("_nxt_ts")
+    nxt = F.lead(ts).over(w)
+    return kept.select(
+        *keys,
+        *attr_cols,
+        ts.alias("valid_from"),
+        F.coalesce(nxt, F.lit(end_of_time).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def scd2_from_changes(
     changes: DataFrame,
     keys: Sequence[str],
@@ -49,17 +77,66 @@ def scd2_from_changes(
     version, so the column is non-null and range joins need no null
     handling). ``is_current`` marks the open version.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
-    ts = F.col(ts_col)
-    # last writer per (key, ts): a row survives iff the next row in the
-    # same key's (ts, tiebreak) order starts a DIFFERENT timestamp
-    staged = changes.withColumn("_nxt_ts", F.lead(ts).over(w))
-    kept = staged.filter(F.col("_nxt_ts").isNull() | (F.col("_nxt_ts") != ts)).drop("_nxt_ts")
-    nxt = F.lead(ts).over(w)
-    return kept.select(
-        *keys,
+    return _scd2(changes, keys, ts_col, [tiebreak], attr_cols, end_of_time)
+
+
+def scd2_merge(
+    existing: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    attr_cols: Sequence[str],
+    end_of_time: str = END_OF_TIME,
+) -> DataFrame:
+    """Incremental SCD-2 maintenance: fold a new change batch into an
+    existing version table WITHOUT rewriting untouched keys.
+
+    Keys absent from the batch pass through verbatim (no window, no
+    shuffle of their rows beyond the anti-join probe); keys the batch
+    touches are rebuilt from their existing versions (replayed as
+    change rows at their ``valid_from``) plus the new changes, through
+    the same window pass as the full build — so LATE changes splice
+    correct intervals into history, not just append. At a (key, ts)
+    collision between an existing version and a new change the NEW
+    batch wins (upsert parity with the reference's dim sink: a
+    redelivered key overwrites); within the batch the caller's
+    ``tiebreak`` decides as usual.
+
+    Equivalence contract (property-tested): for batches arriving in ts
+    order, ``scd2_merge(build(C1), C2) == build(C1 ∪ C2)`` — the
+    incremental path can never drift from the rebuild.
+
+    Scale shape: the touched-key set is batch-sized → broadcast
+    semi/anti probes against the dim; the window recompute runs over
+    O(affected versions + batch) rows, NOT O(dim). At 100 TB this is
+    the difference between a dim-sized sort per ingest and one
+    proportional to the day's churn.
+    """
+    touched = changes.select(*keys).distinct()
+    key_list = list(keys)
+    untouched = existing.join(F.broadcast(touched), key_list, "left_anti")
+    affected = existing.join(F.broadcast(touched), key_list, "semi")
+    tb_type = changes.schema[tiebreak].dataType
+    # existing versions replayed as changes; _batch=0 sorts BEFORE the
+    # new batch at equal ts, and lead() keeps the LAST same-ts row —
+    # i.e. the new change wins the collision.
+    old_rows = affected.select(
+        *key_list,
         *attr_cols,
-        ts.alias("valid_from"),
-        F.coalesce(nxt, F.lit(end_of_time).cast("timestamp")).alias("valid_to"),
-        nxt.isNull().alias("is_current"),
+        F.col("valid_from").alias(ts_col),
+        F.lit(0).alias("_batch"),
+        F.lit(None).cast(tb_type).alias(tiebreak),
     )
+    new_rows = changes.select(
+        *key_list, *attr_cols, F.col(ts_col), F.lit(1).alias("_batch"), F.col(tiebreak)
+    )
+    rebuilt = _scd2(
+        old_rows.unionByName(new_rows),
+        keys,
+        ts_col,
+        ["_batch", tiebreak],
+        attr_cols,
+        end_of_time,
+    )
+    return untouched.unionByName(rebuilt)

@@ -186,3 +186,43 @@ def test_paragraph_dedup_conserves_unique_units(spark, texts):
     out = paragraph_dedup(df, chunk_tokens=4).collect()
     assert sum(r.n_chunks_kept for r in out) == n_distinct
     assert all(0 < r.n_chunks_kept <= r.n_chunks for r in out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # key
+            st.integers(min_value=0, max_value=50),  # day offset
+            st.text(alphabet="ab", min_size=1, max_size=2),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=50),
+)
+def test_scd2_merge_equals_rebuild_for_arbitrary_histories(spark, rows, cutoff_day):
+    """For arbitrary change histories split at an arbitrary ts cutoff:
+    build(early) then merge(late) must equal build(all). (key, ts)
+    pairs are deduped so the cross-batch collision rule — new wins —
+    cannot differ from the rebuild's within-batch tiebreak."""
+    import datetime as dt
+
+    from rt_bigdata_spark.operators.scd import scd2_from_changes, scd2_merge
+
+    base = dt.datetime(2021, 1, 1)
+    seen: dict[tuple[int, int], tuple] = {}
+    for i, (k, day, attr) in enumerate(rows):
+        seen[(k, day)] = (k, base + dt.timedelta(days=day), i, attr)
+    data = list(seen.values())
+    cutoff = base + dt.timedelta(days=cutoff_day)
+    schema = "k long, ts timestamp, seq long, attr string"
+    kw = dict(keys=["k"], ts_col="ts", tiebreak="seq", attr_cols=["attr"])
+    early = [r for r in data if r[1] < cutoff]
+    late = [r for r in data if r[1] >= cutoff]
+    full = scd2_from_changes(spark.createDataFrame(data, schema), **kw)
+    if not early or not late:
+        return  # degenerate split: nothing to merge
+    built = scd2_from_changes(spark.createDataFrame(early, schema), **kw)
+    merged = scd2_merge(built, spark.createDataFrame(late, schema), **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

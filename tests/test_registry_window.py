@@ -25,6 +25,7 @@ MUST_BE_IN_WINDOW = {
     "repetition_stats", "pii_scrub", "contamination", "doc_chunks",
     "token_budget", "filtered_ann", "filtered_ann_indexed",
     "concat_pack", "global_shuffle", "mix_schedule", "paragraph_dedup",
+    "dim_history_merge",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",

@@ -102,6 +102,37 @@ def hash_split(
     return df.withColumn(out_col, out)
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Exact-N-per-stratum deterministic sample: the first
+    ``n_per_group`` rows of each group in ``md5(seed:id)`` order —
+    eval-set construction ("take exactly 100 docs per source"), where
+    ``weighted_sample``'s rate-based filter cannot promise an exact
+    count. Output ``(id, group, sample_rank)``.
+
+    One shuffle (the per-group window); the md5 order key makes the
+    choice reproducible across runs/engines and independent of input
+    layout, and a different ``seed`` draws a fresh, disjoint-in-
+    expectation sample. Scale: rows-per-group is the window's sort
+    width; the rank filter prunes to n_per_group×groups rows total.
+    """
+    from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(group_col), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= n_per_group)
+        .select(id_col, group_col, F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     seed: str = "0",

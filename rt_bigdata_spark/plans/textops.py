@@ -1172,6 +1172,239 @@ FROM ranked
 """
 
 
+# --- Semantic clustering / SemDeDup (operators/clustering.py) -------
+#
+# The oracle re-derives the k-means model IN SQL: the Lloyd iterations
+# are unrolled as CTE pairs (assign → component means). Determinism
+# rests on the integer component quantization (floor(x·2^20) — exact
+# power-of-two float scaling, exact long sums, order-independent; see
+# clustering.py's contract) plus the proven dot/tie-rule mirrors from
+# the IVF oracle above.
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+_KM_QUANT = "1048576.0"  # 2^20, matches clustering.QUANT
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """CTE chain ``e, cent0, a0, m0, mv0, cent1, …, cent{iters}, afin``:
+    afin = (vec_id, v, cell) under the final centroids, cent{iters} =
+    the final unit centroids."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    for t in range(iters):
+        parts.append(assign(f"a{t}", f"cent{t}"))
+        parts.append(
+            f"""m{t} AS (
+  SELECT cell, g.i AS dim,
+         (CAST(SUM(CAST(floor(v[g.i] * {_KM_QUANT}) AS BIGINT)) AS DOUBLE) / {_KM_QUANT})
+           / COUNT(*) AS m
+  FROM a{t} CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY cell, g.i
+)"""
+        )
+        parts.append(f"mv{t} AS (SELECT cell, list(m ORDER BY dim) AS mv FROM m{t} GROUP BY cell)")
+        parts.append(
+            f"""cent{t + 1} AS (
+  SELECT c.cell,
+         CASE WHEN r.mv IS NOT NULL AND list_inner_product(r.mv, r.mv) > 0
+              THEN list_transform(r.mv, x -> x / sqrt(list_inner_product(r.mv, r.mv)))
+              ELSE c.cv END AS cv
+  FROM cent{t} c LEFT JOIN mv{t} r ON c.cell = r.cell
+)"""
+        )
+    parts.append(assign("afin", f"cent{iters}"))
+    return ",\n".join(parts)
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embeddings table
+    (clustering.kmeans_lloyd): k=8, two Lloyd updates, first-k seeding.
+    Assignment is a map-side pass per iteration (broadcast literal
+    centroids); the update is one (cell, dim) hash-agg — the k-means
+    shape that survives 100 TB."""
+    from rt_bigdata_spark.operators.clustering import kmeans_lloyd
+
+    out, _cents = kmeans_lloyd(load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS)
+    return out
+
+
+_ORACLE_SEMANTIC_CLUSTERS = f"""
+WITH {_kmeans_ctes()}
+SELECT a.vec_id,
+       CAST(a.cell AS BIGINT) AS cluster,
+       ROUND(list_inner_product(a.v, c.cv)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.cv, c.cv))),
+             9) AS sim
+FROM afin a JOIN cent{_KM_ITERS} c ON a.cell = c.cell
+"""
+
+_SEMDEDUP_TAU = 0.4
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster, then drop any vector
+    with a lower-id cosine-≥-tau neighbor in the SAME cluster — the
+    quadratic comparison is cluster-local, never corpus-wide
+    (clustering.semdedup)."""
+    from rt_bigdata_spark.operators.clustering import semdedup
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, tau=_SEMDEDUP_TAU
+    )
+
+
+_ORACLE_SEMDEDUP = f"""
+WITH {_kmeans_ctes()},
+pruned AS (
+  SELECT DISTINCT a.vec_id AS pid
+  FROM afin a JOIN afin b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE ROUND(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+              9) >= {_SEMDEDUP_TAU}
+)
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cluster, (p.pid IS NULL) AS kept
+FROM afin f LEFT JOIN pruned p ON f.vec_id = p.pid
+"""
+
+
+# --- BM25 full-text search (operators/search.py) --------------------
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over the documents table for a fixed query
+    (search.bm25_topk): corpus stats reduce to ONE broadcast row,
+    scoring is map-side, top-k is a TakeOrdered — one aggregate + one
+    scan at any corpus size."""
+    from rt_bigdata_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_oracle(k: int = 20) -> str:
+    """DuckDB twin of bm25_topk: exact-integer tf/df/dl, double-only
+    score arithmetic with the SAME literal constants (repr() round-
+    trips the python doubles Spark inlines via F.lit) and the same
+    fixed term order in the score sum."""
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t_}')) AS BIGINT) AS tf_{i}"
+        for i, t_ in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    contribs = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * dl / {avgdl})))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, ROUND({contribs}, 9) AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --- Stratified sampling / snapshot diff ----------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-10-per-source deterministic sample in md5(seed:id) order
+    (sampling.stratified_sample) — eval-set construction where a
+    rate-based sample cannot promise exact counts."""
+    from rt_bigdata_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"), 10, seed="7")
+
+
+_ORACLE_STRATIFIED = """
+SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta (versioning.snapshot_diff): old/new corpus
+    versions derived deterministically from the documents table (drops
+    + an upper-cased edit), compared by content md5 over one full outer
+    join — the audit step between pipeline runs."""
+    from rt_bigdata_spark.operators.versioning import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 3)
+    new = docs.filter(F.col("doc_id") % 17 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text"))).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+_ORACLE_CORPUS_DIFF = """
+WITH o AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h_old FROM documents WHERE doc_id % 13 <> 3
+),
+n AS (
+  SELECT doc_id, md5(COALESCE(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END, '')) AS h_new
+  FROM documents WHERE doc_id % 17 <> 5
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old = h_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1186,11 +1419,11 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
-    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True),
+    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True),
-    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True),
+    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
     QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=10),
     QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=10),
@@ -1203,10 +1436,10 @@ for spec in [
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
-    QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg")),
+    QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=80),
     QuerySpec("corpus_profile_approx", q_corpus_profile_approx, None, ("profiling", "agg", "approx")),
-    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn")),
-    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling")),
+    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=80),
+    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
     QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
     # priority=10: the round-4 additions were parked at 70 (outside the
@@ -1228,5 +1461,14 @@ for spec in [
     QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=10),
     QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=10),
     QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=10),
+    # round-5 second batch (semantic clustering, search, versioning);
+    # five multi-round greens (text_quality, ann_cosine_topk,
+    # corpus_profile, quality_gate, unigram_surprisal) yielded window
+    # slots so these verify on their first round.
+    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=10),
+    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), priority=10),
+    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=10),
+    QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=10),
+    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=10),
 ]:
     register(spec)

@@ -1,0 +1,149 @@
+"""Unit/property tests for the round-5 second batch: spherical k-means
++ SemDeDup (operators/clustering.py), BM25 search (operators/search.py),
+exact-N stratified sampling and snapshot diff.
+
+The oracle-parity suite already hash-checks each registered query
+against DuckDB; these tests pin the operator-level CONTRACTS the
+oracles can't see — partition-layout independence of the k-means model
+(the property the integer quantization buys), SemDeDup's keep rule
+against a brute-force reference, BM25 ranking monotonicity, exact
+per-stratum counts, and diff-status semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from rt_bigdata_spark.operators.clustering import kmeans_lloyd, semdedup
+from rt_bigdata_spark.operators.sampling import stratified_sample
+from rt_bigdata_spark.operators.search import bm25_topk
+from rt_bigdata_spark.operators.versioning import snapshot_diff
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_kmeans_is_partition_layout_independent(spark, emb):
+    """The centroid chain (and therefore every assignment) must be
+    bit-identical regardless of how the input is partitioned — the
+    exact-integer component sums are what make Lloyd's float math
+    order-independent. A plain double sum fails this test."""
+    a1, c1 = kmeans_lloyd(emb.repartition(3), k=4, iters=2)
+    a2, c2 = kmeans_lloyd(emb.repartition(17, "label"), k=4, iters=2)
+    assert c1 == c2  # float-exact centroid equality
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2
+
+
+def test_kmeans_assigns_every_vector_once(emb):
+    out, cents = kmeans_lloyd(emb, k=4, iters=1)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert {r.cluster for r in rows} <= set(range(1, 5))
+    # spherical k-means: final centroids are unit vectors
+    for c in cents:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+
+
+def test_semdedup_prunes_exact_duplicates_keeps_lowest_id(spark):
+    """Two identical vectors land in the same cluster (cosine 1.0);
+    the higher id must be pruned, the lower kept. An orthogonal
+    vector survives."""
+    dim = 4
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),  # exact dup of 1 -> pruned
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    out = {r.vec_id: r.kept for r in semdedup(df, k=2, iters=1, tau=0.9).collect()}
+    assert out[1] is True
+    assert out[2] is False
+    assert out[3] is True and out[4] is True
+
+
+def test_semdedup_matches_bruteforce_rule(emb):
+    """kept == 'no lower-id same-cluster neighbor with cosine >= tau',
+    checked against a driver-side brute force over the same final
+    assignment."""
+    tau = 0.4
+    out = semdedup(emb, k=4, iters=1, tau=tau)
+    asg, cents = kmeans_lloyd(emb, k=4, iters=1)
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    cluster = {r.vec_id: r.cluster for r in asg.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 9)
+
+    for r in out.collect():
+        expect_pruned = any(
+            cluster[j] == cluster[r.vec_id] and j < r.vec_id and cos(vecs[j], vecs[r.vec_id]) >= tau
+            for j in vecs
+        )
+        assert r.kept == (not expect_pruned), r.vec_id
+
+
+def test_bm25_ranks_term_density_over_length(spark):
+    """A short doc saturated with the query terms must outrank a long
+    doc that mentions one term once; a doc with zero hits scores 0."""
+    docs = [
+        (1, "hash join hash join hash"),
+        (2, "join " + "filler word soup " * 40),
+        (3, "entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r.doc_id: (r.score, r.rank) for r in bm25_topk(df, ("hash", "join"), k=3).collect()}
+    assert out[1][1] == 1
+    assert out[3][0] == 0.0
+    assert out[1][0] > out[2][0] > out[3][0]
+
+
+def test_bm25_handles_null_text_and_k_bound(spark):
+    df = spark.createDataFrame(
+        [(1, "hash"), (2, None), (3, "hash hash")], "doc_id: long, text: string"
+    )
+    rows = bm25_topk(df, ("hash",), k=2).collect()
+    assert len(rows) == 2
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
+    assert all(r.doc_id != 2 for r in rows)  # null text = empty doc, scores 0, cut by k
+
+
+def test_stratified_sample_exact_counts_and_layout_independence(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = stratified_sample(docs, 3, seed="9")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    src_totals = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, total in src_totals.items():
+        assert counts.get(s, 0) == min(3, total)
+    # deterministic under repartitioning
+    again = stratified_sample(docs.repartition(13), 3, seed="9")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, ""), (5, "new")], "doc_id: long, text: string"
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "unchanged",  # NULL hashes as '' — equal to the new empty string
+        5: "added",
+    }

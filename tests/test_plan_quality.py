@@ -192,6 +192,7 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "filtered_ann",  # same broadcast query set, over the filtered corpus
         "unigram_surprisal",  # broadcast 1-row corpus token total
         "doc_keywords",  # broadcast 1-row n_docs scalar
+        "bm25_search",  # broadcast 1-row corpus stats (N, avgdl, df_t)
     }
     offenders = [
         n for n, pl in plans.items()

@@ -26,6 +26,11 @@ MUST_BE_IN_WINDOW = {
     "token_budget", "filtered_ann", "filtered_ann_indexed",
     "concat_pack", "global_shuffle", "mix_schedule", "paragraph_dedup",
     "dim_history_merge",
+    # round-5 second batch (five more greens — text_quality,
+    # ann_cosine_topk, corpus_profile, quality_gate, unigram_surprisal
+    # — yielded their slots; all stay CI-oracle-verified):
+    "semantic_clusters", "semdedup", "bm25_search", "stratified_sample",
+    "corpus_diff",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",

@@ -1,0 +1,93 @@
+"""User-behavior analytics over the events stream: funnel progression
+and cohort retention.
+
+Warehouse-side companions to the reference's visitor/bounce analytics
+(same events table, same DWS layer): funnel analysis generalizes the
+bounce CEP pattern (reference BounceDetection: "did step 2 happen
+after step 1 in time?") to an ordered k-step sequence, and cohort
+retention is the DWS aggregation marketing teams read next to it.
+
+Scale shape — both are single-shuffle plans:
+
+- ``funnel_stages`` computes the chained first-reach timestamps with
+  three unbounded-window MINs over the SAME user partitioning: one
+  Exchange, no Sort (min needs no frame order), no joins — vs the
+  naive 3-level agg + 2 self-joins that re-shuffles the events table
+  per step.
+- ``cohort_retention`` is two hash-aggregates over (user, week) keys;
+  the distinct-user count per (cohort, offset) is exact and the
+  output is O(weeks²) rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from rt_bigdata_spark.operators.scale import ensure_parallelism
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(user_id, funnel_stage)``: the deepest step each user reached
+    IN ORDER — step k counts only if it happens at-or-after the user's
+    first qualifying step k-1 (ties allowed: same-timestamp progression
+    counts, mirroring an inclusive CEP `followedBy`).
+
+    All k first-reach timestamps come from unbounded conditional
+    window MINs over one user partitioning — a single Exchange total,
+    because each step's condition references the previous step's
+    column, which Catalyst evaluates as chained Window nodes sharing
+    the partitioning."""
+    w = Window.partitionBy(user_col)
+    df = ensure_parallelism(events).select(user_col, type_col, ts_col)
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        df = df.withColumn(f"s{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"s{i}"
+    # deepest stage wins: each constructed WHEN wraps the previous one
+    # as its OTHERWISE branch, so building s0→sk leaves the LAST step's
+    # check outermost (building downward would let s0 shadow them all)
+    stage = F.lit(0).cast("long")
+    for i in range(len(steps)):
+        stage = F.when(F.col(f"s{i}").isNotNull(), F.lit(i + 1).cast("long")).otherwise(stage)
+    return (
+        df.withColumn("funnel_stage", stage)
+        .groupBy(user_col)
+        .agg(F.max("funnel_stage").alias("funnel_stage"))
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(cohort_week, week_offset, active_users)``: users bucketed by
+    the week of their first event; for each later week, how many of
+    that cohort were active. Exact distinct counts; weeks are ISO
+    ``date_trunc('week', ts)`` so both engines agree on boundaries."""
+    ev = ensure_parallelism(events).select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")
+    )
+    first = ev.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, user_col)
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )

@@ -126,6 +126,46 @@ def hyperplane_lsh_topk(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction, exploded form:
+    ``(vec_id, dim, val)`` — each output component is the dot of the
+    input vector with a fixed seeded-LCG plane (the same deterministic
+    plane family the hyperplane-LSH bucketing uses, here keeping the
+    full projection value instead of just its sign). The embedding
+    compression step before storing/sharding a 100 TB vector corpus:
+    distances are approximately preserved at out_dim ≈ O(log n / ε²),
+    and the projection is a pure map-side expression — the plane
+    matrix is out_dim × dim literals, no shuffle, no model object.
+
+    Exploded (id, dim, val) output rather than an array column so the
+    result is directly comparable across engines and joins/aggregates
+    without array support.
+    """
+    planes = lcg_planes(out_dim, dim, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("dim"),
+                F.round(dot(vd, F.array(*[F.lit(v) for v in plane])), 9).alias("val"),
+            )
+            for j, plane in enumerate(planes)
+        ]
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.dim").alias("dim"), F.col("p.val").alias("val"))
+    )
+
+
 def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> list[list[float]]:
     """Deterministic centroid seeding: the first ``n_centroids`` corpus
     vectors by id, L2-normalized. A production build would run k-means

@@ -11,7 +11,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from rt_bigdata_spark.functions.text_fns import tokenize
 from rt_bigdata_spark.operators.scale import ensure_parallelism
@@ -213,4 +213,42 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(tokenize(text)).cast("long").alias("ws_tokens"),
         bpe_token_count(text).alias("bpe_tokens"),
         rolling_hash(text).alias("rolling_fp"),
+    )
+
+
+def hashed_doc_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed bag-of-words document embedding, sparse form:
+    ``(doc_id, bucket, weight)`` with weight = bucket token count /
+    L2 norm of the doc's count vector. The deterministic text→vector
+    featurizer that lets the vector operators (ANN, k-means,
+    SemDeDup) run over a text corpus with no external model — the
+    classic hashing trick (token → md5-derived bucket mod dim).
+
+    Determinism: bucket counts are exact integers; the norm is
+    sqrt of an exact integer sum; one double division per row —
+    engine-portable like every md5-keyed operator here. Scale: one
+    explode + one (doc, bucket) hash-agg (map-side combinable,
+    maximal-cardinality keys — no skew), one per-doc window for the
+    norm riding the same doc partitioning.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % dim).cast("long"),
+    )
+    cnt = bucketed.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(id_col)
+    return cnt.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(
+            F.col("cnt") / F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w)), 9
+        ).alias("weight"),
     )

@@ -1663,6 +1663,70 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+# --- Behavior analytics (operators/behavior.py) ---------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel depth per user
+    (behavior.funnel_stages): the k-step generalization of the bounce
+    CEP pattern, computed as chained conditional window MINs over ONE
+    user-key exchange — no per-step self-joins."""
+    from rt_bigdata_spark.operators.behavior import funnel_stages
+
+    return funnel_stages(load_table(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+_ORACLE_FUNNEL = f"""
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, MIN(ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE event_type = '{_FUNNEL_STEPS[1]}' AND ts >= t0 GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = '{_FUNNEL_STEPS[2]}' AND ts >= t1 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                 WHEN t1 IS NOT NULL THEN 2
+                 WHEN t0 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (behavior.cohort_retention):
+    users bucketed by first-event week, exact distinct-active counts
+    per (cohort, week offset) — two hash-aggregates total."""
+    from rt_bigdata_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_COHORT = """
+WITH ev AS (
+  -- CAST: DuckDB's date_trunc('week') yields DATE; Spark's yields
+  -- TIMESTAMP — align the cursor-level types for the value compare
+  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -1677,9 +1741,9 @@ for spec in [
     QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True),
     QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=80),
     QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=80),
-    QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1")),
-    QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3")),
-    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2")),
+    QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1"), priority=80),
+    QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3"), priority=80),
+    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2"), priority=80),
     QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1"), priority=80),
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3"), priority=80),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=80),
@@ -1705,5 +1769,10 @@ for spec in [
     QuerySpec("province_stats_approx", q_province_stats_approx, None, ("agg", "approx", "A3")),
     QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=10),
+    # round-5 third batch (behavior analytics): four multi-round greens
+    # (is_new_correction, bounce_detection, cdc_routing, doc_keywords)
+    # yielded window slots so these verify on their first round.
+    QuerySpec("event_funnel", q_event_funnel, _ORACLE_FUNNEL, ("behavior", "window_fn", "T3"), priority=10),
+    QuerySpec("cohort_retention", q_cohort_retention, _ORACLE_COHORT, ("behavior", "agg"), priority=10),
 ]:
     register(spec)

@@ -1,0 +1,114 @@
+"""Unit tests for the round-5 third batch: funnel / cohort behavior
+analytics (operators/behavior.py) and the text→vector bridge
+(hashed_doc_embedding, random_projection). Oracle parity for the
+registered queries is covered by test_oracle_parity.py; these pin the
+operator semantics on hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from rt_bigdata_spark.operators.behavior import cohort_retention, funnel_stages
+from rt_bigdata_spark.operators.similarity import dot, lcg_planes, random_projection
+from rt_bigdata_spark.operators.text_analysis import hashed_doc_embedding
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture()
+def funnel_events(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2: click BEFORE first view — click must not count; stage 1
+        (2, _ts(2), "click"), (2, _ts(3), "view"),
+        # u3: same-timestamp progression counts (inclusive >=)
+        (3, _ts(5), "view"), (3, _ts(5), "click"), (3, _ts(5), "purchase"),
+        # u4: purchase before click — stage 2 only
+        (4, _ts(1), "view"), (4, _ts(2), "purchase"), (4, _ts(3), "click"),
+        # u5: no funnel event at all
+        (5, _ts(1), "error"),
+    ]
+    return spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_type: string")
+
+
+def test_funnel_order_and_tie_semantics(funnel_events):
+    out = {r.user_id: r.funnel_stage for r in
+           funnel_stages(funnel_events, ("view", "click", "purchase")).collect()}
+    assert out == {1: 3, 2: 1, 3: 3, 4: 2, 5: 0}
+
+
+def test_funnel_single_exchange_plan(funnel_events):
+    """The chained conditional window MINs must share one user-key
+    Exchange — the whole point of the window formulation over
+    per-step aggregate+join."""
+    import contextlib
+    import io
+
+    df = funnel_stages(funnel_events, ("view", "click", "purchase"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    p = buf.getvalue()
+    # one user-key hash exchange feeds all three windows + the final
+    # agg (ensure_parallelism may add a round-robin exchange below it)
+    assert p.count("hashpartitioning") <= 2, p
+    assert "Join" not in p, p
+
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        (1, _ts(1)), (1, _ts(10)),   # cohort wk of Jan 1; active offsets 0 and 1
+        (2, _ts(10)), (2, _ts(24)),  # cohort wk of Jan 8; offsets 0 and 2
+        (3, _ts(1)),                 # cohort wk of Jan 1; offset 0 only
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    out = {(r.cohort_week.date(), r.week_offset): r.active_users
+           for r in cohort_retention(ev).collect()}
+    assert out == {
+        (dt.date(2024, 1, 1), 0): 2,
+        (dt.date(2024, 1, 1), 1): 1,
+        (dt.date(2024, 1, 8), 0): 1,
+        (dt.date(2024, 1, 8), 2): 1,
+    }
+
+
+def test_hashed_doc_embedding_unit_norm_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma"), (3, None)],
+        "doc_id: long, text: string",
+    )
+    out = hashed_doc_embedding(docs, dim=8)
+    rows = out.collect()
+    assert all(r.doc_id != 3 for r in rows)  # null text -> no tokens -> no rows
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0.0) + r.weight * r.weight
+    for doc, sq in by_doc.items():
+        assert math.isclose(sq, 1.0, rel_tol=1e-6), (doc, sq)
+    again = hashed_doc_embedding(docs.repartition(5), dim=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_random_projection_matches_manual_dot(spark):
+    vec = [float(i % 5 - 2) for i in range(64)]
+    df = spark.createDataFrame([(1, vec)], "vec_id: long, embedding: array<float>")
+    out = {r.dim: r.val for r in random_projection(df, out_dim=4, seed=7).collect()}
+    planes = lcg_planes(4, 64, 7)
+    import struct as _struct
+
+    f32 = [  # the operator casts float32 inputs to double — mirror that
+        _struct.unpack("f", _struct.pack("f", x))[0] for x in vec
+    ]
+    for j, plane in enumerate(planes):
+        acc = 0.0
+        for x, p in zip(f32, plane):
+            acc += x * p
+        assert out[j] == round(acc, 9), j

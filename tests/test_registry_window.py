@@ -31,6 +31,9 @@ MUST_BE_IN_WINDOW = {
     # — yielded their slots; all stay CI-oracle-verified):
     "semantic_clusters", "semdedup", "bm25_search", "stratified_sample",
     "corpus_diff",
+    # round-5 third batch (is_new_correction, bounce_detection,
+    # cdc_routing, doc_keywords yielded their slots):
+    "event_funnel", "cohort_retention", "doc_embedding", "embedding_project",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",

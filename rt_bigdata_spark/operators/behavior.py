@@ -14,9 +14,9 @@ Scale shape — both are single-shuffle plans:
   Exchange, no Sort (min needs no frame order), no joins — vs the
   naive 3-level agg + 2 self-joins that re-shuffles the events table
   per step.
-- ``cohort_retention`` is two hash-aggregates over (user, week) keys;
-  the distinct-user count per (cohort, offset) is exact and the
-  output is O(weeks²) rows regardless of corpus size.
+- ``cohort_retention`` is one scan → distinct hash-agg → user-key
+  window MIN → final agg (three exchanges, no join); counts are exact
+  and the output is O(weeks²) rows regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -45,9 +45,18 @@ def funnel_stages(
     window MINs over one user partitioning — a single Exchange total,
     because each step's condition references the previous step's
     column, which Catalyst evaluates as chained Window nodes sharing
-    the partitioning."""
+    the partitioning.
+
+    NULL users are excluded: ``Window.partitionBy`` would group them
+    into one pseudo-user (any SQL rewrite joining on the user key
+    drops them instead — NULL never equi-joins), so a NULL funnel
+    subject has no consistent cross-engine meaning."""
     w = Window.partitionBy(user_col)
-    df = ensure_parallelism(events).select(user_col, type_col, ts_col)
+    df = (
+        ensure_parallelism(events)
+        .filter(F.col(user_col).isNotNull())
+        .select(user_col, type_col, ts_col)
+    )
     prev: str | None = None
     for i, step in enumerate(steps):
         cond = F.col(type_col) == step
@@ -75,19 +84,33 @@ def cohort_retention(
 ) -> DataFrame:
     """``(cohort_week, week_offset, active_users)``: users bucketed by
     the week of their first event; for each later week, how many of
-    that cohort were active. Exact distinct counts; weeks are ISO
-    ``date_trunc('week', ts)`` so both engines agree on boundaries."""
-    ev = ensure_parallelism(events).select(
-        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")
+    that cohort were active. Exact counts; weeks are ISO
+    ``date_trunc('week', ts)`` so both engines agree on boundaries.
+
+    Plan shape: ONE events scan → distinct (user, week) hash-agg →
+    cohort week as a window MIN over the user key → final
+    (cohort, offset) agg — three exchanges, no join, no second scan
+    (the agg-then-join-back formulation reads the source twice and
+    shuffles four times). The final count is a plain ``count``:
+    activity is already distinct per (user, week) and the offset is
+    injective in week given the cohort, so each user appears at most
+    once per output group — a COUNT(DISTINCT) expansion would be
+    redundant work for identical numbers. NULL users are excluded
+    (same rationale as ``funnel_stages``: the window would pool them
+    into one pseudo-user while any join-based rewrite drops them)."""
+    ev = (
+        ensure_parallelism(events)
+        .filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week"))
     )
-    first = ev.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
     activity = ev.distinct()
+    w = Window.partitionBy(user_col)
     return (
-        activity.join(first, user_col)
+        activity.withColumn("cohort_week", F.min("week").over(w))
         .withColumn(
             "week_offset",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct(user_col).alias("active_users"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )

@@ -75,14 +75,22 @@ def lcg_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def plane_lit(plane: list[float]) -> Column:
+    """One hyperplane as a literal array<double> column — the single
+    place the python-float→F.lit inlining happens, shared by the LSH
+    bucketing and the random projection so the determinism discipline
+    (and its ``_duck_plane`` oracle mirror) cannot diverge between
+    consumers."""
+    return F.array(*[F.lit(v) for v in plane])
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id of ``vec`` against fixed hyperplanes — pure
     map-side column expression (no shuffle, no Python per row)."""
     acc = F.lit(0).cast("long")
     vd = F.transform(vec, lambda x: x.cast("double"))
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        d = dot(vd, p)
+        d = dot(vd, plane_lit(plane))
         acc = acc + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
 
@@ -154,7 +162,7 @@ def random_projection(
         *[
             F.struct(
                 F.lit(j).cast("long").alias("dim"),
-                F.round(dot(vd, F.array(*[F.lit(v) for v in plane])), 9).alias("val"),
+                F.round(dot(vd, plane_lit(plane)), 9).alias("val"),
             )
             for j, plane in enumerate(planes)
         ]

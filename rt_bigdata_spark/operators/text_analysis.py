@@ -233,8 +233,13 @@ def hashed_doc_embedding(
     sqrt of an exact integer sum; one double division per row —
     engine-portable like every md5-keyed operator here. Scale: one
     explode + one (doc, bucket) hash-agg (map-side combinable,
-    maximal-cardinality keys — no skew), one per-doc window for the
-    norm riding the same doc partitioning.
+    maximal-cardinality keys — no skew), then a per-doc window for
+    the norm. The window needs clustering by doc alone, which the
+    (doc, bucket) hash partitioning does NOT satisfy, so the plan has
+    a second exchange — but it moves the already-aggregated counts
+    (≤ dim rows per doc), not tokens; pre-partitioning the raw
+    exploded tokens by doc would collapse it to one exchange at the
+    cost of shuffling every token uncombined, a bad trade.
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")

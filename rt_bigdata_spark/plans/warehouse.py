@@ -1680,7 +1680,8 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_FUNNEL = f"""
 WITH s0 AS (
-  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' AND user_id IS NOT NULL GROUP BY user_id
 ),
 s1 AS (
   SELECT e.user_id, MIN(ts) AS t1
@@ -1697,15 +1698,16 @@ SELECT u.user_id,
                  WHEN t1 IS NOT NULL THEN 2
                  WHEN t0 IS NOT NULL THEN 1
                  ELSE 0 END AS BIGINT) AS funnel_stage
-FROM (SELECT DISTINCT user_id FROM events) u
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u
 LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 """
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (behavior.cohort_retention):
-    users bucketed by first-event week, exact distinct-active counts
-    per (cohort, week offset) — two hash-aggregates total."""
+    users bucketed by first-event week, exact active counts per
+    (cohort, week offset) — one scan, distinct agg → user-window MIN →
+    final agg, no join."""
     from rt_bigdata_spark.operators.behavior import cohort_retention
 
     return cohort_retention(load_table(spark, sf_dir, "events"))
@@ -1716,6 +1718,7 @@ WITH ev AS (
   -- CAST: DuckDB's date_trunc('week') yields DATE; Spark's yields
   -- TIMESTAMP — align the cursor-level types for the value compare
   SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+  WHERE user_id IS NOT NULL
 ),
 first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
 activity AS (SELECT DISTINCT user_id, week FROM ev)

@@ -10,11 +10,10 @@ from __future__ import annotations
 import datetime as dt
 import math
 
-import pyspark.sql.functions as F
 import pytest
 
 from rt_bigdata_spark.operators.behavior import cohort_retention, funnel_stages
-from rt_bigdata_spark.operators.similarity import dot, lcg_planes, random_projection
+from rt_bigdata_spark.operators.similarity import lcg_planes, random_projection
 from rt_bigdata_spark.operators.text_analysis import hashed_doc_embedding
 
 
@@ -35,6 +34,10 @@ def funnel_events(spark):
         (4, _ts(1), "view"), (4, _ts(2), "purchase"), (4, _ts(3), "click"),
         # u5: no funnel event at all
         (5, _ts(1), "error"),
+        # NULL user: excluded entirely (a window would pool NULLs into
+        # one pseudo-user; any join-based SQL rewrite drops them —
+        # there is no consistent cross-engine answer, so neither emits)
+        (None, _ts(1), "view"), (None, _ts(2), "click"),
     ]
     return spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_type: string")
 
@@ -68,6 +71,7 @@ def test_cohort_retention_matrix(spark):
         (1, _ts(1)), (1, _ts(10)),   # cohort wk of Jan 1; active offsets 0 and 1
         (2, _ts(10)), (2, _ts(24)),  # cohort wk of Jan 8; offsets 0 and 2
         (3, _ts(1)),                 # cohort wk of Jan 1; offset 0 only
+        (None, _ts(1)),              # NULL user: excluded
     ]
     ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
     out = {(r.cohort_week.date(), r.week_offset): r.active_users

@@ -1463,6 +1463,54 @@ FROM embeddings e CROSS JOIN (VALUES
 """
 
 
+# --- Count-Min Sketch heavy hitters (operators/sketches.py) ---------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_FRAC = 0.01
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a 4×256 Count-Min Sketch
+    (sketches.cms_heavy_hitters): bounded-state frequency estimation
+    whose md5 hash family makes the estimator exactly
+    DuckDB-replayable; threshold = 1% of total tokens
+    (scale-invariant)."""
+    from rt_bigdata_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"),
+        threshold_frac=_CMS_FRAC,
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+    )
+
+
+def _heavy_hitters_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH, frac: float = _CMS_FRAC) -> str:
+    h = _duck_md5_32("CAST(g.r AS VARCHAR) || ':' || tok")
+    return f"""
+WITH toks AS (SELECT UNNEST({_DUCK_TOKS_COALESCED}) AS tok FROM documents),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+cells AS (
+  SELECT g.r AS r, {h} % {width} AS col, COUNT(*) AS n
+  FROM toks CROSS JOIN generate_series(0, {depth - 1}) AS g(r)
+  GROUP BY r, col
+),
+cand AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok),
+est AS (
+  SELECT cand.tok, cand.true_count, MIN(c.n) AS est_count
+  FROM cand
+  CROSS JOIN generate_series(0, {depth - 1}) AS g(r)
+  JOIN cells c ON c.r = g.r AND c.col = {h} % {width}
+  GROUP BY cand.tok, cand.true_count
+)
+SELECT tok AS token, CAST(est_count AS BIGINT) AS est_count,
+       CAST(true_count AS BIGINT) AS true_count
+FROM est CROSS JOIN total
+WHERE est_count >= {frac!r} * n_total
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1531,5 +1579,8 @@ for spec in [
     # round-5 third batch (text→vector bridge + embedding compression)
     QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=10),
     QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=10),
+    # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
+    # — green r1-r4 — yielded its slot)
+    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=10),
 ]:
     register(spec)

@@ -1755,7 +1755,7 @@ for spec in [
     QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=80),
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
-    QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7")),
+    QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=10),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=10),
     QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=10),

@@ -275,3 +275,77 @@ def detect_bounces_batch(events: DataFrame) -> DataFrame:
         return pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
 
     return events.groupBy("mid").applyInPandas(fn, schema=BOUNCE_OUT_SCHEMA)
+
+
+# --- Streaming funnel (T3 generalization) -----------------------------------
+
+FUNNEL_EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", LongType()),  # epoch ms
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("funnel_stage", LongType()),
+        StructField("reached_ts", LongType()),
+    ]
+)
+
+
+def _funnel_fn_factory(steps: tuple[str, ...]):
+    """Per-user funnel advance: state = (stage, reach_ts); an event
+    advances the funnel iff it is the NEXT step's type at-or-after the
+    time the current stage was reached (the same inclusive `>=`
+    the batch operator and its SQL oracle use). Emits one row per
+    advance — consumers take the max stage per user.
+
+    Equivalence contract with ``behavior.funnel_stages``: identical
+    final stages when events are processed in event-time order (within
+    a micro-batch the group sorts by ts; across batches the contract
+    holds when data arrives within the watermark — the same in-order
+    caveat T1 documents). NULL users are dropped, mirroring the batch
+    operator.
+    """
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        stage, reach_ts = (state.get if state.exists else (0, None))
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("ts").itertuples(index=False):
+                if stage >= len(steps):
+                    break
+                if r.event_type == steps[stage] and (reach_ts is None or r.ts >= reach_ts):
+                    stage += 1
+                    reach_ts = r.ts
+                    rows.append(
+                        {"user_id": key[0], "funnel_stage": stage, "reached_ts": r.ts}
+                    )
+        state.update((stage, reach_ts))
+        yield pd.DataFrame(rows, columns=[f.name for f in FUNNEL_OUT_SCHEMA.fields])
+
+    return fn
+
+
+def track_funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Streaming funnel progression: append-mode rows
+    ``(user_id, funnel_stage, reached_ts)`` emitted as each user
+    advances a stage — the ordered-sequence CEP pattern
+    (begin(step1).followedBy(step2)…) the reference expresses in
+    Flink CEP, over the same keyBy shuffle. State per user is two
+    numbers; at production user counts pair with the RocksDB state
+    store exactly like T1-T3."""
+    return (
+        events.filter(events["user_id"].isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn_factory(tuple(steps)),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType="stage LONG, reach_ts LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -15,6 +15,7 @@ import pytest
 from rt_bigdata_spark.operators.behavior import cohort_retention, funnel_stages
 from rt_bigdata_spark.operators.similarity import lcg_planes, random_projection
 from rt_bigdata_spark.operators.text_analysis import hashed_doc_embedding
+from tests.conftest import SF_DIR
 
 
 def _ts(day: int, hour: int = 0) -> dt.datetime:
@@ -116,3 +117,19 @@ def test_random_projection_matches_manual_dot(spark):
         for x, p in zip(f32, plane):
             acc += x * p
         assert out[j] == round(acc, 9), j
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS contract: est ≥ true for EVERY token (min of per-row
+    counters can collide upward, never down), and each sketch row's
+    counters sum to the total token count (the grid is a partition of
+    the stream per row)."""
+    from rt_bigdata_spark.operators.sketches import cms_build, cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = cms_heavy_hitters(docs, threshold_frac=0.0, depth=4, width=64).collect()
+    assert out, "threshold 0 must return every distinct token"
+    assert all(r.est_count >= r.true_count for r in out)
+    grid = cms_build(docs, depth=4, width=64)
+    row_sums = {sum(row) for row in grid}
+    assert len(row_sums) == 1  # every row counts the same stream

@@ -34,13 +34,15 @@ MUST_BE_IN_WINDOW = {
     # round-5 third batch (is_new_correction, bounce_detection,
     # cdc_routing, doc_keywords yielded their slots):
     "event_funnel", "cohort_retention", "doc_embedding", "embedding_project",
+    # round-5 fourth batch (sales_rollup — green r1-r4 — yielded its slot):
+    "heavy_hitters",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "ngram_jaccard", "dup_clusters", "cluster_split", "embedding_dedup",
     "pricing_summary", "visitor_stats", "province_stats", "keyword_stats",
     "order_wide", "order_wide_enriched", "shipping_priority", "supplier_volume",
-    "product_stats", "doc_curation", "dedup_exact", "sales_rollup",
+    "product_stats", "doc_curation", "dedup_exact",
 }
 
 

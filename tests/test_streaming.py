@@ -223,3 +223,65 @@ def test_uv_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """track_funnel over two micro-batches reaches the same final
+    stages as the batch operator (behavior.funnel_stages) on the same
+    events — the streaming/batch equivalence contract."""
+    from rt_bigdata_spark.operators.behavior import funnel_stages
+    from rt_bigdata_spark.streaming.stateful import (
+        FUNNEL_EVENT_SCHEMA,
+        track_funnel,
+    )
+
+    b1 = [
+        {"user_id": 1, "event_type": "view", "ts": 1000},
+        {"user_id": 1, "event_type": "click", "ts": 2000},
+        {"user_id": 2, "event_type": "click", "ts": 1500},  # click before view: no advance
+        {"user_id": 3, "event_type": "view", "ts": 1000},
+    ]
+    b2 = [
+        {"user_id": 1, "event_type": "purchase", "ts": 9000},  # completes across batches
+        {"user_id": 2, "event_type": "view", "ts": 3000},
+        {"user_id": 3, "event_type": "error", "ts": 4000},
+    ]
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    _write_batch(str(src), "b1.json", b1)
+    stream = (
+        spark.readStream.schema(FUNNEL_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        track_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "fchk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(src), "b2.json", b2)
+        q.processAllAvailable()
+        rows = spark.sql("select * from funnel_out").collect()
+    finally:
+        q.stop()
+    stream_stages: dict[int, int] = {}
+    for r in rows:
+        stream_stages[r.user_id] = max(stream_stages.get(r.user_id, 0), r.funnel_stage)
+
+    import pyspark.sql.functions as _F
+
+    all_events = spark.createDataFrame(b1 + b2, FUNNEL_EVENT_SCHEMA).withColumn(
+        "ts", _F.timestamp_millis(_F.col("ts"))
+    )
+    batch = {
+        r.user_id: r.funnel_stage
+        for r in funnel_stages(all_events, ("view", "click", "purchase")).collect()
+    }
+    # streaming emits only on advance; users stuck at 0 appear in batch only
+    assert stream_stages == {u: s for u, s in batch.items() if s > 0}
+    assert batch == {1: 3, 2: 1, 3: 1}

@@ -81,44 +81,61 @@ def cms_build(
     return grid
 
 
+def _cms_estimate(grid: list[list[int]], width: int) -> Column:
+    """min over the d row lookups for the ``tok`` column, against the
+    collected grid inlined as literal arrays. Works for depth=1
+    (``F.least`` requires ≥2 args, so the single lookup is returned
+    directly)."""
+    lookups = [
+        F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            (_cms_hash(F.col("tok"), r, len(row)) + 1).cast("int"),
+        )
+        for r, row in enumerate(grid)
+    ]
+    est = lookups[0] if len(lookups) == 1 else F.least(*lookups)
+    return est.cast("long")
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     threshold_frac: float = 0.01,
     depth: int = 4,
     width: int = 256,
     text_col: str = "text",
-    with_truth: bool = True,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """``(token, est_count[, true_count])`` for every distinct token
-    whose CMS estimate (min over the d row lookups) reaches
-    ``threshold_frac`` of the total token count — the classic
-    heavy-hitter query, scale-invariant by construction (an absolute
+    """Heavy-hitter tokens: every candidate whose CMS estimate (min
+    over the d row lookups) reaches ``threshold_frac`` of the total
+    token count — scale-invariant by construction (an absolute
     threshold would silently mean something different at every SF).
-    The total is a 1-row broadcast like the BM25 stats row.
+    The total comes from the already-collected grid (every sketch row
+    sums to the stream length), so no extra scan or broadcast is
+    needed; the threshold is one inlined double.
 
-    ``with_truth`` adds the exact count next to the estimate — the
-    verification mode the oracle checks (est ≥ true visible per row);
-    at a vocabulary too large to aggregate exactly, run with
-    ``with_truth=False`` over any bounded candidate set (the sketch
-    grid itself never grows).
+    Two modes. ``candidates=None`` (verification mode, what the
+    registered query runs): candidates = the exact vocabulary
+    aggregate, output ``(token, est_count, true_count)`` so est ≥ true
+    is visible per row and the oracle can hash-match. Pass a bounded
+    one-column ``candidates`` DataFrame (production mode, for
+    vocabularies too large to aggregate exactly): output
+    ``(token, est_count)`` — the estimate side is then a pure map-side
+    lookup against the grid, zero additional shuffle.
     """
     grid = cms_build(df, depth, width, text_col)
+    threshold = float(threshold_frac) * sum(grid[0])
+    est = _cms_estimate(grid, width)
+    if candidates is not None:
+        cand = candidates.select(F.col(candidates.columns[0]).alias("tok")).distinct()
+        return (
+            cand.withColumn("est_count", est)
+            .filter(F.col("est_count") >= F.lit(threshold))
+            .select(F.col("tok").alias("token"), "est_count")
+        )
     toks = _token_stream(df, text_col)
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     cand = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
-    est = F.least(
-        *[
-            F.element_at(
-                F.array(*[F.lit(v) for v in grid[r]]),
-                (_cms_hash(F.col("tok"), r, width) + 1).cast("int"),
-            )
-            for r in range(depth)
-        ]
-    ).cast("long")
-    out = (
+    return (
         cand.withColumn("est_count", est)
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("est_count") >= F.lit(float(threshold_frac)) * F.col("n_total"))
+        .filter(F.col("est_count") >= F.lit(threshold))
+        .select(F.col("tok").alias("token"), "est_count", "true_count")
     )
-    cols = [F.col("tok").alias("token"), "est_count"] + (["true_count"] if with_truth else [])
-    return out.select(*cols)

@@ -1507,7 +1507,10 @@ est AS (
 SELECT tok AS token, CAST(est_count AS BIGINT) AS est_count,
        CAST(true_count AS BIGINT) AS true_count
 FROM est CROSS JOIN total
-WHERE est_count >= {frac!r} * n_total
+-- CAST: a bare {frac!r} literal parses as DECIMAL in DuckDB (exact
+-- arithmetic) while Spark multiplies IEEE doubles — boundary tokens
+-- whose estimate lands exactly on the threshold would diverge
+WHERE est_count >= CAST({frac!r} AS DOUBLE) * n_total
 """
 
 

@@ -304,18 +304,30 @@ def _funnel_fn_factory(steps: tuple[str, ...]):
     advance — consumers take the max stage per user.
 
     Equivalence contract with ``behavior.funnel_stages``: identical
-    final stages when events are processed in event-time order (within
-    a micro-batch the group sorts by ts; across batches the contract
-    holds when data arrives within the watermark — the same in-order
-    caveat T1 documents). NULL users are dropped, mirroring the batch
-    operator.
+    final stages when events arrive in event-time order across
+    micro-batches (the same in-order caveat T1 documents). WITHIN a
+    micro-batch the contract is unconditional: the group's Arrow
+    chunks are pooled and sorted ONCE (a per-chunk sort would process
+    large groups out of order — the iterator splits a group at
+    ``arrow.maxRecordsPerBatch`` rows), and the sort key is
+    ``(ts, step-rank)`` so same-timestamp progression (view@t,
+    click@t) advances exactly like the batch operator's inclusive
+    ``>=`` — a bare unstable ts sort would count or miss the tied
+    click depending on arbitrary tie order. NULL users are dropped,
+    mirroring the batch operator.
     """
+    rank = {s: i for i, s in enumerate(steps)}
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         stage, reach_ts = (state.get if state.exists else (0, None))
         rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            for r in pdf.sort_values("ts").itertuples(index=False):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pooled = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pooled = pooled.assign(
+                _rk=pooled["event_type"].map(rank).fillna(len(steps)).astype("int64")
+            )
+            for r in pooled.sort_values(["ts", "_rk"], kind="stable").itertuples(index=False):
                 if stage >= len(steps):
                     break
                 if r.event_type == steps[stage] and (reach_ts is None or r.ts >= reach_ts):

@@ -133,3 +133,23 @@ def test_cms_overestimates_never_under(spark):
     grid = cms_build(docs, depth=4, width=64)
     row_sums = {sum(row) for row in grid}
     assert len(row_sums) == 1  # every row counts the same stream
+
+
+def test_cms_candidate_mode_and_depth_one(spark):
+    """Production mode: a bounded candidate set is estimated against
+    the grid with no truth column and no vocabulary aggregate; the
+    depth=1 configuration (single sketch row) must also build."""
+    from rt_bigdata_spark.operators.sketches import cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cand = spark.createDataFrame([("hash",), ("join",), ("zzz_absent",)], "tok: string")
+    out = cms_heavy_hitters(docs, threshold_frac=0.0, depth=4, width=64, candidates=cand)
+    rows = {r.token: r.est_count for r in out.collect()}
+    assert out.columns == ["token", "est_count"]
+    assert rows["hash"] > 0 and rows["join"] > 0
+    # full verification run agrees with the candidate-mode estimates
+    full = {r.token: r.est_count
+            for r in cms_heavy_hitters(docs, threshold_frac=0.0, depth=4, width=64).collect()}
+    assert rows["hash"] == full["hash"] and rows["join"] == full["join"]
+    d1 = cms_heavy_hitters(docs, threshold_frac=0.0, depth=1, width=64, candidates=cand)
+    assert {r.token for r in d1.collect()} >= {"hash", "join"}

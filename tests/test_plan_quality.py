@@ -193,7 +193,6 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "unigram_surprisal",  # broadcast 1-row corpus token total
         "doc_keywords",  # broadcast 1-row n_docs scalar
         "bm25_search",  # broadcast 1-row corpus stats (N, avgdl, df_t)
-        "heavy_hitters",  # broadcast 1-row total-token count (threshold scalar)
     }
     offenders = [
         n for n, pl in plans.items()

@@ -240,6 +240,10 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         {"user_id": 1, "event_type": "click", "ts": 2000},
         {"user_id": 2, "event_type": "click", "ts": 1500},  # click before view: no advance
         {"user_id": 3, "event_type": "view", "ts": 1000},
+        # u4: tied timestamps in ONE batch — inclusive >= progression
+        # must count regardless of arbitrary intra-ts arrival order
+        {"user_id": 4, "event_type": "click", "ts": 5000},
+        {"user_id": 4, "event_type": "view", "ts": 5000},
     ]
     b2 = [
         {"user_id": 1, "event_type": "purchase", "ts": 9000},  # completes across batches
@@ -284,4 +288,4 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     }
     # streaming emits only on advance; users stuck at 0 appear in batch only
     assert stream_stages == {u: s for u, s in batch.items() if s > 0}
-    assert batch == {1: 3, 2: 1, 3: 1}
+    assert batch == {1: 3, 2: 1, 3: 1, 4: 2}

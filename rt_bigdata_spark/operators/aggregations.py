@@ -122,3 +122,58 @@ def sliding_window_agg(
         .withColumn("wend", F.col("w.end"))
         .drop("w")
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    unit: str = "hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series downsampling (the hypertable / continuous-aggregate
+    rollup): per key and calendar bucket, emit count, OHLC
+    (open/high/low/close of ``value_col``) and a decimal-exact sum —
+    the materialization that turns a raw 100 TB event log into the
+    MB-scale series dashboards actually read.
+
+    open/close order by ``(epoch_millis, id)`` — a total order both
+    engines agree on — packed into ONE DECIMAL(38,0) key
+    (``epoch_ms·10¹² + id``; ids must stay below 10¹², documented
+    contract). The packing is what keeps the plan a single
+    map-side-combinable HashAggregate: min_by over a string or struct
+    key puts a non-mutable type in the aggregation buffer and Spark
+    silently degrades to SortAggregate — a per-partition sort of
+    EVERY input row — while a decimal buffer stays hash-updatable.
+    One shuffle of O(groups) rows no matter the input size, THE
+    reason continuous aggregates are cheap to maintain incrementally
+    (plan-asserted).
+
+    ``date_trunc(unit)`` buckets are calendar-aligned, so both engines
+    agree on boundaries for units that divide a day (hour here; the
+    registry's divides-a-day convention).
+    """
+    # NTZ→TIMESTAMP cast: parquet timestamps load as TIMESTAMP_NTZ,
+    # which unix_millis rejects; under the repo's UTC session timezone
+    # the cast is epoch-identical to DuckDB's epoch_ms on naive ts.
+    val = F.col(value_col)
+    okey = (
+        F.unix_millis(F.col(ts_col).cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(10**12)
+        + F.col(id_col).cast("decimal(38,0)")
+    )
+    return (
+        df.groupBy(
+            *[F.col(k) for k in keys],
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by(val, okey).alias("v_open"),
+            F.max_by(val, okey).alias("v_close"),
+            F.min(val).alias("v_low"),
+            F.max(val).alias("v_high"),
+            F.sum(val.cast("decimal(18,2)")).alias("v_sum"),
+        )
+    )

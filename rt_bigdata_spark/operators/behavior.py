@@ -114,3 +114,54 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(prev_event, event_type, transitions, p_transition)``
+    — the "what do users do next" analysis that sits beside the funnel
+    in the DWS layer (and the empirical transition model a
+    next-event-prediction training set is built from).
+
+    Per user, events are ordered by (ts, event_id) — the same
+    deterministic tiebreak every window in this repo uses — and each
+    consecutive pair contributes one transition. ``p_transition`` is
+    row-normalized per source state (counts are exact longs; one
+    double division per output row).
+
+    Scale shape: one user-key window (single Exchange + Sort carrying
+    only (user, type, ts, id)), then a hash-agg on (prev, cur) —
+    k×k keys — and a window over that O(k²)-row result. NULL users
+    are excluded for the same reason funnel_stages excludes them:
+    partitionBy would pool all NULL users into one giant pseudo-user
+    (a skew key AND a semantic lie), while join-based rewrites drop
+    them.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    seq = (
+        ensure_parallelism(events)
+        .filter(F.col(user_col).isNotNull())
+        .select(user_col, type_col, ts_col, id_col)
+        .withColumn("prev_event", F.lag(F.col(type_col)).over(w))
+        .filter(F.col("prev_event").isNotNull())
+    )
+    counts = seq.groupBy("prev_event", type_col).agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    total = Window.partitionBy("prev_event")
+    return counts.select(
+        F.col("prev_event"),
+        F.col(type_col),
+        F.col("transitions"),
+        F.round(
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(total).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )

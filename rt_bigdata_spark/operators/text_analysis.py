@@ -257,3 +257,72 @@ def hashed_doc_embedding(
             F.col("cnt") / F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w)), 9
         ).alias("weight"),
     )
+
+
+def lcg_classifier_weights(dim: int, seed: int = 11) -> list[float]:
+    """Deterministic stand-in for offline-trained linear-classifier
+    weights: 3-decimal rationals in [-1, 1] from the same LCG family
+    the LSH planes use (similarity.lcg_planes). Three decimals keep
+    every weight exact in DECIMAL(9,3), which is what makes the
+    classifier's margin sum order-independent (see
+    linear_quality_score). In production the list comes from a model
+    trained offline (fastText / logistic regression on labeled docs);
+    the operator contract is just "dim floats, broadcast-small"."""
+    weights: list[float] = []
+    state = seed
+    for _ in range(dim):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        weights.append(((state % 2001) - 1000) / 1000.0)
+    return weights
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality filtering: score each document with a
+    hashed bag-of-words LINEAR classifier (fastText-style — the
+    GPT-3 / CCNet / FineWeb-Edu pipeline stage where a small model
+    trained offline gates what enters the corpus).
+
+    ``margin = Σ_tokens w[md5_bucket(token)] / n_tokens``;
+    ``keep = margin >= threshold``. The weight vector is dim-sized
+    (broadcast-small); it lands in the plan as ONE literal array and
+    each token's weight is an ``element_at`` lookup — pure map-side,
+    no join, no Python. The only shuffle is the per-doc hash-agg,
+    map-side combinable on maximal-cardinality keys (doc_id).
+
+    Determinism discipline: per-token weights are DECIMAL(9,3) exact
+    (3-decimal rationals), so the margin SUM is order-independent —
+    float summation order across partitions is the classic source of
+    cross-engine drift. One double division per doc at the end.
+    Sigmoid deliberately omitted: it is monotone, so thresholding the
+    raw margin is equivalent and avoids betting on cross-engine
+    ``exp`` bit-identity.
+
+    Docs with zero tokens produce no row (no tokens → no evidence);
+    gate empty docs with the length filters upstream
+    (quality_features), as the composed curation pipeline does.
+    """
+    dim = len(weights)
+    w_arr = F.array(*[F.lit(f"{w:.3f}").cast("decimal(9,3)") for w in weights])
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    scored = toks.withColumn(
+        "bucket",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % dim).cast("long"),
+    ).withColumn("w", F.element_at(w_arr, (F.col("bucket") + 1).cast("int")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("margin_sum")
+    )
+    margin = F.col("margin_sum").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(margin, 6).alias("quality_margin"),
+        (F.round(margin, 6) >= F.lit(threshold)).alias("keep"),
+    )

@@ -1514,6 +1514,107 @@ WHERE est_count >= CAST({frac!r} AS DOUBLE) * n_total
 """
 
 
+_QC_DIM = 64
+_QC_SEED = 11
+_QC_TAU = 0.0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (text_analysis.linear_quality_score):
+    hashed bag-of-words LINEAR classifier margin per doc — the
+    fastText-style offline-model filter stage of the GPT-3 / CCNet /
+    FineWeb pipelines. Weights are a seeded stand-in with the real
+    contract (dim floats, broadcast-small, landing as one literal
+    array in the plan); one explode + one doc-key hash-agg."""
+    from rt_bigdata_spark.operators.text_analysis import (
+        lcg_classifier_weights,
+        linear_quality_score,
+    )
+
+    return linear_quality_score(
+        load_table(spark, sf_dir, "documents"),
+        lcg_classifier_weights(_QC_DIM, _QC_SEED),
+        threshold=_QC_TAU,
+    )
+
+
+def _quality_classifier_oracle(dim: int = _QC_DIM, seed: int = _QC_SEED, tau: float = _QC_TAU) -> str:
+    """DuckDB twin: same LCG weight list inlined as a DECIMAL(9,3)
+    literal (exact — margin SUM is order-independent on both sides),
+    same md5 bucket, one double division per doc at the end."""
+    from rt_bigdata_spark.operators.text_analysis import lcg_classifier_weights
+
+    weights = lcg_classifier_weights(dim, seed)
+    wlist = "[" + ", ".join(f"CAST({w:.3f} AS DECIMAL(9,3))" for w in weights) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DUCK_TOKS_COALESCED}) AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id, ({wlist})[CAST({_duck_md5_32("tok")} % {dim} AS INT) + 1] AS w
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS margin_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(margin_sum AS DOUBLE) / n_tokens, 6) AS quality_margin,
+       ROUND(CAST(margin_sum AS DOUBLE) / n_tokens, 6) >= {tau!r} AS keep
+FROM per_doc
+"""
+
+
+_SSD_WINDOW = 16
+_SSD_STRIDE = 8
+_SSD_MAXFRAC = 0.5
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact-substring duplication stats
+    (dedup.substring_dup_stats): overlapping 16-token windows on an
+    8-token stride grid, flagging docs whose text largely re-appears
+    verbatim in OTHER docs (Lee et al. 2022 ExactSubstr, dataflow
+    approximation). Complements paragraph_dedup (fixed disjoint
+    units): the stride grid catches copies at arbitrary offsets."""
+    from rt_bigdata_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(
+        load_table(spark, sf_dir, "documents"),
+        window=_SSD_WINDOW,
+        stride=_SSD_STRIDE,
+        max_dup_fraction=_SSD_MAXFRAC,
+    )
+
+
+_ORACLE_SUBSTRING_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+wins AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    CASE WHEN len(t) >= {_SSD_WINDOW}
+      THEN [md5(array_to_string(t[i*{_SSD_STRIDE}+1 : i*{_SSD_STRIDE}+{_SSD_WINDOW}], ' '))
+            FOR i IN generate_series(0, (len(t) - {_SSD_WINDOW}) // {_SSD_STRIDE})]
+      ELSE [md5(array_to_string(t[1:{_SSD_WINDOW}], ' '))]
+    END)) AS whash
+  FROM toks
+),
+freq AS (SELECT whash, COUNT(*) AS n_docs FROM wins GROUP BY whash),
+marked AS (
+  SELECT w.doc_id, (f.n_docs >= 2) AS shared
+  FROM wins w JOIN freq f ON w.whash = f.whash
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         COUNT(CASE WHEN shared THEN 1 END) AS n_shared
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_windows, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / n_windows, 6) AS dup_fraction,
+       ROUND(CAST(n_shared AS DOUBLE) / n_windows, 6) > {_SSD_MAXFRAC!r} AS drop
+FROM per_doc
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1585,5 +1686,11 @@ for spec in [
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
     QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=10),
+    # round-5 fifth batch (model-based filtering + sub-document exact
+    # substrings); with event_transitions/events_rollup in warehouse,
+    # four multi-round greens (order_wide_enriched, shipping_priority,
+    # supplier_volume, product_stats — green r1-r4) yield their slots.
+    QuerySpec("quality_classifier", q_quality_classifier, _quality_classifier_oracle(), ("text", "quality", "model"), bench=True, priority=10),
+    QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=10),
 ]:
     register(spec)

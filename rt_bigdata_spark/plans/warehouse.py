@@ -1730,6 +1730,74 @@ GROUP BY cohort_week, week_offset
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (behavior.event_transitions): exact pair counts ordered
+    by the repo-standard (ts, event_id) tiebreak, row-normalized per
+    source state — the "what happens next" DWS table beside the
+    funnel."""
+    from rt_bigdata_spark.operators.behavior import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+  FROM events WHERE user_id IS NOT NULL
+),
+c AS (
+  SELECT prev_event, event_type, COUNT(*) AS transitions
+  FROM seq WHERE prev_event IS NOT NULL GROUP BY prev_event, event_type
+)
+SELECT prev_event, event_type, transitions,
+       ROUND(CAST(transitions AS DOUBLE)
+             / CAST(SUM(transitions) OVER (PARTITION BY prev_event) AS DOUBLE),
+             6) AS p_transition
+FROM c
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly hypertable rollup of the events stream
+    (aggregations.time_rollup): per (event_type, hour) count + OHLC +
+    decimal-exact sum in ONE map-side-combinable hash-agg — the
+    continuous-aggregate materialization of a raw event log."""
+    from rt_bigdata_spark.operators.aggregations import time_rollup
+
+    return time_rollup(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        keys=["event_type"],
+        unit="hour",
+    ).select(
+        "event_type", "bucket_ts", "n_events", "v_open", "v_close",
+        "v_low", "v_high", _money_out("v_sum"),
+    )
+
+
+_ORACLE_EVENTS_ROLLUP = """
+WITH keyed AS (
+  -- same (epoch_ms·10^12 + id) packed ordering key as the Spark
+  -- side's DECIMAL(38,0); HUGEINT holds the 25 digits exactly
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000 + event_id AS ord_key
+  FROM events
+)
+SELECT event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+       COUNT(*) AS n_events,
+       arg_min(value, ord_key) AS v_open,
+       arg_max(value, ord_key) AS v_close,
+       MIN(value) AS v_low,
+       MAX(value) AS v_high,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+FROM keyed
+GROUP BY event_type, bucket_ts
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
@@ -1738,10 +1806,10 @@ for spec in [
     QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
     QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True),
     QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=80),
-    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True),
+    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=80),
     QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=80),
-    QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True),
-    QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True),
+    QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True, priority=80),
+    QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True, priority=80),
     QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=80),
     QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=80),
     QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1"), priority=80),
@@ -1751,7 +1819,7 @@ for spec in [
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3"), priority=80),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=80),
     QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=80),
-    QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True),
+    QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True, priority=80),
     QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=80),
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
@@ -1777,5 +1845,9 @@ for spec in [
     # yielded window slots so these verify on their first round.
     QuerySpec("event_funnel", q_event_funnel, _ORACLE_FUNNEL, ("behavior", "window_fn", "T3"), priority=10),
     QuerySpec("cohort_retention", q_cohort_retention, _ORACLE_COHORT, ("behavior", "agg"), priority=10),
+    # round-5 fifth batch (Markov transitions + hypertable rollup);
+    # slots yielded by the four textops-side demotions (see textops.py)
+    QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=10),
+    QuerySpec("events_rollup", q_events_rollup, _ORACLE_EVENTS_ROLLUP, ("agg", "timeseries"), priority=10),
 ]:
     register(spec)

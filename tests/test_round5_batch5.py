@@ -1,0 +1,215 @@
+"""Unit tests for the round-5 fifth batch: model-based quality
+filtering (linear_quality_score), sub-document exact-substring dedup
+(substring_dup_stats), Markov event transitions (event_transitions)
+and the hypertable time rollup (time_rollup). Oracle parity for the
+registered queries is covered by test_oracle_parity.py; these pin the
+operator semantics on hand-built fixtures with python-mirror
+expectations.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import re
+from decimal import Decimal
+
+import pytest
+
+from rt_bigdata_spark.operators.aggregations import time_rollup
+from rt_bigdata_spark.operators.behavior import event_transitions
+from rt_bigdata_spark.operators.dedup import substring_dup_stats
+from rt_bigdata_spark.operators.text_analysis import (
+    lcg_classifier_weights,
+    linear_quality_score,
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_bucket(tok: str, dim: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+
+# ---------------------------------------------------------------------------
+# linear_quality_score
+
+
+def test_classifier_weights_deterministic_and_decimal_exact():
+    w = lcg_classifier_weights(64, seed=11)
+    assert w == lcg_classifier_weights(64, seed=11)
+    assert len(w) == 64
+    # every weight is a 3-decimal rational in [-1, 1] — the property
+    # the DECIMAL(9,3) order-independent margin sum rests on
+    for v in w:
+        assert -1.0 <= v <= 1.0
+        assert Decimal(f"{v:.3f}") == Decimal(str(round(v, 3)))
+
+
+def test_linear_quality_score_matches_python_mirror(spark):
+    dim, seed = 16, 3
+    weights = lcg_classifier_weights(dim, seed)
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "the the the"),          # repeated token: weight counted 3×
+        (3, "Zebra! zebra?"),        # case/punct normalization
+        (4, ""),                     # zero tokens → no output row
+        (5, None),                   # NULL text → coalesced → no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in linear_quality_score(df, weights).collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, text in docs[:3]:
+        toks = _py_tokens(text)
+        margin = sum(weights[_py_bucket(t, dim)] for t in toks) / len(toks)
+        row = out[doc_id]
+        assert row.n_tokens == len(toks)
+        assert row.quality_margin == pytest.approx(round(margin, 6), abs=1e-9)
+        assert row.keep == (round(margin, 6) >= 0.0)
+
+
+# ---------------------------------------------------------------------------
+# substring_dup_stats
+
+
+def _py_windows(text: str, window: int, stride: int) -> set[str]:
+    toks = _py_tokens(text)
+    if len(toks) >= window:
+        starts = range(0, (len(toks) - window) // stride + 1)
+        wins = [" ".join(toks[i * stride : i * stride + window]) for i in starts]
+    else:
+        wins = [" ".join(toks[:window])]
+    return {hashlib.md5(w.encode()).hexdigest() for w in wins}
+
+
+def test_substring_dedup_flags_cross_doc_copies(spark):
+    shared = " ".join(f"tok{i}" for i in range(40))  # 40-token verbatim run
+    docs = [
+        (1, shared + " unique tail one two three four five six seven eight"),
+        # head is 4 tokens = one stride, so the copied run lands on
+        # doc 1's window grid (the operator's documented mod-stride
+        # alignment condition)
+        (2, "different head words here " + shared),
+        (3, " ".join(f"only{i}" for i in range(40))),  # fully unique
+        (4, "tiny doc"),                               # short: one window
+        (5, "tiny doc"),                               # exact short dup of 4
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in substring_dup_stats(df, window=8, stride=4).collect()}
+
+    wins = {d: _py_windows(t, 8, 4) for d, t in docs}
+    from collections import Counter
+
+    freq = Counter(h for ws in wins.values() for h in ws)
+    for doc_id, _ in docs:
+        n_windows = len(wins[doc_id])
+        n_shared = sum(1 for h in wins[doc_id] if freq[h] >= 2)
+        row = out[doc_id]
+        assert (row.n_windows, row.n_shared) == (n_windows, n_shared), doc_id
+        assert row.dup_fraction == pytest.approx(round(n_shared / n_windows, 6))
+        assert row.drop == (round(n_shared / n_windows, 6) > 0.5)
+    # the verbatim-run docs are flagged, the unique doc is not,
+    # and the short exact dups flag each other
+    assert out[3].n_shared == 0 and not out[3].drop
+    assert out[1].n_shared > 0 and out[2].n_shared > 0
+    assert out[4].drop and out[5].drop
+
+
+def test_substring_dedup_two_hash_shuffles_no_python(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        substring_dup_stats(df).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # whash agg + doc agg (join colocated with the whash partitioning);
+    # ensure_parallelism may add one round-robin exchange on the scan
+    assert p.count("hashpartitioning") <= 3, p
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+
+
+def _ev(uid, day, etype, eid):
+    return (eid, dt.datetime(2024, 1, day), uid, etype)
+
+
+def test_event_transitions_counts_and_normalization(spark):
+    rows = [
+        _ev(1, 1, "view", 1), _ev(1, 2, "click", 2), _ev(1, 3, "view", 3),
+        _ev(2, 1, "view", 4), _ev(2, 2, "click", 5), _ev(2, 3, "purchase", 6),
+        # same-ts tiebreak by event_id: 8 orders before 9
+        _ev(3, 1, "view", 7), _ev(3, 2, "click", 8), _ev(3, 2, "purchase", 9),
+        # single-event user contributes no transition
+        _ev(4, 1, "view", 10),
+        # NULL user excluded
+        (11, dt.datetime(2024, 1, 1), None, "view"),
+        (12, dt.datetime(2024, 1, 2), None, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string"
+    )
+    out = {(r.prev_event, r.event_type): (r.transitions, r.p_transition)
+           for r in event_transitions(ev).collect()}
+    assert out == {
+        ("view", "click"): (3, 1.0),
+        ("click", "view"): (1, pytest.approx(round(1 / 3, 6))),
+        ("click", "purchase"): (2, pytest.approx(round(2 / 3, 6))),
+    }
+
+
+# ---------------------------------------------------------------------------
+# time_rollup
+
+
+def test_time_rollup_ohlc_and_decimal_sum(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    rows = [
+        # bucket 10:00 — same-ts pair (eids 2,3): open picks eid 2
+        (2, t0, "view", 5.0),
+        (3, t0, "view", 1.0),
+        (1, dt.datetime(2024, 1, 1, 10, 50), "view", 9.5),
+        # bucket 11:00
+        (4, dt.datetime(2024, 1, 1, 11, 0), "view", 2.25),
+        # other key, same bucket
+        (5, t0, "click", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, event_type: string, value: double"
+    )
+    out = {(r.event_type, r.bucket_ts): r for r in
+           time_rollup(ev, "ts", "value", ["event_type"], "hour").collect()}
+    v = out[("view", dt.datetime(2024, 1, 1, 10, 0))]
+    assert (v.n_events, v.v_open, v.v_close, v.v_low, v.v_high) == (3, 5.0, 9.5, 1.0, 9.5)
+    assert v.v_sum == Decimal("15.50")
+    v11 = out[("view", dt.datetime(2024, 1, 1, 11, 0))]
+    assert (v11.n_events, v11.v_open, v11.v_close) == (1, 2.25, 2.25)
+    c = out[("click", dt.datetime(2024, 1, 1, 10, 0))]
+    assert (c.v_open, c.v_close, c.v_sum) == (7.0, 7.0, Decimal("7.00"))
+
+
+def test_time_rollup_single_exchange(spark):
+    import contextlib
+    import io
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view", 1.0)],
+        "event_id: long, ts: timestamp, event_type: string, value: double",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        time_rollup(ev, "ts", "value", ["event_type"], "hour").explain(mode="formatted")
+    p = buf.getvalue()
+    # one map-side-combinable HashAggregate: a single hash exchange,
+    # partial aggregation below it, and NO SortAggregate (the
+    # string-keyed min_by formulation this operator deliberately
+    # avoids would sort every input row per partition)
+    assert p.count("hashpartitioning") == 1, p
+    assert "SortAggregate" not in p, p
+    assert "partial_min" in p, p

@@ -177,3 +177,74 @@ def time_rollup(
             F.sum(val.cast("decimal(18,2)")).alias("v_sum"),
         )
     )
+
+
+def time_rollup_state(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    unit: str = "hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """``time_rollup`` plus the two packed ordering keys (``o_key``,
+    ``c_key``) that make the rollup MERGEABLE: with the arg-min/max
+    keys materialized, two states over disjoint event slices combine
+    into the state of their union (``merge_time_rollups``) without
+    touching raw events — incremental view maintenance for the
+    continuous aggregate. Persist this instead of the display form;
+    ``finalize_time_rollup`` strips the keys for consumers."""
+    val = F.col(value_col)
+    okey = (
+        F.unix_millis(F.col(ts_col).cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(10**12)
+        + F.col(id_col).cast("decimal(38,0)")
+    )
+    return (
+        df.groupBy(
+            *[F.col(k) for k in keys],
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by(val, okey).alias("v_open"),
+            F.min(okey).alias("o_key"),
+            F.max_by(val, okey).alias("v_close"),
+            F.max(okey).alias("c_key"),
+            F.min(val).alias("v_low"),
+            F.max(val).alias("v_high"),
+            F.sum(val.cast("decimal(18,2)")).alias("v_sum"),
+        )
+    )
+
+
+def merge_time_rollups(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Combine ``time_rollup_state`` outputs over disjoint event
+    slices into the state of the union — the nightly "fold today's
+    partial into the running aggregate" step. Algebra: counts and
+    sums add; low/high take min/max; open follows the SMALLER o_key
+    (min_by again, one level up), close the larger c_key. One
+    hash-agg over O(groups) rows per input state; raw events are
+    never re-read, which is the entire point of keeping the state
+    mergeable."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.groupBy(*keys, "bucket_ts")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min_by(F.col("v_open"), F.col("o_key")).alias("v_open"),
+            F.min("o_key").alias("o_key"),
+            F.max_by(F.col("v_close"), F.col("c_key")).alias("v_close"),
+            F.max("c_key").alias("c_key"),
+            F.min("v_low").alias("v_low"),
+            F.max("v_high").alias("v_high"),
+            F.sum("v_sum").cast("decimal(28,2)").alias("v_sum"),
+        )
+    )
+
+
+def finalize_time_rollup(state: DataFrame) -> DataFrame:
+    """Display form of a rollup state: drop the mergeability keys."""
+    return state.drop("o_key", "c_key")

@@ -165,3 +165,67 @@ def event_transitions(
             6,
         ).alias("p_transition"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session indices to events: a new session
+    starts when a user is silent longer than ``gap_s`` seconds — the
+    batch backbone of session analytics (the streaming twin is
+    Spark's native ``session_window``, exercised by session_stats;
+    this operator exists because downstream per-session work — funnel
+    slicing, replay ordering, per-session labels — needs the session
+    KEY on every event, which the windowed agg never materializes).
+
+    Returns the input events (user/ts/id only) plus ``session_idx``:
+    the per-user session ordinal (1-based). One user-key
+    Exchange + Sort; the gap test and running sum both ride the same
+    window. NULL users are excluded (same contract as every behavior
+    operator here).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ→TIMESTAMP cast for unix_millis (UTC session; epoch-identical
+    # to the oracle's epoch_ms on naive timestamps)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    new_sess = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > gap_s * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ensure_parallelism(events)
+        .filter(F.col(user_col).isNotNull())
+        .select(user_col, ts_col, id_col)
+        .withColumn("session_idx", F.sum(new_sess).over(run))
+    )
+
+
+def user_sessions(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session summary over ``sessionize``: event count, start,
+    end, duration_ms. The groupBy keys extend the window's user-key
+    partitioning, so Catalyst satisfies the aggregation with the SAME
+    Exchange the window used — one shuffle end to end
+    (plan-asserted). Duration is an exact epoch-millis difference
+    (long), not a float interval."""
+    sess = sessionize(events, gap_s, user_col, ts_col, id_col)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    return (
+        sess.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("sess_start"),
+            F.max(ts_col).alias("sess_end"),
+            (F.max(ms) - F.min(ms)).alias("duration_ms"),
+        )
+    )

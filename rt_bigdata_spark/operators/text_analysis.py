@@ -326,3 +326,44 @@ def linear_quality_score(
         F.round(margin, 6).alias("quality_margin"),
         (F.round(margin, 6) >= F.lit(threshold)).alias("keep"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide adjacent-character pair frequencies — ONE iteration
+    of byte-pair-encoding vocabulary induction (Sennrich et al. 2016):
+    the pair with the highest count is the next BPE merge. Training a
+    tokenizer over a 100 TB corpus is exactly this count repeated per
+    merge, so the shape of this single step is what has to scale.
+
+    Two hash-aggs, both skew-resistant BY the first one: tokens
+    reduce to the (token, count) VOCABULARY first — at web scale the
+    vocab is millions of rows where the corpus is trillions of tokens,
+    so the pair explosion runs over the small side, weighted by count
+    (the standard trick; exploding pairs straight off the corpus
+    would shuffle every character position). ``min_count`` bounds the
+    output (and mirrors BPE's own frequency floor); the filter is on
+    the AGGREGATED count, applied identically in the oracle.
+    """
+    toks = ensure_parallelism(df).select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    chars = F.split(F.col("tok"), "")
+    pairs = vocab.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("tok") - 2),
+                lambda i: F.concat(F.get(chars, i), F.get(chars, i + 1)),
+            )
+        ).alias("pair"),
+        F.col("c"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )

@@ -1615,6 +1615,34 @@ FROM per_doc
 """
 
 
+_BPE_MIN_COUNT = 5
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-merge iteration over the corpus
+    (text_analysis.bpe_pair_counts): adjacent-character pair
+    frequencies weighted by vocabulary counts — tokenizer induction's
+    inner loop, run over the (small) vocab side, never the raw token
+    stream."""
+    from rt_bigdata_spark.operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(
+        load_table(spark, sf_dir, "documents"), min_count=_BPE_MIN_COUNT
+    )
+
+
+_ORACLE_BPE_PAIRS = f"""
+WITH toks AS (SELECT UNNEST({_DUCK_TOKS_COALESCED}) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+pairs AS (
+  SELECT UNNEST([substring(tok, i, 2) FOR i IN generate_series(1, len(tok) - 1)]) AS pair, c
+  FROM vocab WHERE len(tok) >= 2
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair HAVING SUM(c) >= {_BPE_MIN_COUNT}
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1692,5 +1720,8 @@ for spec in [
     # supplier_volume, product_stats — green r1-r4) yield their slots.
     QuerySpec("quality_classifier", q_quality_classifier, _quality_classifier_oracle(), ("text", "quality", "model"), bench=True, priority=10),
     QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=10),
+    # round-5 sixth batch (tokenizer induction; order_wide — green
+    # r1-r4 — yields its slot alongside warehouse's keyword_stats)
+    QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=10),
 ]:
     register(spec)

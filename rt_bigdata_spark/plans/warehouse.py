@@ -1798,13 +1798,49 @@ GROUP BY event_type, bucket_ts
 """
 
 
+_SESSION_GAP_S = 1800
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization summary (behavior.user_sessions):
+    30-min-silence session cuts per user, one session row with
+    count/start/end/duration — the batch twin of session_stats whose
+    per-event session KEY downstream per-session work needs."""
+    from rt_bigdata_spark.operators.behavior import user_sessions
+
+    return user_sessions(load_table(spark, sf_dir, "events"), gap_s=_SESSION_GAP_S)
+
+
+_ORACLE_USER_SESSIONS = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > {_SESSION_GAP_S * 1000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM seq
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+       epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
     QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True),
-    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True),
+    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
     QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
-    QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True),
+    QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True, priority=80),
     QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=80),
     QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=80),
     QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=80),
@@ -1849,5 +1885,8 @@ for spec in [
     # slots yielded by the four textops-side demotions (see textops.py)
     QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=10),
     QuerySpec("events_rollup", q_events_rollup, _ORACLE_EVENTS_ROLLUP, ("agg", "timeseries"), priority=10),
+    # round-5 sixth batch (sessionization; keyword_stats — green r1-r4
+    # — yields its slot on the textops side alongside order_wide)
+    QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=10),
 ]:
     register(spec)

@@ -40,12 +40,15 @@ MUST_BE_IN_WINDOW = {
     # supplier_volume, product_stats — all green r1-r4 — yielded their
     # slots; still oracle-verified every CI run):
     "quality_classifier", "substring_dedup", "event_transitions", "events_rollup",
+    # round-5 sixth batch (keyword_stats, order_wide — green r1-r4 —
+    # yielded their slots):
+    "user_sessions", "bpe_pairs",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "ngram_jaccard", "dup_clusters", "cluster_split", "embedding_dedup",
-    "pricing_summary", "visitor_stats", "province_stats", "keyword_stats",
-    "order_wide", "doc_curation", "dedup_exact",
+    "pricing_summary", "visitor_stats", "province_stats",
+    "doc_curation", "dedup_exact",
 }
 
 

@@ -213,3 +213,119 @@ def test_time_rollup_single_exchange(spark):
     assert p.count("hashpartitioning") == 1, p
     assert "SortAggregate" not in p, p
     assert "partial_min" in p, p
+
+
+# ---------------------------------------------------------------------------
+# sessionize / user_sessions
+
+
+def test_sessionize_gap_cuts_and_summary(spark):
+    h = dt.timedelta(hours=1)
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    rows = [
+        # u1: 3 events within gap, then a >gap silence, then 1 more
+        (1, t0, 1), (1, t0 + dt.timedelta(minutes=10), 2),
+        (1, t0 + dt.timedelta(minutes=20), 3), (1, t0 + 2 * h, 4),
+        # u2: boundary — exactly gap_s silence does NOT cut (> not >=)
+        (2, t0, 5), (2, t0 + dt.timedelta(seconds=1800), 6),
+        # NULL user excluded
+        (None, t0, 7),
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_id: long")
+    from rt_bigdata_spark.operators.behavior import sessionize, user_sessions
+
+    out = {r.event_id: r.session_idx for r in sessionize(ev, gap_s=1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1}
+
+    summ = {(r.user_id, r.session_idx): r for r in user_sessions(ev, gap_s=1800).collect()}
+    s11 = summ[(1, 1)]
+    assert (s11.n_events, s11.duration_ms) == (3, 20 * 60 * 1000)
+    assert summ[(1, 2)].n_events == 1
+    assert summ[(2, 1)].duration_ms == 1800 * 1000
+
+
+def test_user_sessions_single_exchange(spark):
+    import contextlib
+    import io
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1)], "user_id: long, ts: timestamp, event_id: long"
+    )
+    from rt_bigdata_spark.operators.behavior import user_sessions
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        user_sessions(ev).explain(mode="formatted")
+    p = buf.getvalue()
+    # the (user, session_idx) groupBy must ride the window's user-key
+    # exchange (hash(user) clusters every (user, session) pair);
+    # ensure_parallelism may add one round-robin exchange on the scan
+    assert p.count("hashpartitioning") == 1, p
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts
+
+
+def test_bpe_pair_counts_matches_python_mirror(spark):
+    docs = [(1, "abab abab cd"), (2, "abab xy xy"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    from collections import Counter
+
+    from rt_bigdata_spark.operators.text_analysis import bpe_pair_counts
+
+    vocab = Counter(t for _, tx in docs for t in _py_tokens(tx or ""))
+    expect = Counter()
+    for tok, c in vocab.items():
+        for i in range(len(tok) - 1):
+            expect[tok[i : i + 2]] += c
+    out = {r.pair: r.pair_count for r in bpe_pair_counts(df, min_count=1).collect()}
+    assert out == {p: c for p, c in expect.items()}
+    # "ab" is the dominant pair — the next BPE merge
+    assert max(out, key=out.get) == "ab"
+    # min_count floor applied on the aggregate
+    out5 = {r.pair: r.pair_count for r in bpe_pair_counts(df, min_count=5).collect()}
+    assert out5 == {p: c for p, c in expect.items() if c >= 5}
+
+
+# ---------------------------------------------------------------------------
+# mergeable rollup state
+
+
+def test_time_rollup_merge_equals_rebuild(spark):
+    import random
+
+    from rt_bigdata_spark.operators.aggregations import (
+        finalize_time_rollup,
+        merge_time_rollups,
+        time_rollup,
+        time_rollup_state,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, dt.datetime(2024, 1, 1, rng.randrange(24), rng.randrange(60)),
+         rng.choice(["view", "click"]), round(rng.uniform(0, 100), 2))
+        for i in range(200)
+    ]
+    schema = "event_id: long, ts: timestamp, event_type: string, value: double"
+    full = spark.createDataFrame(rows, schema)
+    half_a = spark.createDataFrame(rows[:97], schema)
+    half_b = spark.createDataFrame(rows[97:], schema)
+
+    def key(r):
+        return (r.event_type, r.bucket_ts)
+
+    whole = {key(r): r for r in time_rollup(full, "ts", "value", ["event_type"]).collect()}
+    merged = {key(r): r for r in finalize_time_rollup(
+        merge_time_rollups(
+            [time_rollup_state(h, "ts", "value", ["event_type"]) for h in (half_a, half_b)],
+            ["event_type"],
+        )
+    ).collect()}
+    assert set(whole) == set(merged)
+    for k, w in whole.items():
+        m = merged[k]
+        assert (w.n_events, w.v_open, w.v_close, w.v_low, w.v_high) == (
+            m.n_events, m.v_open, m.v_close, m.v_low, m.v_high), k
+        assert w.v_sum == m.v_sum, k

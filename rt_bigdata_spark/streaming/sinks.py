@@ -73,3 +73,76 @@ def jdbc_batch_sink(url: str, table: str, keys: Sequence[str], version_col: str 
         out.write.mode("append").option("batchsize", str(batchsize)).jdbc(url, table, properties=properties or {})
 
     return fn
+
+
+def _latest_rollup_version(state_dir: str) -> int | None:
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [
+        int(d.split("_", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("v_") and d.split("_", 1)[1].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def rollup_maintenance_sink(
+    state_dir: str,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+    id_col: str = "event_id",
+    keep_versions: int = 2,
+):
+    """foreachBatch sink maintaining a CONTINUOUS AGGREGATE: each
+    micro-batch folds into the persisted ``time_rollup_state`` via
+    ``merge_time_rollups`` — the streaming half of the hypertable
+    rollup. Raw events are read once and dropped; the state is
+    O(groups), so maintenance cost is independent of stream history
+    (per batch: one O(batch) rollup + one O(groups) merge).
+
+    Exactly-once via the standard foreachBatch idempotency pattern:
+    state versions are written to ``v_<batch_id>`` and a replayed
+    batch (at-least-once delivery / restart) whose id is ≤ the newest
+    version is SKIPPED — counts and sums are not idempotent under
+    re-merge, so unlike the last-wins upsert sinks, dedup-on-read
+    cannot absorb replays here; the version fence is the correctness
+    mechanism, not an optimization. Old versions beyond
+    ``keep_versions`` are pruned; readers use ``read_rollup``.
+    """
+    from rt_bigdata_spark.operators.aggregations import (
+        merge_time_rollups,
+        time_rollup_state,
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _latest_rollup_version(state_dir)
+        if cur is not None and batch_id <= cur:
+            return  # replayed batch: already folded into the state
+        new_state = time_rollup_state(batch_df, ts_col, value_col, keys, unit, id_col)
+        if cur is not None:
+            old = batch_df.sparkSession.read.parquet(os.path.join(state_dir, f"v_{cur}"))
+            new_state = merge_time_rollups([old, new_state], keys)
+        new_state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v_{batch_id}"))
+        import shutil
+
+        versions = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("v_") and d.split("_", 1)[1].isdigit()
+        )
+        for v in versions[:-keep_versions] if keep_versions else versions[:-1]:
+            shutil.rmtree(os.path.join(state_dir, f"v_{v}"), ignore_errors=True)
+
+    return fn
+
+
+def read_rollup(spark, state_dir: str) -> DataFrame:
+    """Read the newest continuous-aggregate state in display form."""
+    from rt_bigdata_spark.operators.aggregations import finalize_time_rollup
+
+    cur = _latest_rollup_version(state_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no rollup state under {state_dir}")
+    return finalize_time_rollup(spark.read.parquet(os.path.join(state_dir, f"v_{cur}")))

@@ -1,0 +1,95 @@
+"""Streaming continuous-aggregate maintenance
+(streaming/sinks.rollup_maintenance_sink): micro-batches fold into a
+persisted mergeable rollup state; the result must equal the batch
+rollup of all events, and replayed batches must not double-count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from rt_bigdata_spark.operators.aggregations import time_rollup
+from rt_bigdata_spark.streaming.sinks import read_rollup, rollup_maintenance_sink
+
+EVENT_SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+BATCH_1 = [
+    {"event_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "view", "value": 5.0},
+    {"event_id": 2, "ts": "2024-01-01 10:20:00", "event_type": "view", "value": 1.5},
+    {"event_id": 3, "ts": "2024-01-01 11:00:00", "event_type": "click", "value": 2.0},
+]
+BATCH_2 = [
+    # extends an existing (view, 10:00) group AND adds a new one —
+    # the merge must pick open from batch 1 (earlier key) and close
+    # from batch 2
+    {"event_id": 4, "ts": "2024-01-01 10:40:00", "event_type": "view", "value": 9.0},
+    {"event_id": 5, "ts": "2024-01-01 12:00:00", "event_type": "view", "value": 3.25},
+]
+
+
+def _write_batch(dir_: str, name: str, rows: list[dict]) -> None:
+    path = os.path.join(dir_, name)
+    with open(path + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(path + ".tmp", path)
+
+
+def test_streaming_rollup_equals_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(str(src), "b1.json", BATCH_1)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            rollup_maintenance_sink(state, ["event_type"])
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(src), "b2.json", BATCH_2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {(r.event_type, r.bucket_ts): r for r in read_rollup(spark, state).collect()}
+    full = spark.createDataFrame(
+        [tuple(r.values()) for r in BATCH_1 + BATCH_2],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    expected = {(r.event_type, r.bucket_ts): r
+                for r in time_rollup(full, "ts", "value", ["event_type"]).collect()}
+    assert set(streamed) == set(expected)
+    for k, e in expected.items():
+        s = streamed[k]
+        assert (s.n_events, s.v_open, s.v_close, s.v_low, s.v_high, s.v_sum) == (
+            e.n_events, e.v_open, e.v_close, e.v_low, e.v_high, e.v_sum), k
+
+
+def test_streaming_rollup_replay_is_fenced(spark, tmp_path):
+    """Counts/sums are not idempotent under re-merge — the version
+    fence must skip a replayed batch id entirely."""
+    state = str(tmp_path / "state")
+    sink = rollup_maintenance_sink(state, ["event_type"])
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "view", 5.0)],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    sink(b1, 0)
+    before = {(r.event_type, r.bucket_ts): (r.n_events, r.v_sum)
+              for r in read_rollup(spark, state).collect()}
+    sink(b1, 0)  # at-least-once redelivery of the same batch
+    after = {(r.event_type, r.bucket_ts): (r.n_events, r.v_sum)
+             for r in read_rollup(spark, state).collect()}
+    assert before == after
+    assert list(before.values()) == [(1, 5.0)]

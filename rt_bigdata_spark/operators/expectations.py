@@ -1,0 +1,81 @@
+"""Declarative data-quality expectations (the Deequ / dbt-test /
+Great-Expectations check suite, Spark-first): a set of named rules is
+audited against a table and the result is ONE small report DataFrame
+— the gate a 100 TB ingest runs before publishing a partition.
+
+Companion to the referential-integrity audit (`integrity_audit`
+query): that one checks FK edges ACROSS tables via anti-joins; this
+one checks single-table invariants (nullability, ranges, domains,
+uniqueness) and is deliberately one-scan.
+
+Scale shape: every row-level rule compiles to a conditional partial
+count inside ONE aggregation over ONE scan — adding a rule adds a
+column to the agg buffer, not a pass over the data. Uniqueness rules
+ride the same agg as exact COUNT(DISTINCT) expansions (each adds the
+standard two-phase distinct; use few, or swap to
+``approx_count_distinct`` where a tolerance is stated). The report is
+rules-count rows, unpivoted driver-side-free via ``stack``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named row-level rule: ``violation`` is TRUE for rows that
+    BREAK the expectation (NULL predicate results count as violations
+    — an unevaluable rule must not silently pass)."""
+
+    name: str
+    violation: Column
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: Sequence[Expectation],
+    unique: Mapping[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Audit ``rules`` (+ ``unique`` key-uniqueness checks) in one
+    scan. Returns ``(rule, n_rows, n_violations, passed)`` — one row
+    per rule, ordered for stable output by rule name downstream.
+
+    Uniqueness semantics: ``n_violations`` = surplus rows beyond the
+    first per key, via exact COUNT(DISTINCT key-struct); a NULL key
+    component is itself counted as a distinct value (struct equality),
+    so all-NULL keys don't collapse the check.
+    """
+    unique = dict(unique or {})
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for r in rules:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(r.violation, F.lit(True)), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v_{r.name}")
+        )
+    for name, cols in unique.items():
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias(f"_u_{name}")
+        )
+    row = df.agg(*aggs)
+    pairs: list[str] = []
+    for r in rules:
+        pairs += [f"'{r.name}'", f"_v_{r.name}"]
+    for name in unique:
+        pairs += [f"'{name}'", f"_n - _u_{name}"]
+    n_rules = len(rules) + len(unique)
+    report = row.select(
+        F.expr(f"stack({n_rules}, {', '.join(pairs)}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    )
+    return report.select(
+        "rule",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -367,3 +367,57 @@ def bpe_pair_counts(
         .agg(F.sum("c").alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): hash every k-token gram, then keep the MIN
+    hash of each w-length window of consecutive grams. Guarantees at
+    least one shared fingerprint for any shared run of k+w−1 tokens,
+    with ~2/(w+1) selection density — the edit-ROBUST fingerprint
+    between the brittle whole-doc md5 (``fingerprint``) and the full
+    stride grid (``substring_dup_stats``): insertions outside a
+    window leave its fingerprint unchanged.
+
+    Emits per doc: gram count, selected-fingerprint count, and a
+    digest of the sorted fingerprint set (the compact
+    similarity-index key). ZERO shuffles — grams, window minima,
+    distinct and digest are all array expressions inside the scan;
+    pairing/matching composes downstream exactly like
+    substring_dup_stats' join (on exploded fingerprints).
+
+    Docs shorter than k tokens contribute their whole token join as
+    one gram (short-doc exact matching, same convention as
+    word_shingles).
+    """
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    n_grams = F.size(grams)
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        )
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))).alias(
+            "fp_digest"
+        ),
+    )

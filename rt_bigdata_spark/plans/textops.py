@@ -1643,6 +1643,45 @@ FROM pairs GROUP BY pair HAVING SUM(c) >= {_BPE_MIN_COUNT}
 """
 
 
+_WIN_K = 5
+_WIN_W = 4
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (text_analysis.winnow_fingerprints,
+    MOSS algorithm): local-min-of-rolling-hash selection — the
+    edit-robust fingerprint between whole-doc md5 and the full stride
+    grid. Zero shuffles: everything is array expressions in the
+    scan."""
+    from rt_bigdata_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )
+
+
+_ORACLE_WINNOW = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         [{_duck_md5_32(f"array_to_string(t[i:i+{_WIN_K - 1}], ' ')")}
+          FOR i IN generate_series(1, greatest(len(t) - {_WIN_K} + 1, 1))] AS g
+  FROM toks
+),
+fps AS (
+  SELECT doc_id, len(g) AS n_grams,
+         list_sort(list_distinct(
+           [list_min(g[j:j+{_WIN_W - 1}])
+            FOR j IN generate_series(1, greatest(len(g) - {_WIN_W} + 1, 1))])) AS f
+  FROM grams
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(f) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_transform(f, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+FROM fps
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1723,5 +1762,9 @@ for spec in [
     # round-5 sixth batch (tokenizer induction; order_wide — green
     # r1-r4 — yields its slot alongside warehouse's keyword_stats)
     QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=10),
+    # round-5 seventh batch (edit-robust fingerprinting; with
+    # warehouse's dq_orders, visitor_stats + province_stats — green
+    # r1-r4 — yield their slots)
+    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), priority=10),
 ]:
     register(spec)

@@ -1834,10 +1834,64 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite
+    (expectations.check_expectations) on orders: nullability, domain,
+    range and key-uniqueness rules audited in ONE scan (each rule is
+    a conditional partial count; uniqueness rides the same agg) —
+    the single-table companion to integrity_audit's cross-table FK
+    checks."""
+    import pyspark.sql.functions as SF
+
+    from rt_bigdata_spark.operators.expectations import Expectation, check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            Expectation("orderkey_not_null", SF.col("o_orderkey").isNull()),
+            Expectation("custkey_not_null", SF.col("o_custkey").isNull()),
+            Expectation("status_in_domain", ~SF.col("o_orderstatus").isin("O", "F", "P")),
+            Expectation("totalprice_positive", ~(SF.col("o_totalprice") > 0)),
+            Expectation(
+                "orderdate_in_range",
+                ~SF.col("o_orderdate").between("1990-01-01", "2100-01-01"),
+            ),
+        ],
+        unique={"orderkey_unique": ["o_orderkey"]},
+    )
+
+
+_ORACLE_DQ_ORDERS = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN COALESCE(o_orderkey IS NULL, TRUE) THEN 1 ELSE 0 END) AS v_orderkey_not_null,
+    SUM(CASE WHEN COALESCE(o_custkey IS NULL, TRUE) THEN 1 ELSE 0 END) AS v_custkey_not_null,
+    SUM(CASE WHEN COALESCE(NOT (o_orderstatus IN ('O','F','P')), TRUE) THEN 1 ELSE 0 END) AS v_status_in_domain,
+    SUM(CASE WHEN COALESCE(NOT (o_totalprice > 0), TRUE) THEN 1 ELSE 0 END) AS v_totalprice_positive,
+    SUM(CASE WHEN COALESCE(NOT (o_orderdate BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2100-01-01'), TRUE) THEN 1 ELSE 0 END) AS v_orderdate_in_range,
+    -- ROW() wrapper mirrors Spark's struct-keyed distinct: NULL key
+    -- components are distinct values, not dropped rows
+    COUNT(DISTINCT ROW(o_orderkey)) AS u_orderkey_unique
+  FROM orders
+)
+SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS rule, n_rows, v_orderkey_not_null AS n_violations FROM a
+  UNION ALL SELECT 'custkey_not_null', n_rows, v_custkey_not_null FROM a
+  UNION ALL SELECT 'status_in_domain', n_rows, v_status_in_domain FROM a
+  UNION ALL SELECT 'totalprice_positive', n_rows, v_totalprice_positive FROM a
+  UNION ALL SELECT 'orderdate_in_range', n_rows, v_orderdate_in_range FROM a
+  UNION ALL SELECT 'orderkey_unique', n_rows, n_rows - u_orderkey_unique FROM a
+)
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
-    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True),
-    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True),
+    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
+    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=80),
     QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
     QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
     QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True, priority=80),
@@ -1888,5 +1942,8 @@ for spec in [
     # round-5 sixth batch (sessionization; keyword_stats — green r1-r4
     # — yields its slot on the textops side alongside order_wide)
     QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=10),
+    # round-5 seventh batch (single-table DQ suite; visitor_stats +
+    # province_stats — green r1-r4 — yield their slots)
+    QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=10),
 ]:
     register(spec)

@@ -43,11 +43,14 @@ MUST_BE_IN_WINDOW = {
     # round-5 sixth batch (keyword_stats, order_wide — green r1-r4 —
     # yielded their slots):
     "user_sessions", "bpe_pairs",
+    # round-5 seventh batch (visitor_stats, province_stats — green
+    # r1-r4 — yielded their slots):
+    "winnow_fingerprint", "dq_orders",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "ngram_jaccard", "dup_clusters", "cluster_split", "embedding_dedup",
-    "pricing_summary", "visitor_stats", "province_stats",
+    "pricing_summary",
     "doc_curation", "dedup_exact",
 }
 

@@ -329,3 +329,112 @@ def test_time_rollup_merge_equals_rebuild(spark):
         assert (w.n_events, w.v_open, w.v_close, w.v_low, w.v_high) == (
             m.n_events, m.v_open, m.v_close, m.v_low, m.v_high), k
         assert w.v_sum == m.v_sum, k
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+
+
+def test_winnowing_matches_python_mirror_and_edit_robustness(spark):
+    k, w = 3, 2
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        # same text with an INSERTION at the end: winnowing guarantees
+        # shared fingerprints for the long shared prefix
+        (2, base + " appended brand new words"),
+        (3, "xy"),          # shorter than k: one whole-doc gram
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    from rt_bigdata_spark.operators.text_analysis import winnow_fingerprints
+
+    def py_fps(text):
+        toks = _py_tokens(text or "")
+        n_g = max(len(toks) - k + 1, 1)
+        grams = [int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8], 16)
+                 for i in range(n_g)]
+        n_w = max(len(grams) - w + 1, 1)
+        fps = sorted({min(grams[j : j + w]) for j in range(n_w)})
+        return grams, fps
+
+    out = {r.doc_id: r for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    full_sets = {}
+    for doc_id, text in docs:
+        grams, fps = py_fps(text)
+        row = out[doc_id]
+        assert (row.n_grams, row.n_fingerprints) == (len(grams), len(fps)), doc_id
+        digest = hashlib.md5(",".join(str(x) for x in fps).encode()).hexdigest()
+        assert row.fp_digest == digest, doc_id
+        full_sets[doc_id] = set(fps)
+    # edit robustness: the appended doc shares fingerprints with the base
+    assert full_sets[1] & full_sets[2]
+    # guarantee: every shared run of >= k+w-1 tokens shares >= 1 fp
+    assert len(full_sets[1] & full_sets[2]) >= 1
+
+
+def test_winnowing_zero_shuffle(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id: long, text: string")
+    from rt_bigdata_spark.operators.text_analysis import winnow_fingerprints
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        winnow_fingerprints(df).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "hashpartitioning" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# check_expectations
+
+
+def test_expectations_counts_nulls_as_violations_and_uniqueness(spark):
+    import pyspark.sql.functions as SF
+
+    from rt_bigdata_spark.operators.expectations import Expectation, check_expectations
+
+    rows = [
+        (1, 10.0, "A"),
+        (2, -5.0, "B"),      # breaks positive
+        (3, None, "A"),      # NULL predicate -> violation
+        (3, 7.0, None),      # dup id; NULL label -> domain violation
+    ]
+    df = spark.createDataFrame(rows, "id: long, amount: double, label: string")
+    out = {r.rule: r for r in check_expectations(
+        df,
+        [
+            Expectation("amount_positive", ~(SF.col("amount") > 0)),
+            Expectation("label_in_domain", ~SF.col("label").isin("A", "B")),
+        ],
+        unique={"id_unique": ["id"]},
+    ).collect()}
+    assert set(out) == {"amount_positive", "label_in_domain", "id_unique"}
+    assert (out["amount_positive"].n_violations, out["amount_positive"].passed) == (2, False)
+    assert (out["label_in_domain"].n_violations, out["label_in_domain"].passed) == (1, False)
+    assert (out["id_unique"].n_violations, out["id_unique"].passed) == (1, False)
+    assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_expectations_single_scan_plan(spark):
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as SF
+
+    from rt_bigdata_spark.operators.expectations import Expectation, check_expectations
+
+    df = spark.createDataFrame([(1, 2.0)], "id: long, amount: double")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        check_expectations(
+            df, [Expectation("pos", ~(SF.col("amount") > 0))], unique={"u": ["id"]}
+        ).explain(mode="formatted")
+    p = buf.getvalue()
+    # one scan feeding one aggregation chain (the distinct expansion
+    # adds Expand/aggregate stages but never a second source scan);
+    # formatted plans print each node once in the tree and once in the
+    # detail section, so count the detail headers
+    assert len(re.findall(r"\(\d+\) Scan", p)) == 1, p

@@ -148,3 +148,51 @@ def asof_join(
         matched = matched & (gap <= tolerance_seconds)
     payload_cols = {c: F.when(matched, F.col(filled)[c]) for c in right_payload}
     return out.withColumns(payload_cols).drop(key, t, side, rstruct, filled)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal (point-in-time) enrichment against an SCD-2 dimension:
+    each fact joins the dim VERSION valid at its own timestamp
+    (``valid_from <= ts < valid_to`` — half-open, so a fact at exactly
+    a change instant sees the NEW version, matching upsert-read
+    semantics). This is the consumption side of ``scd2_from_changes``
+    — the query the reference's last-write-wins dim store answers
+    WRONGLY for late-arriving facts (it always serves the current
+    version; SURVEY's reason for SCD-2).
+
+    Scale shape: the join is EQUI on the dim key with the interval as
+    a residual predicate, so Catalyst plans a hash/sort-merge join on
+    the key — never a range-only nested loop; versions-per-key is
+    small (bounded by change frequency), so the residual scan per
+    probe row is a few versions. Dim histories are usually MBs →
+    broadcast; at fact-scale keys the one fact shuffle can be removed
+    by pre-bucketing both sides on the key (``write_bucketed``).
+
+    ``dim_cols`` selects which version attributes to carry (default:
+    everything except keys/interval bounds); they are emitted with a
+    ``dim_`` prefix to keep fact columns unshadowed.
+    """
+    f = facts.alias("f")
+    d = dim_history.alias("d")
+    if dim_cols is None:
+        excluded = set(keys) | {valid_from, valid_to, "is_current"}
+        dim_cols = [c for c in dim_history.columns if c not in excluded]
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"f.{k}") == F.col(f"d.{k}"))
+    ts = F.col(f"f.{fact_ts}")
+    cond = cond & (ts >= F.col(f"d.{valid_from}")) & (ts < F.col(f"d.{valid_to}"))
+    return f.join(d, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}").alias(f"dim_{c}") for c in dim_cols],
+        F.col(f"d.{valid_from}").alias(valid_from),
+    )

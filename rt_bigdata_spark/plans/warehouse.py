@@ -1465,6 +1465,49 @@ def q_dim_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal enrichment (joins.point_in_time_join): each purchase
+    fact joins the SCD-2 profile version valid AT ITS OWN ts — the
+    query the reference's last-wins dim store answers wrongly for
+    late facts, and the reason dim_history exists. Equi-join on the
+    user key with the interval as residual predicate (hash join, no
+    range nested loop)."""
+    from rt_bigdata_spark.operators.joins import point_in_time_join
+    from rt_bigdata_spark.operators.scd import scd2_from_changes
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    dim = scd2_from_changes(
+        ev, keys=["user_id"], ts_col="ts", tiebreak="event_id",
+        attr_cols=["event_type", "value"],
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return point_in_time_join(facts, dim, keys=["user_id"], fact_ts="ts")
+
+
+_ORACLE_POINT_IN_TIME = """
+WITH last_writer AS (
+  SELECT user_id, ts, event_type, value
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+v AS (
+  SELECT user_id, event_type, value, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+  FROM last_writer
+),
+facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts,
+       v.event_type AS dim_event_type, v.value AS dim_value, v.valid_from
+FROM facts f
+JOIN v ON f.user_id = v.user_id AND f.ts >= v.valid_from AND f.ts < v.valid_to
+"""
+
+
 _ORACLE_SCD2 = """
 WITH last_writer AS (
   SELECT user_id, ts, event_type, value
@@ -1889,7 +1932,7 @@ FROM (
 
 
 for spec in [
-    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True),
+    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
     QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=80),
     QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
@@ -1945,5 +1988,8 @@ for spec in [
     # round-5 seventh batch (single-table DQ suite; visitor_stats +
     # province_stats — green r1-r4 — yield their slots)
     QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=10),
+    # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
+    # green r1-r4 — yields its slot)
+    QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=10),
 ]:
     register(spec)

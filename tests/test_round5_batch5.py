@@ -438,3 +438,55 @@ def test_expectations_single_scan_plan(spark):
     # formatted plans print each node once in the tree and once in the
     # detail section, so count the detail headers
     assert len(re.findall(r"\(\d+\) Scan", p)) == 1, p
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_join
+
+
+def test_point_in_time_join_serves_historical_versions(spark):
+    from rt_bigdata_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1), False),
+            (1, "gold", dt.datetime(2024, 2, 1), dt.datetime(2200, 1, 1), True),
+        ],
+        "user_id: long, tier: string, valid_from: timestamp, valid_to: timestamp, is_current: boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, dt.datetime(2024, 1, 15)),   # mid-interval → bronze
+            (11, 1, dt.datetime(2024, 2, 1)),    # exactly at change → NEW version (half-open)
+            (12, 1, dt.datetime(2024, 3, 1)),    # current → gold
+            (13, 1, dt.datetime(2023, 12, 1)),   # before first version → no match (inner)
+            (14, 2, dt.datetime(2024, 1, 15)),   # unknown key → no match
+        ],
+        "event_id: long, user_id: long, ts: timestamp",
+    )
+    out = {r.event_id: r.dim_tier for r in
+           point_in_time_join(facts, dim, keys=["user_id"], fact_ts="ts").collect()}
+    assert out == {10: "bronze", 11: "gold", 12: "gold"}
+
+
+def test_point_in_time_join_is_equi_keyed(spark):
+    """The interval must be a residual predicate on an EQUI join —
+    a range-only formulation degrades to BroadcastNestedLoopJoin."""
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 1, 1), dt.datetime(2200, 1, 1), True)],
+        "user_id: long, tier: string, valid_from: timestamp, valid_to: timestamp, is_current: boolean",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, dt.datetime(2024, 1, 15))], "event_id: long, user_id: long, ts: timestamp"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        point_in_time_join(facts, dim, keys=["user_id"], fact_ts="ts").explain(mode="formatted")
+    p = buf.getvalue()
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p

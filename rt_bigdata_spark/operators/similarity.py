@@ -371,3 +371,65 @@ def ivf_topk_indexed(
             keep.select(F.col(kc).alias("neighbor_id")).distinct(), "neighbor_id", "semi"
         )
     return _topk_scored(c, q_local, k)
+
+
+def contrastive_samples(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 4,
+    k_hard: int = 8,
+    k_rand: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine contrastive training samples per query vector: top-k_pos
+    POSITIVES, the next k_hard by similarity as HARD negatives (the
+    near-but-not-top band in-batch sampling misses — standard hard
+    negative mining for retrieval/embedding training), and up to
+    k_rand RANDOM negatives drawn in md5(seed:query:id) order from
+    outside the similarity band (deterministic, engine-portable — the
+    same reason every sampler here hashes instead of rand()).
+
+    One scored corpus×queries pass (queries broadcast, same shape as
+    brute_force_topk) with TWO row_number windows over the SAME
+    query-id partitioning — one exchange, two sorts (similarity and
+    hash order). Random negatives can undershoot k_rand when md5-early
+    rows fall inside the similarity band (they are excluded rather
+    than resampled, keeping the draw one-pass; documented contract).
+    At large corpus sizes restrict the candidate pool first (IVF
+    cells via ``ivf_topk_indexed``'s index, or a hash_split slice) —
+    negatives don't need the full corpus.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    )
+    w_sim = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    rnd_key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.col("query_id").cast("string"),
+            F.col("neighbor_id").cast("string"),
+        )
+    )
+    w_rnd = Window.partitionBy("query_id").orderBy(rnd_key, F.col("neighbor_id"))
+    band = k_pos + k_hard
+    role = (
+        F.when(F.col("rk") <= k_pos, F.lit("positive"))
+        .when(F.col("rk") <= band, F.lit("hard_negative"))
+        .when(F.col("rrk") <= k_rand, F.lit("random_negative"))
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_sim))
+        .withColumn("rrk", F.row_number().over(w_rnd))
+        .withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .select("query_id", "neighbor_id", "sim", "role")
+    )

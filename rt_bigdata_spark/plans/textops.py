@@ -1682,6 +1682,52 @@ FROM fps
 """
 
 
+_CS_POS, _CS_HARD, _CS_RAND, _CS_SEED = 4, 8, 8, 13
+
+
+def q_contrastive_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-sample mining
+    (similarity.contrastive_samples): per query, top-4 positives, the
+    next 8 by cosine as hard negatives, up to 8 md5-ordered random
+    negatives — the retrieval-training dataset builder, one scored
+    pass + two windows over one query-key exchange."""
+    from rt_bigdata_spark.operators.similarity import contrastive_samples
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return contrastive_samples(
+        emb, queries, k_pos=_CS_POS, k_hard=_CS_HARD, k_rand=_CS_RAND, seed=_CS_SEED
+    )
+
+
+_ORACLE_CONTRASTIVE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_inner_product(qvec, cvec)
+               / (sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec))), 9) AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY md5('{_CS_SEED}' || ':' || CAST(query_id AS VARCHAR)
+                                         || ':' || CAST(neighbor_id AS VARCHAR)),
+                                     neighbor_id) AS rrk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim,
+       CASE WHEN rk <= {_CS_POS} THEN 'positive'
+            WHEN rk <= {_CS_POS + _CS_HARD} THEN 'hard_negative'
+            WHEN rrk <= {_CS_RAND} THEN 'random_negative' END AS role
+FROM ranked
+WHERE rk <= {_CS_POS + _CS_HARD} OR rrk <= {_CS_RAND}
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1712,7 +1758,7 @@ for spec in [
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
-    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup")),
+    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), priority=80),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=80),
     QuerySpec("corpus_profile_approx", q_corpus_profile_approx, None, ("profiling", "agg", "approx")),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=80),
@@ -1766,5 +1812,8 @@ for spec in [
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)
     QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), priority=10),
+    # round-5 eighth batch (retrieval-training sample mining;
+    # cluster_split — green r1-r4 — yields its slot)
+    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=10),
 ]:
     register(spec)

@@ -49,10 +49,12 @@ MUST_BE_IN_WINDOW = {
     # round-5 eighth batch (pricing_summary — green r1-r4 — yielded
     # its slot):
     "point_in_time_join",
+    # (cluster_split — green r1-r4 — yielded its slot to this one):
+    "contrastive_samples",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
-    "ngram_jaccard", "dup_clusters", "cluster_split", "embedding_dedup",
+    "ngram_jaccard", "dup_clusters", "embedding_dedup",
     "doc_curation", "dedup_exact",
 }
 

@@ -490,3 +490,60 @@ def test_point_in_time_join_is_equi_keyed(spark):
     p = buf.getvalue()
     assert "NestedLoop" not in p and "Cartesian" not in p, p
     assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+
+# ---------------------------------------------------------------------------
+# contrastive_samples
+
+
+def test_contrastive_roles_and_exclusion(spark):
+    import math
+
+    from rt_bigdata_spark.operators.similarity import contrastive_samples
+
+    # 1 query + 10 corpus vectors on a 2-d circle: similarity order is
+    # the angular order, so roles are fully predictable
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i * 10.0)) for i in range(1, 11)] + [(0, vec(0.0))],
+        "vec_id: long, embedding: array<double>",
+    )
+    queries = corpus.filter("vec_id = 0")
+    out = contrastive_samples(
+        corpus, queries, k_pos=2, k_hard=3, k_rand=3, seed=1
+    ).collect()
+    roles = {r.neighbor_id: r.role for r in out}
+    # nearest by angle: 1,2 positives; 3,4,5 hard negatives
+    assert {i for i, r in roles.items() if r == "positive"} == {1, 2}
+    assert {i for i, r in roles.items() if r == "hard_negative"} == {3, 4, 5}
+    rand = {i for i, r in roles.items() if r == "random_negative"}
+    # random negatives come from OUTSIDE the similarity band, never
+    # overlap positives/hard, and undershoot is allowed (≤ k_rand)
+    assert rand <= {6, 7, 8, 9, 10} and 0 < len(rand) <= 3
+    # deterministic across runs
+    out2 = contrastive_samples(
+        corpus, queries, k_pos=2, k_hard=3, k_rand=3, seed=1
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_contrastive_single_exchange(spark):
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.similarity import contrastive_samples
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vec_id: long, embedding: array<double>"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        contrastive_samples(corpus, corpus.filter("vec_id = 0")).explain(mode="formatted")
+    p = buf.getvalue()
+    # both windows ride ONE query-key exchange (two sorts, one shuffle);
+    # queries are broadcast (no shuffle join)
+    assert p.count("hashpartitioning") == 1, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p

@@ -153,29 +153,15 @@ def time_rollup(
     ``date_trunc(unit)`` buckets are calendar-aligned, so both engines
     agree on boundaries for units that divide a day (hour here; the
     registry's divides-a-day convention).
+
+    Defined as ``finalize_time_rollup(time_rollup_state(...))`` so the
+    key packing and agg list exist in exactly ONE place (a packing
+    change that reached only one copy would silently break the
+    merge≡rebuild contract); Catalyst prunes the unused o_key/c_key
+    aggregates after the drop, so the plan is identical.
     """
-    # NTZ→TIMESTAMP cast: parquet timestamps load as TIMESTAMP_NTZ,
-    # which unix_millis rejects; under the repo's UTC session timezone
-    # the cast is epoch-identical to DuckDB's epoch_ms on naive ts.
-    val = F.col(value_col)
-    okey = (
-        F.unix_millis(F.col(ts_col).cast("timestamp")).cast("decimal(38,0)")
-        * F.lit(10**12)
-        + F.col(id_col).cast("decimal(38,0)")
-    )
-    return (
-        df.groupBy(
-            *[F.col(k) for k in keys],
-            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min_by(val, okey).alias("v_open"),
-            F.max_by(val, okey).alias("v_close"),
-            F.min(val).alias("v_low"),
-            F.max(val).alias("v_high"),
-            F.sum(val.cast("decimal(18,2)")).alias("v_sum"),
-        )
+    return finalize_time_rollup(
+        time_rollup_state(df, ts_col, value_col, keys, unit, id_col)
     )
 
 

@@ -22,7 +22,7 @@ oracle-checkable.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from rt_bigdata_spark.functions.text_fns import tokenize
 from rt_bigdata_spark.operators.scale import ensure_parallelism
@@ -714,14 +714,16 @@ def substring_dup_stats(
     recovers full exactness at window× token blowup — a knob, not a
     redesign.
 
-    Scale shape — TWO shuffles, both on md5-derived keys (skew-proof):
-    window hashes are ``array_distinct``-ed per doc MAP-SIDE before
-    exploding (so the (doc, hash) stream is distinct by construction —
-    no distinct shuffle), then [1] hash-agg by window hash counting
-    docs, [2] hash-agg back to docs. The doc-count join is colocated
-    with [1] (both sides partitioned by whash), and only hashes seen
-    in ≥2 docs are kept on the build side — at 100 TB the duplicated
-    subset is orders of magnitude smaller than the window universe.
+    Scale shape — ONE corpus scan, TWO shuffles, both on md5-derived
+    keys (skew-proof): window hashes are ``array_distinct``-ed per doc
+    MAP-SIDE before exploding (so the (doc, hash) stream is distinct
+    by construction — no distinct shuffle), then [1] a COUNT window
+    over the whash partitioning marks shared hashes in place, and
+    [2] a hash-agg folds back to docs. The window formulation (vs
+    aggregate-then-join-back) is what keeps it one scan: the join
+    form reads, tokenizes and hashes the corpus TWICE — at 100 TB the
+    duplicated tokenize is the dominant map-stage CPU, a worse trade
+    than the window's local sort of the already-exploded hashes.
 
     Docs shorter than ``window`` tokens emit one window covering the
     whole doc (short-doc exact dedup); empty docs hash the empty
@@ -742,20 +744,14 @@ def substring_dup_stats(
     doc_wins = ensure_parallelism(df).select(
         F.col(id_col), F.explode(wins).alias("whash")
     )
-    shared = (
-        doc_wins.groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("whash")
-        .withColumn("_shared", F.lit(1))
-    )
-    marked = doc_wins.join(shared, "whash", "left")
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("whash"))
+    marked = doc_wins.withColumn("_shared", (n_docs >= 2).cast("int"))
     frac = F.col("n_shared").cast("double") / F.col("n_windows")
     return (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.count("_shared").alias("n_shared"),
+            F.sum("_shared").alias("n_shared"),
         )
         .select(
             F.col(id_col),

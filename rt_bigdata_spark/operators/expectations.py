@@ -51,11 +51,27 @@ def check_expectations(
     so all-NULL keys don't collapse the check.
     """
     unique = dict(unique or {})
+    if not rules and not unique:
+        raise ValueError("check_expectations needs at least one rule")
+    for name in [r.name for r in rules] + list(unique):
+        # names land in a SQL expression: the literal is quote-escaped
+        # and the column reference backtick-quoted below, so the only
+        # unrepresentable character is the backtick itself
+        if "`" in name:
+            raise ValueError(f"rule name may not contain a backtick: {name!r}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for r in rules:
+        # COALESCE twice: a NULL predicate result is a violation (an
+        # unevaluable rule must not silently pass), and the SUM over
+        # an EMPTY table is NULL — which would make the report row
+        # satisfy neither passed nor ~passed, vanishing from both
+        # filter sets exactly when a gate checks an empty partition
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(r.violation, F.lit(True)), F.lit(1)).otherwise(F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(r.violation, F.lit(True)), F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             ).alias(f"_v_{r.name}")
         )
     for name, cols in unique.items():
@@ -63,11 +79,15 @@ def check_expectations(
             F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias(f"_u_{name}")
         )
     row = df.agg(*aggs)
+
+    def lit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     pairs: list[str] = []
     for r in rules:
-        pairs += [f"'{r.name}'", f"_v_{r.name}"]
+        pairs += [lit(r.name), f"`_v_{r.name}`"]
     for name in unique:
-        pairs += [f"'{name}'", f"_n - _u_{name}"]
+        pairs += [lit(name), f"_n - `_u_{name}`"]
     n_rules = len(rules) + len(unique)
     report = row.select(
         F.expr(f"stack({n_rules}, {', '.join(pairs)}) AS (rule, n_violations)"),

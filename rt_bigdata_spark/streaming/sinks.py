@@ -75,15 +75,26 @@ def jdbc_batch_sink(url: str, table: str, keys: Sequence[str], version_col: str 
     return fn
 
 
-def _latest_rollup_version(state_dir: str) -> int | None:
+def _rollup_versions(state_dir: str) -> list[int]:
+    """COMMITTED state versions, ascending. A version counts only if
+    its parquet commit marker (_SUCCESS) exists: a crash mid-write
+    leaves a directory without the marker, and trusting it would make
+    the replayed batch skip itself and canonize the partial state —
+    the exact at-least-once case the fence exists for."""
     if not os.path.isdir(state_dir):
-        return None
-    versions = [
+        return []
+    return sorted(
         int(d.split("_", 1)[1])
         for d in os.listdir(state_dir)
-        if d.startswith("v_") and d.split("_", 1)[1].isdigit()
-    ]
-    return max(versions) if versions else None
+        if d.startswith("v_")
+        and d.split("_", 1)[1].isdigit()
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+
+
+def _latest_rollup_version(state_dir: str) -> int | None:
+    versions = _rollup_versions(state_dir)
+    return versions[-1] if versions else None
 
 
 def rollup_maintenance_sink(
@@ -102,24 +113,45 @@ def rollup_maintenance_sink(
     O(groups), so maintenance cost is independent of stream history
     (per batch: one O(batch) rollup + one O(groups) merge).
 
-    Exactly-once via the standard foreachBatch idempotency pattern:
-    state versions are written to ``v_<batch_id>`` and a replayed
-    batch (at-least-once delivery / restart) whose id is ≤ the newest
-    version is SKIPPED — counts and sums are not idempotent under
-    re-merge, so unlike the last-wins upsert sinks, dedup-on-read
-    cannot absorb replays here; the version fence is the correctness
-    mechanism, not an optimization. Old versions beyond
-    ``keep_versions`` are pruned; readers use ``read_rollup``.
+    Exactly-once via the standard foreachBatch idempotency pattern,
+    with two hardenings the naive version-fence lacks:
+
+    - Only COMMITTED versions count (parquet ``_SUCCESS`` marker): a
+      crash mid-write leaves an uncommitted ``v_N`` that the replay
+      of batch N must overwrite, not skip. Counts and sums are not
+      idempotent under re-merge, so unlike the last-wins upsert
+      sinks, dedup-on-read cannot absorb replays — the fence is the
+      correctness mechanism, not an optimization.
+    - A replay can only be the LATEST batch (Spark re-runs the one
+      uncommitted micro-batch after restart). ``batch_id`` strictly
+      below the newest committed version means the checkpoint was
+      wiped or points at a different stream incarnation — silently
+      skipping would drop every new batch until ids catch up, so the
+      sink raises instead.
+
+    Old versions beyond ``keep_versions`` (≥1; the newest is the
+    state) are pruned; readers use ``read_rollup``.
     """
     from rt_bigdata_spark.operators.aggregations import (
         merge_time_rollups,
         time_rollup_state,
     )
 
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1 (the newest version IS the state)")
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         cur = _latest_rollup_version(state_dir)
-        if cur is not None and batch_id <= cur:
-            return  # replayed batch: already folded into the state
+        if cur is not None and batch_id == cur:
+            return  # replay of the already-folded latest batch
+        if cur is not None and batch_id < cur:
+            raise RuntimeError(
+                f"rollup state at {state_dir} has committed version v_{cur} but the "
+                f"stream delivered batch {batch_id}: the checkpoint was reset or "
+                "belongs to a different stream — folding (double-count) or skipping "
+                "(drop) would both corrupt the aggregate; point the query at a fresh "
+                "state_dir or restore the matching checkpoint"
+            )
         new_state = time_rollup_state(batch_df, ts_col, value_col, keys, unit, id_col)
         if cur is not None:
             old = batch_df.sparkSession.read.parquet(os.path.join(state_dir, f"v_{cur}"))
@@ -127,22 +159,18 @@ def rollup_maintenance_sink(
         new_state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v_{batch_id}"))
         import shutil
 
-        versions = sorted(
-            int(d.split("_", 1)[1])
-            for d in os.listdir(state_dir)
-            if d.startswith("v_") and d.split("_", 1)[1].isdigit()
-        )
-        for v in versions[:-keep_versions] if keep_versions else versions[:-1]:
+        for v in _rollup_versions(state_dir)[:-keep_versions]:
             shutil.rmtree(os.path.join(state_dir, f"v_{v}"), ignore_errors=True)
 
     return fn
 
 
 def read_rollup(spark, state_dir: str) -> DataFrame:
-    """Read the newest continuous-aggregate state in display form."""
+    """Read the newest COMMITTED continuous-aggregate state in
+    display form."""
     from rt_bigdata_spark.operators.aggregations import finalize_time_rollup
 
     cur = _latest_rollup_version(state_dir)
     if cur is None:
-        raise FileNotFoundError(f"no rollup state under {state_dir}")
+        raise FileNotFoundError(f"no committed rollup state under {state_dir}")
     return finalize_time_rollup(spark.read.parquet(os.path.join(state_dir, f"v_{cur}")))

@@ -39,7 +39,7 @@ FLAGSHIPS = {
     "event_funnel": "three chained conditional window MINs share ONE user-key hashpartitioning (no frame Sort — unbounded min), final stage agg reuses the partitioning; the per-step aggregate+join formulation would shuffle the events table five times.",
     "events_rollup": "hypertable rollup as ONE map-side-combinable HashAggregate: the DECIMAL(38,0)-packed (epoch, id) arg-min/max key keeps the buffer hash-updatable — a struct/string key would silently degrade the whole plan to SortAggregate (per-partition sort of every event).",
     "quality_classifier": "model-based filtering with the weight vector as ONE literal array (broadcast model); per-token weight lookup is a map-side element_at, the only Exchange is the per-doc margin hash-agg with DECIMAL-exact partial sums.",
-    "substring_dedup": "overlapping-window substring dedup: window hashes array_distinct-ed map-side BEFORE exploding (no distinct shuffle), dup-only build side on the join (colocated with the whash agg), two md5-keyed exchanges total.",
+    "substring_dedup": "overlapping-window substring dedup: window hashes array_distinct-ed map-side BEFORE exploding (no distinct shuffle); shared-hash marking is a COUNT window over the whash partitioning, so the corpus is scanned and tokenized ONCE (the aggregate-then-join-back form reads it twice); two md5-keyed exchanges total.",
     "user_sessions": "gap sessionization + per-session summary on ONE user-key Exchange: the (user, session_idx) groupBy extends the window's partitioning so Catalyst adds no second shuffle.",
 }
 

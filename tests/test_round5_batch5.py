@@ -547,3 +547,87 @@ def test_contrastive_single_exchange(spark):
     # queries are broadcast (no shuffle join)
     assert p.count("hashpartitioning") == 1, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+
+
+def test_expectations_empty_table_reports_zero_not_null(spark):
+    import pyspark.sql.functions as SF
+
+    from rt_bigdata_spark.operators.expectations import Expectation, check_expectations
+
+    df = spark.createDataFrame([], "id: long, amount: double")
+    out = {r.rule: r for r in check_expectations(
+        df, [Expectation("pos", ~(SF.col("amount") > 0))], unique={"u": ["id"]}
+    ).collect()}
+    # an empty partition must PASS, not emit NULL rows invisible to
+    # both filter(passed) and filter(~passed)
+    assert (out["pos"].n_violations, out["pos"].passed) == (0, True)
+    assert (out["u"].n_violations, out["u"].passed) == (0, True)
+
+
+def test_expectations_non_identifier_rule_names(spark):
+    import pyspark.sql.functions as SF
+
+    from rt_bigdata_spark.operators.expectations import Expectation, check_expectations
+
+    df = spark.createDataFrame([(1, -1.0)], "id: long, amount: double")
+    out = {r.rule: r.n_violations for r in check_expectations(
+        df,
+        [Expectation("amount-positive (v2)", ~(SF.col("amount") > 0)),
+         Expectation("o'brien's rule", SF.col("id").isNull())],
+    ).collect()}
+    assert out == {"amount-positive (v2)": 1, "o'brien's rule": 0}
+    with pytest.raises(ValueError, match="at least one rule"):
+        check_expectations(df, [])
+    with pytest.raises(ValueError, match="backtick"):
+        check_expectations(df, [Expectation("bad`name", SF.col("id").isNull())])
+
+
+def test_rollup_sink_fences_checkpoint_mismatch_and_partial_writes(spark, tmp_path):
+    import os
+
+    from rt_bigdata_spark.streaming.sinks import (
+        read_rollup,
+        rollup_maintenance_sink,
+    )
+
+    state = str(tmp_path / "state")
+    sink = rollup_maintenance_sink(state, ["event_type"])
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "view", 5.0)],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    sink(b, 5)
+    # batch id BELOW the committed version = different stream
+    # incarnation (wiped checkpoint) — must fail loudly, not drop data
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        sink(b, 3)
+    # an UNCOMMITTED version dir (crash mid-write: no _SUCCESS) must
+    # not fence out its own replay
+    os.makedirs(os.path.join(state, "v_6"))
+    with open(os.path.join(state, "v_6", "part-junk.parquet"), "w") as f:
+        f.write("garbage")
+    sink(b, 6)  # replay of the crashed batch: overwrites, not skips
+    out = read_rollup(spark, state).collect()
+    assert out[0].n_events == 2  # batch 5 + batch 6, nothing dropped
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep_versions"):
+        rollup_maintenance_sink(state, ["event_type"], keep_versions=0)
+
+
+def test_substring_dedup_single_scan(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        substring_dup_stats(df).explain(mode="formatted")
+    p = buf.getvalue()
+    # the window formulation reads (and tokenizes) the corpus ONCE;
+    # the aggregate-then-join-back form scans it twice
+    assert len(re.findall(r"\(\d+\) Scan", p)) == 1, p

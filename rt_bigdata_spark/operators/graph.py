@@ -159,3 +159,35 @@ def connected_components_two_phase(
         e.select(F.col("u").alias("node"), F.col("v").alias("label")), "node", "left"
     )
     return labels.select("node", F.coalesce("label", "node").alias("label"))
+
+
+def cluster_representatives(
+    labeled: DataFrame,
+    scores: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the KEEPER of each near-dup cluster by QUALITY, not by id:
+    min-id labeling answers "which cluster", this answers "which copy
+    survives" — at pretraining scale the kept copy should be the
+    best-scored one (longest, cleanest, highest classifier margin),
+    not whichever hashed lowest. Ties break on the smaller node id so
+    the choice stays deterministic.
+
+    ``labeled`` is (node, label) from connected_components; ``scores``
+    is (node, score). One node-keyed equi-join + one row_number window
+    over the label key — cluster populations bound the window sort, and
+    the label keys are md5-derived doc ids (no skew). Emits every node
+    with its cluster, score and ``is_rep``; filter ``is_rep`` for the
+    keeper set, ``~is_rep`` for the drop list.
+    """
+    from pyspark.sql import Window
+
+    joined = labeled.join(scores, node_col)
+    w = Window.partitionBy(label_col).orderBy(
+        F.col(score_col).desc(), F.col(node_col).asc()
+    )
+    return joined.withColumn(
+        "is_rep", F.row_number().over(w) == 1
+    )

@@ -421,3 +421,52 @@ def winnow_fingerprints(
             "fp_digest"
         ),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM perplexity score: average −ln p(w₂|w₁) per doc under
+    the corpus's own add-k-smoothed bigram model — one step up the
+    n-gram ladder from ``unigram_surprisal`` and the cheap stand-in
+    for the CCNet/KenLM perplexity filter (a doc full of corpus-rare
+    CONTINUATIONS scores high even when its individual tokens are
+    common — the signal that catches shuffled/garbled text unigram
+    stats miss).
+
+    p(w₂|w₁) = (C(w₁,w₂) + k) / (C(w₁·) + k·V), with C(w₁·) the
+    count of bigrams starting w₁ and V the context vocabulary size
+    (a single broadcast row). Same shuffle shape as
+    unigram_surprisal one level up: bigram counts [1], context
+    counts re-agg of the (small) bigram table [2], scoring join back
+    to the exploded bigram stream. At 100 TB prune both count tables
+    with a min-count and broadcast them (vocab-sized); shuffle join
+    kept here for exact oracle parity. Docs with <2 tokens have no
+    bigrams and emit no row (gate with quality_features upstream).
+    """
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    bigram_list = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bg = ensure_parallelism(df).filter(n >= 2).select(
+        F.col(id_col), F.explode(bigram_list).alias("bigram")
+    )
+    bg = bg.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    bgc = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bg.join(bgc.drop("w1"), "bigram")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v")))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg(-logp), 6).alias("bigram_surprisal"),
+    )

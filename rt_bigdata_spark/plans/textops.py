@@ -45,6 +45,8 @@ from rt_bigdata_spark.sources.tables import load_table
 
 # Shared DuckDB fragment: tokenization identical to functions.text_fns.tokenize.
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# NULL-safe variant shared by oracles whose Spark side coalesces text
+_DUCK_TOKS_COALESCED = _DUCK_TOKS.replace("lower(text)", "lower(COALESCE(text, ''))")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +675,56 @@ SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node
 """
 
 
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection (graph.cluster_representatives):
+    the near-dup clusters from dup_clusters re-labeled so the SURVIVING
+    copy is the highest-token-count member (tie → smaller id), not the
+    smallest id — "which copy do we keep" answered by quality. One
+    join + one cluster-key window on top of the clustering."""
+    from rt_bigdata_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=_JACCARD_DF_CAP).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labeled = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    from rt_bigdata_spark.functions.text_fns import tokenize
+
+    scores = docs.select(
+        F.col("doc_id").alias("node"),
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("score"),
+    )
+    return cluster_representatives(labeled, scores).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        F.col("score").alias("n_tokens"),
+        "is_rep",
+    )
+
+
+_ORACLE_DEDUP_KEEPERS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs UNION SELECT doc_b, doc_a FROM jpairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node),
+scored AS (
+  SELECT c.doc_id, c.cluster,
+         CAST(len({_DUCK_TOKS_COALESCED}) AS BIGINT) AS n_tokens
+  FROM clusters c JOIN documents USING (doc_id)
+)
+SELECT doc_id, cluster, n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_tokens DESC, doc_id) = 1 AS is_rep
+FROM scored
+"""
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/valid/test split (80/10/10) keyed on
     md5(text): byte-identical docs land in the same split even before
@@ -1104,7 +1156,6 @@ def q_concat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_pack(load_table(spark, sf_dir, "documents"), seq_len=256)
 
 
-_DUCK_TOKS_COALESCED = _DUCK_TOKS.replace("lower(text)", "lower(COALESCE(text, ''))")
 
 _ORACLE_CONCAT_PACK = f"""
 WITH scored AS (
@@ -1728,6 +1779,37 @@ WHERE rk <= {_CS_POS + _CS_HARD} OR rrk <= {_CS_RAND}
 """
 
 
+_BGS_K = 0.5
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (text_analysis.bigram_surprisal):
+    avg −ln p(w₂|w₁) under the corpus's add-k-smoothed bigram model —
+    the CCNet/KenLM-style signal that catches garbled continuations
+    unigram stats miss."""
+    from rt_bigdata_spark.operators.text_analysis import bigram_surprisal
+
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"), k=_BGS_K)
+
+
+_ORACLE_BIGRAM_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         UNNEST([array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+bgw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+bgc AS (SELECT bigram, COUNT(*) AS c2 FROM bgw GROUP BY bigram),
+ctx AS (SELECT w1, SUM(c2) AS c1 FROM (SELECT string_split(bigram, ' ')[1] AS w1, c2 FROM bgc) GROUP BY w1),
+vocab AS (SELECT COUNT(*) AS v FROM ctx)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LN((c2 + {_BGS_K}) / (c1 + {_BGS_K} * v))), 6) AS bigram_surprisal
+FROM bgw JOIN bgc USING (bigram) JOIN ctx USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1755,8 +1837,8 @@ for spec in [
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
     QuerySpec("media_features", q_media_features, None, ("multimodal",)),
     QuerySpec("media_frames", q_media_frames, None, ("multimodal",)),
-    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True),
-    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True),
+    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
+    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), priority=80),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=80),
@@ -1815,5 +1897,10 @@ for spec in [
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
     QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=10),
+    # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
+    # r1-r4 — yields its slot)
+    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=10),
+    # (doc_curation — green r1-r4 — yields its slot)
+    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=10),
 ]:
     register(spec)

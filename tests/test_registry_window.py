@@ -51,11 +51,15 @@ MUST_BE_IN_WINDOW = {
     "point_in_time_join",
     # (cluster_split — green r1-r4 — yielded its slot to this one):
     "contrastive_samples",
+    # round-5 ninth batch (dup_clusters — green r1-r4 — yielded its slot):
+    "bigram_surprisal",
+    # (doc_curation — green r1-r4 — yielded its slot):
+    "dedup_keepers",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
-    "ngram_jaccard", "dup_clusters", "embedding_dedup",
-    "doc_curation", "dedup_exact",
+    "ngram_jaccard", "embedding_dedup",
+    "dedup_exact",
 }
 
 

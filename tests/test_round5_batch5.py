@@ -631,3 +631,59 @@ def test_substring_dedup_single_scan(spark):
     # the window formulation reads (and tokenizes) the corpus ONCE;
     # the aggregate-then-join-back form scans it twice
     assert len(re.findall(r"\(\d+\) Scan", p)) == 1, p
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal
+
+
+def test_bigram_surprisal_matches_python_mirror(spark):
+    import math
+    from collections import Counter
+
+    from rt_bigdata_spark.operators.text_analysis import bigram_surprisal
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "the zq on xv"),  # rare CONTINUATIONS of common contexts
+        (4, "single"),        # <2 tokens: no row
+        (5, None),
+    ]
+    k = 0.5
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in bigram_surprisal(df, k=k).collect()}
+    assert set(out) == {1, 2, 3}
+
+    doc_bgs = {d: [(t[i], t[i + 1]) for t in [_py_tokens(x or "")] for i in range(len(t) - 1)]
+               for d, x in docs}
+    c2 = Counter(b for bgs in doc_bgs.values() for b in bgs)
+    c1 = Counter(b[0] for bgs in doc_bgs.values() for b in bgs)
+    v = len(c1)
+    for d in (1, 2, 3):
+        bgs = doc_bgs[d]
+        expect = sum(-math.log((c2[b] + k) / (c1[b[0]] + k * v)) for b in bgs) / len(bgs)
+        assert out[d].n_bigrams == len(bgs)
+        assert out[d].bigram_surprisal == pytest.approx(round(expect, 6), abs=1e-9)
+    # garbled text = rare continuations of COMMON contexts ("the zq",
+    # "on xv") — the most surprising doc, the signal the filter exists
+    # for (a unique context predicting its only continuation is cheap)
+    assert out[3].bigram_surprisal > out[1].bigram_surprisal
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives
+
+
+def test_cluster_representatives_pick_best_quality(spark):
+    from rt_bigdata_spark.operators.graph import cluster_representatives
+
+    labeled = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "node: long, label: long"
+    )
+    scores = spark.createDataFrame(
+        # node 3 has the best score despite the largest id; nodes 1,2 tie
+        [(1, 10), (2, 10), (3, 50), (9, 1)], "node: long, score: long"
+    )
+    out = {r.node: r.is_rep for r in cluster_representatives(labeled, scores).collect()}
+    assert out == {1: False, 2: False, 3: True, 9: True}

@@ -176,17 +176,20 @@ def cluster_representatives(
     the choice stays deterministic.
 
     ``labeled`` is (node, label) from connected_components; ``scores``
-    is (node, score). One node-keyed equi-join + one row_number window
+    is (node, score). One node-keyed LEFT join + one row_number window
     over the label key — cluster populations bound the window sort, and
-    the label keys are md5-derived doc ids (no skew). Emits every node
-    with its cluster, score and ``is_rep``; filter ``is_rep`` for the
-    keeper set, ``~is_rep`` for the drop list.
+    the label keys are md5-derived doc ids (no skew). Emits EVERY
+    labeled node (a node the scorer skipped keeps a NULL score and
+    sorts last — an inner join would silently drop it from both the
+    keeper set and the drop list, letting the duplicate survive);
+    filter ``is_rep`` for the keeper set, ``~is_rep`` for the drop
+    list.
     """
     from pyspark.sql import Window
 
-    joined = labeled.join(scores, node_col)
+    joined = labeled.join(scores, node_col, "left")
     w = Window.partitionBy(label_col).orderBy(
-        F.col(score_col).desc(), F.col(node_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(node_col).asc()
     )
     return joined.withColumn(
         "is_rep", F.row_number().over(w) == 1

@@ -43,8 +43,14 @@ from rt_bigdata_spark.operators.text_analysis import (
 from rt_bigdata_spark.plans.registry import QuerySpec, register
 from rt_bigdata_spark.sources.tables import load_table
 
-# Shared DuckDB fragment: tokenization identical to functions.text_fns.tokenize.
-_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# Shared DuckDB fragment: tokenization identical to
+# functions.text_fns.tokenize — the SAME Unicode classes ([^\p{L}\p{N}]+,
+# supported by both Java regex and DuckDB's RE2), not an ASCII
+# approximation: an ASCII-only oracle pattern would silently diverge on
+# the first non-ASCII letter in a future data refresh. (Residual caveat:
+# locale-special lowercasing — Turkish dotted I, etc. — may still differ
+# between JVM and DuckDB lower(); no such codepoints in the fixtures.)
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')"
 # NULL-safe variant shared by oracles whose Spark side coalesces text
 _DUCK_TOKS_COALESCED = _DUCK_TOKS.replace("lower(text)", "lower(COALESCE(text, ''))")
 
@@ -642,6 +648,32 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
 
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE clustering both dup_clusters and dedup_keepers report over:
+    Jaccard ≥ 0.1 pairs (df-capped) transitively connected, each doc
+    labeled with its component's smallest doc_id. One definition —
+    a threshold/df_cap tuning that reached only one consumer would
+    silently desync the keeper list from the reported clustering."""
+    from rt_bigdata_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=_JACCARD_DF_CAP).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+
+
+# Shared oracle fragment for the same clustering (requires the
+# _JACCARD_CTES pair discovery in scope; WITH RECURSIVE context).
+_CC_CTES = """edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs UNION SELECT doc_b, doc_a FROM jpairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node)"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: the post-processing step every dedup
     pipeline needs after pair discovery — transitively connect the
@@ -651,27 +683,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE over the same pair set, making this one of the few iterative
     Spark workloads with an exact SQL cross-check.
     """
-    from rt_bigdata_spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=_JACCARD_DF_CAP).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    return (
-        connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
-        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+    return _cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
     )
 
 
 _ORACLE_CLUSTERS = f"""
 WITH RECURSIVE {_JACCARD_CTES},
-edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs UNION SELECT doc_b, doc_a FROM jpairs),
-reach(node, root) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
-)
-SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node
+{_CC_CTES}
+SELECT doc_id, cluster FROM clusters
 """
 
 
@@ -681,18 +701,11 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy is the highest-token-count member (tie → smaller id), not the
     smallest id — "which copy do we keep" answered by quality. One
     join + one cluster-key window on top of the clustering."""
-    from rt_bigdata_spark.operators.graph import (
-        cluster_representatives,
-        connected_components,
-    )
+    from rt_bigdata_spark.functions.text_fns import tokenize
+    from rt_bigdata_spark.operators.graph import cluster_representatives
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=_JACCARD_DF_CAP).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    labeled = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
-    from rt_bigdata_spark.functions.text_fns import tokenize
-
+    labeled = _cluster_labels(spark, sf_dir)
     scores = docs.select(
         F.col("doc_id").alias("node"),
         F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("score"),
@@ -707,13 +720,7 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_DEDUP_KEEPERS = f"""
 WITH RECURSIVE {_JACCARD_CTES},
-edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs UNION SELECT doc_b, doc_a FROM jpairs),
-reach(node, root) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
-),
-clusters AS (SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node),
+{_CC_CTES},
 scored AS (
   SELECT c.doc_id, c.cluster,
          CAST(len({_DUCK_TOKS_COALESCED}) AS BIGINT) AS n_tokens

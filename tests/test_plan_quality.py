@@ -193,6 +193,8 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "unigram_surprisal",  # broadcast 1-row corpus token total
         "doc_keywords",  # broadcast 1-row n_docs scalar
         "bm25_search",  # broadcast 1-row corpus stats (N, avgdl, df_t)
+        "contrastive_samples",  # broadcast query set (vec_id < 5) vs corpus
+        "bigram_surprisal",  # broadcast 1-row context-vocab size V
     }
     offenders = [
         n for n, pl in plans.items()

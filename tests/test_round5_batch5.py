@@ -687,3 +687,15 @@ def test_cluster_representatives_pick_best_quality(spark):
     )
     out = {r.node: r.is_rep for r in cluster_representatives(labeled, scores).collect()}
     assert out == {1: False, 2: False, 3: True, 9: True}
+
+
+def test_cluster_representatives_keep_unscored_nodes(spark):
+    """A node the scorer skipped must still appear (NULL score, sorts
+    last) — an inner join would let the duplicate silently survive."""
+    from rt_bigdata_spark.operators.graph import cluster_representatives
+
+    labeled = spark.createDataFrame([(1, 1), (2, 1), (3, 3)], "node: long, label: long")
+    scores = spark.createDataFrame([(2, 5)], "node: long, score: long")  # 1 and 3 unscored
+    out = {r.node: (r.is_rep, r.score) for r in
+           cluster_representatives(labeled, scores).collect()}
+    assert out == {1: (False, None), 2: (True, 5), 3: (True, None)}

@@ -48,16 +48,20 @@ def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def cms_build(
+def cms_cells(
     df: DataFrame,
     depth: int = 4,
     width: int = 256,
     text_col: str = "text",
-) -> list[list[int]]:
-    """Build the d×w counter grid: ONE aggregate with ≤ d×w groups,
-    collected as the bounded sketch model (d×w longs)."""
+) -> DataFrame:
+    """The sketch as a DATAFRAME of ``(r, col, n)`` cells (≤ d×w rows)
+    — the distributed/persistable form. Sketches are mergeable state:
+    two cell frames over disjoint data combine into the union's sketch
+    by a (r, col) sum — the property the streaming maintenance sink
+    (streaming/sinks.cms_maintenance_sink) and any map-side partial
+    aggregation rely on."""
     toks = _token_stream(df, text_col)
-    cells = (
+    return (
         toks.select(
             *[_cms_hash(F.col("tok"), r, width).alias(f"c{r}") for r in range(depth)]
         )
@@ -73,12 +77,36 @@ def cms_build(
         )
         .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+
+
+def merge_cms_cells(states: list[DataFrame]) -> DataFrame:
+    """Fold sketch cell frames over disjoint slices into the union's
+    sketch: cell-wise sum — O(d×w) work per merge, never a data
+    re-read."""
+    unioned = states[0]
+    for st in states[1:]:
+        unioned = unioned.unionByName(st)
+    return unioned.groupBy("r", "col").agg(F.sum("n").alias("n"))
+
+
+def grid_from_cells(cells_rows: list, depth: int, width: int) -> list[list[int]]:
+    """Materialize collected (r, col, n) rows as the d×w model grid."""
     grid = [[0] * width for _ in range(depth)]
-    for row in cells:
+    for row in cells_rows:
         grid[int(row["r"])][int(row["col"])] = int(row["n"])
     return grid
+
+
+def cms_build(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> list[list[int]]:
+    """Build the d×w counter grid: ONE aggregate with ≤ d×w groups,
+    collected as the bounded sketch model (d×w longs)."""
+    return grid_from_cells(cms_cells(df, depth, width, text_col).collect(), depth, width)
 
 
 def _cms_estimate(grid: list[list[int]], width: int) -> Column:

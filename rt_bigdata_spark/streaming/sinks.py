@@ -137,6 +137,31 @@ def rollup_maintenance_sink(
         time_rollup_state,
     )
 
+    return versioned_state_sink(
+        state_dir,
+        fold_batch=lambda b: time_rollup_state(b, ts_col, value_col, keys, unit, id_col),
+        merge=lambda old, new: merge_time_rollups([old, new], keys),
+        keep_versions=keep_versions,
+    )
+
+
+def versioned_state_sink(
+    state_dir: str,
+    fold_batch,
+    merge,
+    keep_versions: int = 2,
+):
+    """The GENERIC version-fenced mergeable-state maintenance sink:
+    any aggregate whose state is (a) derivable from a batch alone
+    (``fold_batch: DataFrame -> state DataFrame``) and (b) mergeable
+    across disjoint slices (``merge: (old, new) -> state``) gets
+    exactly-once streaming maintenance from this one harness — the
+    rollup (OHLC+sums) and the CMS sketch (cell-wise sums) are two
+    instances; HLL registers, GK summaries, any commutative monoid
+    fits. Fencing semantics (commit markers, replay skip, incarnation
+    guard) are documented on ``rollup_maintenance_sink`` and shared —
+    they depend only on merges being non-idempotent, which is what
+    "mergeable state" means here."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1 (the newest version IS the state)")
 
@@ -146,16 +171,16 @@ def rollup_maintenance_sink(
             return  # replay of the already-folded latest batch
         if cur is not None and batch_id < cur:
             raise RuntimeError(
-                f"rollup state at {state_dir} has committed version v_{cur} but the "
+                f"state at {state_dir} has committed version v_{cur} but the "
                 f"stream delivered batch {batch_id}: the checkpoint was reset or "
                 "belongs to a different stream — folding (double-count) or skipping "
                 "(drop) would both corrupt the aggregate; point the query at a fresh "
                 "state_dir or restore the matching checkpoint"
             )
-        new_state = time_rollup_state(batch_df, ts_col, value_col, keys, unit, id_col)
+        new_state = fold_batch(batch_df)
         if cur is not None:
             old = batch_df.sparkSession.read.parquet(os.path.join(state_dir, f"v_{cur}"))
-            new_state = merge_time_rollups([old, new_state], keys)
+            new_state = merge(old, new_state)
         new_state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v_{batch_id}"))
         import shutil
 
@@ -163,6 +188,41 @@ def rollup_maintenance_sink(
             shutil.rmtree(os.path.join(state_dir, f"v_{v}"), ignore_errors=True)
 
     return fn
+
+
+def cms_maintenance_sink(
+    state_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+    keep_versions: int = 2,
+):
+    """Streaming Count-Min Sketch maintenance: each micro-batch's
+    d×w cell frame folds into the persisted sketch by cell-wise sum
+    (``sketches.merge_cms_cells``) — bounded state (≤ d×w rows) that
+    tracks heavy hitters over the WHOLE stream history at O(d×w)
+    merge cost per batch. Same version fence as the rollup sink (the
+    grid is counts: non-idempotent under re-merge)."""
+    from rt_bigdata_spark.operators.sketches import cms_cells, merge_cms_cells
+
+    return versioned_state_sink(
+        state_dir,
+        fold_batch=lambda b: cms_cells(b, depth, width, text_col),
+        merge=lambda old, new: merge_cms_cells([old, new]),
+        keep_versions=keep_versions,
+    )
+
+
+def read_cms_grid(spark, state_dir: str, depth: int = 4, width: int = 256) -> list[list[int]]:
+    """Read the newest committed sketch state as the d×w model grid
+    (feeds ``sketches._cms_estimate`` / heavy-hitter queries)."""
+    from rt_bigdata_spark.operators.sketches import grid_from_cells
+
+    cur = _latest_rollup_version(state_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_dir}")
+    rows = spark.read.parquet(os.path.join(state_dir, f"v_{cur}")).collect()
+    return grid_from_cells(rows, depth, width)
 
 
 def read_rollup(spark, state_dir: str) -> DataFrame:

@@ -93,3 +93,50 @@ def test_streaming_rollup_replay_is_fenced(spark, tmp_path):
              for r in read_rollup(spark, state).collect()}
     assert before == after
     assert list(before.values()) == [(1, 5.0)]
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The sketch maintained across micro-batches must equal the batch
+    sketch of all documents — mergeable-state algebra for CMS."""
+    import json as _json
+
+    from rt_bigdata_spark.operators.sketches import cms_build
+    from rt_bigdata_spark.streaming.sinks import cms_maintenance_sink, read_cms_grid
+
+    docs1 = [{"doc_id": 1, "text": "the cat sat on the mat"},
+             {"doc_id": 2, "text": "the dog ran"}]
+    docs2 = [{"doc_id": 3, "text": "the cat ran far away"},
+             {"doc_id": 4, "text": "words words words"}]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        p = src / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    write("b1.json", docs1)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cms_maintenance_sink(state, depth=2, width=16))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.json", docs2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = read_cms_grid(spark, state, depth=2, width=16)
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in docs1 + docs2], "doc_id: long, text: string"
+    )
+    assert streamed == cms_build(full, depth=2, width=16)

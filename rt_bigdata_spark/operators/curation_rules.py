@@ -127,3 +127,12 @@ def contamination_pairs(
         .groupBy(id_col, "probe_id")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
     )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII spans in ``text_col`` with typed placeholder tags
+    (same chained redaction ``pii_scrub`` hashes): the KEEP-with-
+    redaction path of the curation pipeline — docs whose only problem
+    is an email/phone stay in the corpus with the span masked. Pure
+    map-side."""
+    return df.withColumn(text_col, _redact(F.col(text_col)))

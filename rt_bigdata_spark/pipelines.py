@@ -15,14 +15,17 @@ evidence first so each stage shrinks the next stage's input:
 7. near-dup: MinHash-LSH pairs → connected components →
    QUALITY-AWARE keeper (the classifier margin from stage 2 decides
    which copy survives)                      — minhash_lsh_pairs /
-   connected_components / cluster_representatives
+   connected_components_two_phase / cluster_representatives
 8. per-source token budget (1 window)        — token_budget_sample
 9. optional publish: deterministic shards + manifest — export_shards
 
-Every stage returns a DataFrame and the composition stays lazy — one
-action at the end executes the whole DAG, letting Catalyst fuse the
-map-side stages into the scan exactly as the single-query
-``doc_curation`` plan demonstrates.
+Every stage returns a DataFrame and the composition stays lazy,
+letting Catalyst fuse the map-side stages into the scan exactly as
+the single-query ``doc_curation`` plan demonstrates — EXCEPT when
+``export_path`` is given: the publish step executes the DAG (parquet
+writes + manifest). Auditing several decision tables after an export
+re-executes their upstream chains; cache/checkpoint ``kept`` first if
+that matters.
 """
 
 from __future__ import annotations
@@ -37,7 +40,10 @@ from rt_bigdata_spark.operators.curation_rules import (
     repetition_stats,
 )
 from rt_bigdata_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-from rt_bigdata_spark.operators.graph import cluster_representatives, connected_components
+from rt_bigdata_spark.operators.graph import (
+    cluster_representatives,
+    connected_components_two_phase,
+)
 from rt_bigdata_spark.operators.packing import export_shards, token_budget_sample
 from rt_bigdata_spark.operators.text_analysis import (
     linear_quality_score,
@@ -70,10 +76,13 @@ def curate_training_corpus(
     """
     out: dict[str, DataFrame] = {}
 
-    # 1. length gate
-    feats = quality_features(docs).select("doc_id", "n_tokens")
-    long_enough = docs.join(
-        feats.filter(F.col("n_tokens") >= min_tokens).select("doc_id"), "doc_id", "semi"
+    # 1. length gate — quality_features preserves the input columns, so
+    # this is a zero-shuffle filter fused into the scan (a semi-join
+    # back onto docs would shuffle twice for the same answer)
+    long_enough = (
+        quality_features(docs)
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select(*docs.columns)
     )
 
     # 2. classifier margin
@@ -101,11 +110,19 @@ def curate_training_corpus(
         rep_ok.join(pii.filter(F.col("ssn_ct") == 0).select("doc_id"), "doc_id", "semi")
     )
 
-    # 5. decontamination vs the probe set (probes leave the corpus too)
+    # 5. decontamination vs the probe set (probes leave the corpus too).
+    # Probes come from the RAW input, not the curated survivors: an eval
+    # item that happens to be short, low-margin or PII-laden must still
+    # decontaminate the corpus — gating the probe set on training-data
+    # quality rules would silently disable exactly those checks
     if probe_ids_below > 0:
-        contam = contamination_pairs(pii_ok, probe_ids_below=probe_ids_below)
+        raw_probes = docs.filter(F.col("doc_id") < probe_ids_below)
+        corpus_side = pii_ok.filter(F.col("doc_id") >= probe_ids_below)
+        contam = contamination_pairs(
+            corpus_side.unionByName(raw_probes), probe_ids_below=probe_ids_below
+        )
         out["contamination"] = contam
-        pii_ok = pii_ok.filter(F.col("doc_id") >= probe_ids_below).join(
+        pii_ok = corpus_side.join(
             contam.select("doc_id").distinct(), "doc_id", "anti"
         )
 
@@ -118,7 +135,13 @@ def curate_training_corpus(
     pairs = minhash_lsh_pairs(exact_ok, threshold=near_dup_threshold).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    labeled = connected_components(exact_ok.select("doc_id"), pairs, id_col="doc_id")
+    # two-phase (large-star/small-star) CC: O(log² n) rounds regardless
+    # of component diameter — min-label propagation's fixed iteration
+    # cap would silently split a >cap-diameter boilerplate chain into
+    # several labels and let extra copies survive
+    labeled = connected_components_two_phase(
+        exact_ok.select("doc_id"), pairs, id_col="doc_id"
+    )
     margins = scored.select(
         F.col("doc_id").alias("node"), F.col("quality_margin").alias("score")
     )

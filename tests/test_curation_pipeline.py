@@ -13,6 +13,7 @@ import pytest
 from rt_bigdata_spark.pipelines import curate_training_corpus
 
 BASE = " ".join(f"w{i}" for i in range(30))  # 30 distinct tokens
+PROBE2_TAIL = "followed by quite a few more benign trailing filler tokens attached"
 
 
 @pytest.fixture()
@@ -20,9 +21,13 @@ def corpus(spark):
     near_a = BASE
     near_b = BASE.replace("w7", "edited")  # one-word edit: near-dup of near_a
     rows = [
-        # ids 0-1: eval probes (decontamination list)
+        # ids 0-2: eval probes (decontamination list)
         (0, "held out benchmark question about the meaning of life", "eval"),
         (1, "another eval item nobody may train on ever", "eval"),
+        # probe 2 contains an SSN: the curation gates would drop it as
+        # TRAINING data, but it must still decontaminate the corpus
+        # (probes are drawn from the raw input, not the survivors)
+        (2, "benchmark answer key 123-45-6789 " + PROBE2_TAIL, "eval"),
         # 10: contaminated — contains probe 0's full text (≥ one 8-gram)
         (10, "prefix words " + "held out benchmark question about the meaning of life" + " suffix", "web"),
         # 11/12: exact duplicates
@@ -38,6 +43,11 @@ def corpus(spark):
         (17, "contact me at someone@example.com " + " ".join(f"own{i}" for i in range(25)), "web"),
         # 18: too short
         (18, "too short", "web"),
+        # 21: contaminated by the PII-laden probe 2 — only detectable
+        # if the probe set is NOT gated by the curation rules
+        # shares probe 2's SSN-free 11-token tail (>= one 8-gram) but
+        # carries no PII itself, so only decontamination can catch it
+        (21, "leading words " + PROBE2_TAIL + " trailing", "web"),
         # 19-20: clean survivors in another source
         (19, " ".join(f"alpha{i}" for i in range(25)), "books"),
         (20, " ".join(f"beta{i}" for i in range(25)), "books"),
@@ -69,7 +79,8 @@ def test_each_stage_removes_its_planted_defect(spark, corpus, tmp_path):
     assert 15 not in kept, "repetition rule"
     assert 16 not in kept, "SSN drop"
     assert 10 not in kept, "decontamination"
-    assert 0 not in kept and 1 not in kept, "probes excluded from corpus"
+    assert 21 not in kept, "decontamination via a probe the curation gates would drop"
+    assert not {0, 1, 2} & set(kept), "probes excluded from corpus"
     # exact dup: exactly one of 11/12 survives (the min id)
     assert (11 in kept) and (12 not in kept)
     # near-dup: exactly one of 13/14 survives — the HIGHER-margin one
@@ -78,7 +89,7 @@ def test_each_stage_removes_its_planted_defect(spark, corpus, tmp_path):
     assert (want in kept) and ({13, 14} - {want}).pop() not in kept
     # email doc kept, text redacted
     assert 17 in kept and "someone@example.com" not in kept[17].text
-    assert "[EMAIL]" in kept[17].text or "@" not in kept[17].text
+    assert "<EMAIL>" in kept[17].text  # the typed placeholder tag, exactly
     # clean survivors untouched
     assert 19 in kept and 20 in kept
 

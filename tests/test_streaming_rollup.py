@@ -114,8 +114,14 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def write(name, rows):
-        p = src / name
-        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        # atomic tmp+rename like _write_batch above: the running file
+        # source tracks FILENAMES, so a partially-flushed file would be
+        # committed once with missing rows and never re-read
+        import os as _os
+
+        tmp = src / (name + ".tmp")
+        tmp.write_text("\n".join(_json.dumps(r) for r in rows))
+        _os.rename(tmp, src / name)
 
     write("b1.json", docs1)
     stream = (

@@ -234,3 +234,55 @@ def merge_time_rollups(states: Sequence[DataFrame], keys: Sequence[str]) -> Data
 def finalize_time_rollup(state: DataFrame) -> DataFrame:
     """Display form of a rollup state: drop the mergeability keys."""
     return state.drop("o_key", "c_key")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    id_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags: ``|value − μ| > z·σ`` against
+    the group's own population moments — the statistical data-validation
+    pass (sensor glitches, price errors, bot bursts) that sits beside
+    the rule-based expectations suite.
+
+    Determinism discipline: μ and σ come from DECIMAL-exact Σv and Σv²
+    (values cast to DECIMAL(18,2) → squares exact in DECIMAL(38,4);
+    decimal addition is order-independent, unlike the float partial
+    sums inside a naive ``stddev_pop``, whose last-ulp drift across
+    partition layouts breaks cross-engine comparison). One double
+    conversion per GROUP at the end, then one subtraction/division per
+    row — engine-portable like the money aggregations.
+
+    Plan: one grouped hash-agg over the scan (O(groups) exchange) +
+    one broadcast join of the tiny moments table back onto the rows —
+    never a window over the raw data (a window would sort every row
+    within group for two scalars).
+    """
+    v = F.col(value_col)
+    dec = v.cast("decimal(18,2)")
+    moments = df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum((dec * dec).cast("decimal(38,4)")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    stats = moments.select(
+        *keys,
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("sigma"),
+    )
+    joined = df.join(F.broadcast(stats), list(keys))
+    z = (v - F.col("mu")) / F.col("sigma")
+    return joined.select(
+        F.col(id_col),
+        *keys,
+        v.alias("value"),
+        F.col("mu"),
+        F.col("sigma"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(F.round(z, 6)) > F.lit(z_threshold)).alias("is_outlier"),
+    )

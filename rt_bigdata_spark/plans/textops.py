@@ -1834,7 +1834,7 @@ for spec in [
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
-    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True),
+    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
     QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=10),

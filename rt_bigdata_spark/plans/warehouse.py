@@ -1931,6 +1931,47 @@ FROM (
 """
 
 
+_Z_THRESHOLD = 2.5
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection (aggregations.zscore_outliers):
+    per event_type z-scores against DECIMAL-exact population moments
+    (float partial sums would drift across partition layouts), tiny
+    moments table broadcast back — the statistical companion of the
+    rule-based dq_orders suite."""
+    from rt_bigdata_spark.operators.aggregations import zscore_outliers
+
+    return zscore_outliers(
+        load_table(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        value_col="value",
+        keys=["event_type"],
+        id_col="event_id",
+        z_threshold=_Z_THRESHOLD,
+    )
+
+
+_ORACLE_EVENT_ANOMALIES = f"""
+WITH m AS (
+  SELECT event_type, COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mu,
+         ROUND(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)), 6) AS sigma
+  FROM m
+)
+SELECT e.event_id, e.event_type, e.value, s.mu, s.sigma,
+       ROUND((e.value - s.mu) / s.sigma, 6) AS zscore,
+       abs(ROUND((e.value - s.mu) / s.sigma, 6)) > {_Z_THRESHOLD!r} AS is_outlier
+FROM events e JOIN stats s USING (event_type)
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
@@ -1991,5 +2032,9 @@ for spec in [
     # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
     # green r1-r4 — yields its slot)
     QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=10),
+    # round-5 tenth batch (statistical outliers; ngram_jaccard — green
+    # r1-r4, unchanged — yields its slot so the re-shaped
+    # embedding_dedup keeps its place)
+    QuerySpec("event_anomalies", q_event_anomalies, _ORACLE_EVENT_ANOMALIES, ("audit", "agg", "stats"), priority=10),
 ]:
     register(spec)

@@ -699,3 +699,49 @@ def test_cluster_representatives_keep_unscored_nodes(spark):
     out = {r.node: (r.is_rep, r.score) for r in
            cluster_representatives(labeled, scores).collect()}
     assert out == {1: (False, None), 2: (True, 5), 3: (True, None)}
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers
+
+
+def test_zscore_outliers_flags_planted_outlier(spark):
+    import math
+
+    from rt_bigdata_spark.operators.aggregations import zscore_outliers
+
+    vals = [10.0, 10.5, 9.5, 10.25, 9.75, 10.0, 100.0]  # last one planted
+    rows = [(i, "sensor", v) for i, v in enumerate(vals)] + [(99, "other", 5.0)]
+    df = spark.createDataFrame(rows, "event_id: long, event_type: string, value: double")
+    out = {r.event_id: r for r in
+           zscore_outliers(df, "value", ["event_type"], "event_id", z_threshold=2.0).collect()}
+    n = len(vals)
+    mu = round(sum(vals) / n, 6)
+    sigma = round(math.sqrt(sum(v * v for v in vals) / n - (sum(vals) / n) ** 2), 6)
+    planted = out[6]
+    assert planted.mu == pytest.approx(mu)
+    assert planted.sigma == pytest.approx(sigma, abs=1e-6)
+    assert planted.is_outlier
+    assert not any(out[i].is_outlier for i in range(6))
+    # single-member group: sigma 0 → z division by zero yields NULL/inf,
+    # not a crash; the flag must not be True
+    assert out[99].is_outlier is not True
+
+
+def test_zscore_outliers_single_agg_plus_broadcast(spark):
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.aggregations import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id: long, event_type: string, value: double"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        zscore_outliers(df, "value", ["event_type"], "event_id").explain(mode="formatted")
+    p = buf.getvalue()
+    # moments agg (1 exchange) + broadcast join back — never a window
+    # sort over the raw rows
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p

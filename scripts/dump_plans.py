@@ -41,6 +41,7 @@ FLAGSHIPS = {
     "quality_classifier": "model-based filtering with the weight vector as ONE literal array (broadcast model); per-token weight lookup is a map-side element_at, the only Exchange is the per-doc margin hash-agg with DECIMAL-exact partial sums.",
     "substring_dedup": "overlapping-window substring dedup: window hashes array_distinct-ed map-side BEFORE exploding (no distinct shuffle); shared-hash marking is a COUNT window over the whash partitioning, so the corpus is scanned and tokenized ONCE (the aggregate-then-join-back form reads it twice); two md5-keyed exchanges total.",
     "user_sessions": "gap sessionization + per-session summary on ONE user-key Exchange: the (user, session_idx) groupBy extends the window's partitioning so Catalyst adds no second shuffle.",
+    "event_anomalies": "z-score outliers: DECIMAL-exact moment sums reduce to an O(groups) aggregate broadcast back onto the rows (BroadcastHashJoin) — no window sort over raw data, no float partial-sum drift.",
 }
 
 

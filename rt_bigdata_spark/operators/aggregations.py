@@ -276,13 +276,19 @@ def zscore_outliers(
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("sigma"),
     )
     joined = df.join(F.broadcast(stats), list(keys))
-    z = (v - F.col("mu")) / F.col("sigma")
+    # zero-variance guard, explicit on BOTH engines: Spark's x/0.0 is
+    # NaN (which compares false) while DuckDB's is NULL — and a raw
+    # NaN literal compares GREATER than everything there, so leaving
+    # the division bare diverges cross-engine exactly on degenerate
+    # groups. A single-member/constant group has no outliers by
+    # definition: z is NULL, the flag false.
+    z = F.when(F.col("sigma") > 0, F.round((v - F.col("mu")) / F.col("sigma"), 6))
     return joined.select(
         F.col(id_col),
         *keys,
         v.alias("value"),
         F.col("mu"),
         F.col("sigma"),
-        F.round(z, 6).alias("zscore"),
-        (F.abs(F.round(z, 6)) > F.lit(z_threshold)).alias("is_outlier"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)).alias("is_outlier"),
     )

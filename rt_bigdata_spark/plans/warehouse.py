@@ -1966,8 +1966,10 @@ stats AS (
   FROM m
 )
 SELECT e.event_id, e.event_type, e.value, s.mu, s.sigma,
-       ROUND((e.value - s.mu) / s.sigma, 6) AS zscore,
-       abs(ROUND((e.value - s.mu) / s.sigma, 6)) > {_Z_THRESHOLD!r} AS is_outlier
+       CASE WHEN s.sigma > 0 THEN ROUND((e.value - s.mu) / s.sigma, 6) END AS zscore,
+       COALESCE(abs(CASE WHEN s.sigma > 0
+                         THEN ROUND((e.value - s.mu) / s.sigma, 6) END) > {_Z_THRESHOLD!r},
+                FALSE) AS is_outlier
 FROM events e JOIN stats s USING (event_type)
 """
 

@@ -723,9 +723,11 @@ def test_zscore_outliers_flags_planted_outlier(spark):
     assert planted.sigma == pytest.approx(sigma, abs=1e-6)
     assert planted.is_outlier
     assert not any(out[i].is_outlier for i in range(6))
-    # single-member group: sigma 0 → z division by zero yields NULL/inf,
-    # not a crash; the flag must not be True
-    assert out[99].is_outlier is not True
+    # zero-variance group: z is NULL and the flag exactly False on
+    # both engines (Spark's bare x/0.0 is NaN-compares-false while
+    # DuckDB's is NULL and a NaN literal compares GREATER there — the
+    # explicit sigma>0 guard is what makes the engines agree)
+    assert out[99].zscore is None and out[99].is_outlier is False
 
 
 def test_zscore_outliers_single_agg_plus_broadcast(spark):

@@ -143,3 +143,45 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.select("media_id", F.explode(frames).alias("f")).select(
         "media_id", "f.frame_ts_ms", "f.frame_bytes"
     )
+
+
+def media_pseudo_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic pseudo-embedding of media CONTENT BYTES — the
+    oracle-checkable stand-in for a real encoder (CLIP/ViT lands here
+    as a Pandas-UDF swap; the container has no models, and the honest
+    stub keeps the CONTRACT real: binary in, fixed-dim unit-free
+    vector out, sparse ``(media_id, dim, val)`` rows that feed the ANN
+    / k-means / SemDeDup operators unchanged).
+
+    val_j = (md5_32(md5(content) ‖ ':' ‖ j) mod 2001 − 1000)/1000 —
+    pure column expressions (md5 of the bytes once, then one
+    md5-derived rational per dimension), ZERO shuffles and no Python;
+    identical bytes → identical vector on any engine, which is what
+    makes the multimodal path's FIRST hash-matched oracle row
+    possible (the mapInPandas feature/frame paths are rows-only by
+    nature — real codecs aren't SQL).
+    """
+    sig = F.md5(F.col("content"))
+    dims = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.struct(
+                j.cast("long").alias("dim"),
+                (
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(sig, F.lit(":"), j.cast("string"))), 1, 8),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 2001
+                        - 1000
+                    )
+                    / 1000.0
+                ).alias("val"),
+            ),
+        )
+    )
+    return media.select(F.col("media_id"), dims.alias("d")).select(
+        "media_id", F.col("d.dim").alias("dim"), F.col("d.val").alias("val")
+    )

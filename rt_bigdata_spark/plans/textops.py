@@ -1817,6 +1817,35 @@ GROUP BY doc_id
 """
 
 
+_ME_DIM = 16
+
+
+def q_media_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-media → vector wiring with a deterministic pseudo-encoder
+    (multimodal.media_pseudo_embedding): the multimodal path's first
+    HASH-MATCHED row — content bytes to fixed-dim vectors as pure
+    column expressions, zero shuffles; a real CLIP/ViT encoder swaps
+    in as a Pandas UDF with the same contract."""
+    from rt_bigdata_spark.operators.multimodal import (
+        documents_as_media,
+        media_pseudo_embedding,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_pseudo_embedding(documents_as_media(docs), dim=_ME_DIM)
+
+
+# md5(content) == md5(text) cross-engine: the media adapter's content
+# IS the UTF-8 text bytes, which is exactly what DuckDB's md5(VARCHAR)
+# hashes.
+_ORACLE_MEDIA_EMBEDDING = f"""
+WITH sig AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents)
+SELECT media_id, CAST(j AS BIGINT) AS dim,
+       ({_duck_md5_32("s || ':' || CAST(j AS VARCHAR)")} % 2001 - 1000) / 1000.0 AS val
+FROM sig CROSS JOIN generate_series(0, {_ME_DIM - 1}) AS g(j)
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1829,7 +1858,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 for spec in [
-    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True),
+    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
@@ -1909,5 +1938,9 @@ for spec in [
     QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=10),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=10),
+    # round-5 eleventh batch (first hash-matched multimodal row;
+    # dedup_exact — green r1-r4, trivial — yields its slot so the
+    # re-shaped embedding_dedup keeps its place)
+    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=10),
 ]:
     register(spec)

@@ -106,3 +106,49 @@ def test_media_frames_query_pins_cadence_and_bytes(spark, sf_dir):
     assert all(v == 3 for v in per.values())
     ts = sorted(r.frame_ts_ms for r in out.filter(F.col("media_id") == min(per)).collect())
     assert ts == [0, 1000, 2000]
+
+
+def test_media_pseudo_embedding_deterministic_and_python_mirror(spark):
+    import hashlib
+
+    from rt_bigdata_spark.operators.multimodal import (
+        documents_as_media,
+        media_pseudo_embedding,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        "doc_id: long, text: string",
+    )
+    out = {(r.media_id, r.dim): r.val
+           for r in media_pseudo_embedding(documents_as_media(docs), dim=4).collect()}
+
+    def py_val(text, j):
+        sig = hashlib.md5(text.encode()).hexdigest()
+        h = int(hashlib.md5(f"{sig}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    for d, t in [(1, "hello world"), (2, "hello world"), (3, "different")]:
+        for j in range(4):
+            assert out[(d, j)] == py_val(t, j), (d, j)
+    # identical bytes → identical vector (the dedup-relevant property)
+    assert all(out[(1, j)] == out[(2, j)] for j in range(4))
+    assert any(out[(1, j)] != out[(3, j)] for j in range(4))
+
+
+def test_media_pseudo_embedding_zero_shuffle_no_python(spark):
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.multimodal import (
+        documents_as_media,
+        media_pseudo_embedding,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        media_pseudo_embedding(documents_as_media(docs)).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "hashpartitioning" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -58,11 +58,12 @@ MUST_BE_IN_WINDOW = {
     # round-5 tenth batch (ngram_jaccard — green r1-r4, unchanged — yielded
     # its slot so the re-shaped embedding_dedup keeps its place):
     "event_anomalies",
+    # round-5 eleventh batch (dedup_exact — green r1-r4 — yielded its slot):
+    "media_embedding",
     "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "embedding_dedup",
-    "dedup_exact",
 }
 
 

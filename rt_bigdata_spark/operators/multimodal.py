@@ -154,14 +154,26 @@ def media_pseudo_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
     / k-means / SemDeDup operators unchanged).
 
     val_j = (md5_32(md5(content) ‖ ':' ‖ j) mod 2001 − 1000)/1000 —
-    pure column expressions (md5 of the bytes once, then one
-    md5-derived rational per dimension), ZERO shuffles and no Python;
-    identical bytes → identical vector on any engine, which is what
-    makes the multimodal path's FIRST hash-matched oracle row
-    possible (the mapInPandas feature/frame paths are rows-only by
-    nature — real codecs aren't SQL).
+    pure column expressions, ZERO shuffles and no Python; identical
+    bytes → identical vector on any engine, which is what makes the
+    multimodal path's FIRST hash-matched oracle row possible (the
+    mapInPandas feature/frame paths are rows-only by nature — real
+    codecs aren't SQL). The content md5 is MATERIALIZED in a select
+    before the per-dimension transform: a lambda-captured expression
+    is re-evaluated per element (no loop-invariant hoisting in
+    higher-order functions), which would md5 the full media bytes
+    dim× per row — the dominant CPU at MB-scale binaries.
+
+    Output rows follow the exploded ``(id, dim, val)`` convention of
+    ``random_projection``/``hashed_doc_embedding``; re-assemble into
+    an array column (collect_list over dim order) before feeding the
+    array-typed ANN / k-means / SemDeDup consumers.
     """
-    sig = F.md5(F.col("content"))
+    if dim <= 0:
+        # F.sequence(0, dim-1) DESCENDS when start > stop ([0, -1] for
+        # dim=0) — garbage rows, not an empty result
+        raise ValueError(f"dim must be positive, got {dim}")
+    sig = F.col("_sig")
     dims = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -182,6 +194,8 @@ def media_pseudo_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
             ),
         )
     )
-    return media.select(F.col("media_id"), dims.alias("d")).select(
-        "media_id", F.col("d.dim").alias("dim"), F.col("d.val").alias("val")
+    return (
+        media.select(F.col("media_id"), F.md5(F.col("content")).alias("_sig"))
+        .select(F.col("media_id"), dims.alias("d"))
+        .select("media_id", F.col("d.dim").alias("dim"), F.col("d.val").alias("val"))
     )

@@ -152,3 +152,27 @@ def test_media_pseudo_embedding_zero_shuffle_no_python(spark):
     p = buf.getvalue()
     assert "hashpartitioning" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_media_pseudo_embedding_hoists_sig_and_rejects_bad_dim(spark):
+    import contextlib
+    import io
+
+    import pytest as _pt
+
+    from rt_bigdata_spark.operators.multimodal import (
+        documents_as_media,
+        media_pseudo_embedding,
+    )
+
+    docs = documents_as_media(spark.createDataFrame([(1, "x")], "doc_id: long, text: string"))
+    with _pt.raises(ValueError, match="dim"):
+        media_pseudo_embedding(docs, dim=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        media_pseudo_embedding(docs, dim=16).explain(mode="formatted")
+    p = buf.getvalue()
+    # the content md5 must be materialized ONCE outside the transform
+    # lambda (a captured expression re-evaluates per element: dim x
+    # full-byte hashing otherwise)
+    assert p.count("md5(content") <= 2, p  # tree + detail line of one node

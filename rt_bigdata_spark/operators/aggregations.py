@@ -292,3 +292,29 @@ def zscore_outliers(
         z.alias("zscore"),
         F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)).alias("is_outlier"),
     )
+
+
+def rollup_cascade(state: DataFrame, keys: Sequence[str], unit: str = "day") -> DataFrame:
+    """Re-aggregate a finer ``time_rollup_state`` into a coarser one
+    (hour → day → month) WITHOUT touching raw events — the hierarchy
+    every continuous-aggregate system maintains (day views read the
+    hourly state, not the event log). Same mergeable-state algebra as
+    ``merge_time_rollups``, grouped by the coarser calendar bucket;
+    cost is O(fine-grained groups), independent of event volume.
+    Cascade ≡ direct rebuild is property-tested (the state carries the
+    exact arg-min/max keys, so open/close survive re-bucketing)."""
+    return (
+        state.groupBy(
+            *keys, F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min_by(F.col("v_open"), F.col("o_key")).alias("v_open"),
+            F.min("o_key").alias("o_key"),
+            F.max_by(F.col("v_close"), F.col("c_key")).alias("v_close"),
+            F.max("c_key").alias("c_key"),
+            F.min("v_low").alias("v_low"),
+            F.max("v_high").alias("v_high"),
+            F.sum("v_sum").cast("decimal(28,2)").alias("v_sum"),
+        )
+    )

@@ -747,3 +747,87 @@ def test_zscore_outliers_single_agg_plus_broadcast(spark):
     # sort over the raw rows
     assert "BroadcastHashJoin" in p, p
     assert "Window" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# rollup_cascade + stream-static point-in-time join
+
+
+def test_rollup_cascade_equals_direct_rebuild(spark):
+    import random
+
+    from rt_bigdata_spark.operators.aggregations import (
+        finalize_time_rollup,
+        rollup_cascade,
+        time_rollup,
+        time_rollup_state,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + rng.randrange(3), rng.randrange(24), rng.randrange(60)),
+         rng.choice(["view", "click"]), round(rng.uniform(0, 50), 2))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, event_type: string, value: double"
+    )
+    hourly = time_rollup_state(ev, "ts", "value", ["event_type"], "hour")
+    daily_from_state = {(r.event_type, r.bucket_ts): r for r in
+                        finalize_time_rollup(
+                            rollup_cascade(hourly, ["event_type"], "day")
+                        ).collect()}
+    daily_direct = {(r.event_type, r.bucket_ts): r for r in
+                    time_rollup(ev, "ts", "value", ["event_type"], "day").collect()}
+    assert set(daily_from_state) == set(daily_direct)
+    for k, d in daily_direct.items():
+        c = daily_from_state[k]
+        assert (c.n_events, c.v_open, c.v_close, c.v_low, c.v_high, c.v_sum) == (
+            d.n_events, d.v_open, d.v_close, d.v_low, d.v_high, d.v_sum), k
+
+
+def test_point_in_time_join_stream_static(spark, tmp_path):
+    """The PIT join works verbatim with a STREAMING fact side against
+    the static dim history (stream-static joins are supported for
+    inner equi-joins with residuals) — the batch=stream contract for
+    temporal enrichment."""
+    import json as _json
+    import os
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1), False),
+            (1, "gold", dt.datetime(2024, 2, 1), dt.datetime(2200, 1, 1), True),
+        ],
+        "user_id: long, tier: string, valid_from: timestamp, valid_to: timestamp, is_current: boolean",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": 10, "user_id": 1, "ts": "2024-01-15 00:00:00"},
+        {"event_id": 12, "user_id": 1, "ts": "2024-03-01 00:00:00"},
+    ]
+    tmp = src / "b1.json.tmp"
+    tmp.write_text("\n".join(_json.dumps(r) for r in rows))
+    os.rename(tmp, src / "b1.json")
+
+    from rt_bigdata_spark.operators.joins import point_in_time_join
+
+    facts = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .json(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        point_in_time_join(facts, dim, keys=["user_id"], fact_ts="ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.dim_tier for r in spark.read.parquet(out_dir).collect()}
+    assert got == {10: "bronze", 12: "gold"}

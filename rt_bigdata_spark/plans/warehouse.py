@@ -1974,6 +1974,47 @@ FROM events e JOIN stats s USING (event_type)
 """
 
 
+def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup derived THROUGH the hourly state
+    (aggregations.rollup_cascade): hour state → day re-aggregation,
+    never re-reading events — while the oracle computes the day
+    rollup DIRECTLY from raw rows. Hash-match proves the cascade
+    algebra (counts/sums add, OHLC follows the materialized
+    arg-min/max keys) end-to-end across engines, not just in the
+    property test."""
+    from rt_bigdata_spark.operators.aggregations import (
+        finalize_time_rollup,
+        rollup_cascade,
+        time_rollup_state,
+    )
+
+    hourly = time_rollup_state(
+        load_table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "hour"
+    )
+    return finalize_time_rollup(rollup_cascade(hourly, ["event_type"], "day")).select(
+        "event_type", "bucket_ts", "n_events", "v_open", "v_close",
+        "v_low", "v_high", _money_out("v_sum"),
+    )
+
+
+_ORACLE_EVENTS_ROLLUP_DAILY = """
+WITH keyed AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts, value,
+         CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000 + event_id AS ord_key
+  FROM events
+)
+SELECT event_type, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+       COUNT(*) AS n_events,
+       arg_min(value, ord_key) AS v_open,
+       arg_max(value, ord_key) AS v_close,
+       MIN(value) AS v_low,
+       MAX(value) AS v_high,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+FROM keyed
+GROUP BY event_type, bucket_ts
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
@@ -2000,7 +2041,7 @@ for spec in [
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
-    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=10),
+    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=80),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=10),
     QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=10),
     QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=10),
@@ -2038,5 +2079,8 @@ for spec in [
     # r1-r4, unchanged — yields its slot so the re-shaped
     # embedding_dedup keeps its place)
     QuerySpec("event_anomalies", q_event_anomalies, _ORACLE_EVENT_ANOMALIES, ("audit", "agg", "stats"), priority=10),
+    # round-5 twelfth batch (cascade path driver-verified; sales_cube
+    # — green r4 — yields its slot)
+    QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=10),
 ]:
     register(spec)

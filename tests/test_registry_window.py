@@ -60,7 +60,9 @@ MUST_BE_IN_WINDOW = {
     "event_anomalies",
     # round-5 eleventh batch (dedup_exact — green r1-r4 — yielded its slot):
     "media_embedding",
-    "sales_cube", "sales_grouping_sets", "customer_quartiles", "customer_max_order",
+    # round-5 twelfth batch (sales_cube — green r4 — yielded its slot):
+    "events_rollup_daily",
+    "sales_grouping_sets", "customer_quartiles", "customer_max_order",
     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "embedding_dedup",

@@ -229,3 +229,62 @@ def user_sessions(
             (F.max(ms) - F.min(ms)).alias("duration_ms"),
         )
     )
+
+
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily actives + trailing-N-day actives + stickiness
+    (DAU / WAU / DAU÷WAU): the engagement table every product
+    dashboard leads with. Both counts are EXACT rolling distincts —
+    the classically awkward aggregate — computed by the expansion
+    trick: the distinct (user, day) activity pairs (a tiny table:
+    users × active days) are fanned out to every window they fall in
+    (×N map-side), then exactly distinct-counted per window-end day.
+    The ×N expansion runs on the ACTIVITY table, never the event log,
+    so at 100 TB the cost is days×users-scale, not events-scale; for
+    N beyond ~30 switch to HLL sketch unions per day
+    (approx_count_distinct over the same expansion, or presketched
+    daily registers merged N-ways).
+
+    A day's WAU window covers days [d−N+1, d]; days with no activity
+    emit no row (standard dashboard semantics — gap-fill downstream
+    if the chart needs zeros). NULL users excluded (repo-wide
+    behavior contract).
+    """
+    ev = (
+        ensure_parallelism(events)
+        .filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .distinct()
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct(user_col).alias("dau"))
+    fanned = ev.select(
+        F.col(user_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda i: F.date_add(F.col("day").cast("date"), i.cast("int")),
+            )
+        ).alias("win_end"),
+    )
+    # fanned windows may extend past the last active day; keep only
+    # window-ends that are real active days so the output matches the
+    # dashboard's day axis
+    wau = (
+        fanned.join(ev.select(F.col("day").cast("date").alias("win_end")).distinct(), "win_end")
+        .groupBy("win_end")
+        .agg(F.countDistinct(user_col).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"].cast("date") == wau["win_end"])
+        .select(
+            F.col("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -470,3 +470,57 @@ def bigram_surprisal(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg(-logp), 6).alias("bigram_surprisal"),
     )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document match candidates via shared Winnowing
+    fingerprints — the pair-discovery MOSS actually runs: two docs
+    sharing ≥ ``min_shared`` selected fingerprints very likely share
+    long verbatim runs, at ~2/(w+1) of the cost of comparing full
+    gram sets.
+
+    Same grid-free guarantee as ``winnow_fingerprints`` (any shared
+    k+w−1-token run yields ≥1 shared fingerprint — no stride
+    alignment condition, the advantage over substring_dup_stats'
+    grid), composed into the standard bucketed pair join: explode
+    per-doc fingerprints (distinct by construction), self-join on the
+    fingerprint value, count per pair. Fingerprint selectivity keeps
+    buckets small the way LSH bands do; a hot fingerprint (shared
+    boilerplate) produces k² pairs — same hazard and same mitigation
+    as the shingle join (cap via distinct-doc frequency upstream if a
+    corpus shows it).
+    """
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    n_grams = F.size(grams)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(fps).alias("fp")
+    )
+    a = exploded.select(F.col(id_col).alias("doc_a"), "fp")
+    b = exploded.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -1846,6 +1846,46 @@ FROM sig CROSS JOIN generate_series(0, {_ME_DIM - 1}) AS g(j)
 """
 
 
+_WP_MIN_SHARED = 2
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style pair discovery over Winnowing fingerprints
+    (text_analysis.winnow_match_pairs): docs sharing ≥2 selected
+    fingerprints — verbatim-run candidates WITHOUT the stride-grid
+    alignment condition, at ~2/(w+1) the cost of full gram joins."""
+    from rt_bigdata_spark.operators.text_analysis import winnow_match_pairs
+
+    return winnow_match_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=_WP_MIN_SHARED,
+    )
+
+
+_ORACLE_WINNOW_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         [{_duck_md5_32(f"array_to_string(t[i:i+{_WIN_K - 1}], ' ')")}
+          FOR i IN generate_series(1, greatest(len(t) - {_WIN_K} + 1, 1))] AS g
+  FROM toks
+),
+fps AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(
+           [list_min(g[j:j+{_WIN_W - 1}])
+            FOR j IN generate_series(1, greatest(len(g) - {_WIN_W} + 1, 1))])) AS fp
+  FROM grams
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WP_MIN_SHARED}
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing on real data: documents-as-media →
     per-frame rows at 1 s cadence (decode stubbed; the Spark-side
@@ -1942,5 +1982,8 @@ for spec in [
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)
     QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=10),
+    # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
+    # — green r4 — yields its slot)
+    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), priority=10),
 ]:
     register(spec)

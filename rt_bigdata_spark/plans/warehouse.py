@@ -2015,6 +2015,42 @@ GROUP BY event_type, bucket_ts
 """
 
 
+_AU_WINDOW_DAYS = 7
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day actives / stickiness
+    (behavior.active_users): exact rolling distincts via the
+    activity-table expansion trick — ×7 fan-out of (user, day) pairs,
+    never of the event log."""
+    from rt_bigdata_spark.operators.behavior import active_users
+
+    return active_users(
+        load_table(spark, sf_dir, "events"), window_days=_AU_WINDOW_DAYS
+    )
+
+
+_ORACLE_ACTIVE_USERS = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY day),
+fanned AS (
+  SELECT user_id, day + CAST(g.i AS INT) AS win_end
+  FROM ev CROSS JOIN generate_series(0, {_AU_WINDOW_DAYS - 1}) AS g(i)
+),
+wau AS (
+  SELECT win_end, COUNT(DISTINCT user_id) AS wau
+  FROM fanned JOIN (SELECT DISTINCT day AS win_end FROM ev) USING (win_end)
+  GROUP BY win_end
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, dau, wau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.win_end
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
@@ -2043,8 +2079,8 @@ for spec in [
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=80),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=10),
-    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=10),
-    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=10),
+    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=80),
+    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=80),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=10),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=10),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=10),
@@ -2082,5 +2118,7 @@ for spec in [
     # round-5 twelfth batch (cascade path driver-verified; sales_cube
     # — green r4 — yields its slot)
     QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=10),
+    # (customer_max_order — green r4 — yields its slot)
+    QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=10),
 ]:
     register(spec)

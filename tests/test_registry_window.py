@@ -62,8 +62,10 @@ MUST_BE_IN_WINDOW = {
     "media_embedding",
     # round-5 twelfth batch (sales_cube — green r4 — yielded its slot):
     "events_rollup_daily",
-    "sales_grouping_sets", "customer_quartiles", "customer_max_order",
-    "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
+    # round-5 thirteenth batch (customer_quartiles, customer_max_order —
+    # green r4 — yielded their slots):
+    "winnow_pairs", "active_users",
+    "sales_grouping_sets",     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
     "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
     "embedding_dedup",
 }

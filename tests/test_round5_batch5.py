@@ -831,3 +831,48 @@ def test_point_in_time_join_stream_static(spark, tmp_path):
         q.stop()
     got = {r.event_id: r.dim_tier for r in spark.read.parquet(out_dir).collect()}
     assert got == {10: "bronze", 12: "gold"}
+
+
+# ---------------------------------------------------------------------------
+# winnow_match_pairs + active_users
+
+
+def test_winnow_pairs_find_shared_runs(spark):
+    from rt_bigdata_spark.operators.text_analysis import winnow_match_pairs
+
+    run = " ".join(f"shared{i}" for i in range(20))
+    docs = [
+        (1, run + " tail one two three four five"),
+        (2, "other head words go here " + run),   # shares the 20-token run
+        (3, " ".join(f"solo{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {(r.doc_a, r.doc_b): r.shared_fps
+           for r in winnow_match_pairs(df, k=3, w=2, min_shared=2).collect()}
+    # the winnowing guarantee needs NO stride alignment: the shared run
+    # sits at different offsets in 1 and 2 yet still shares fingerprints
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert not any(3 in pair for pair in out)
+
+
+def test_active_users_rolling_distinct(spark):
+    from rt_bigdata_spark.operators.behavior import active_users
+
+    d = lambda day: dt.datetime(2024, 1, day, 12, 0)
+    rows = [
+        # day 1: users 1,2 ; day 2: user 2 ; day 5: user 3
+        (1, d(1)), (2, d(1)), (2, d(1)),  # dup same-day activity collapses
+        (2, d(2)),
+        (3, d(5)),
+        (None, d(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    out = {r.day.day: (r.dau, r.wau, r.stickiness)
+           for r in active_users(ev, window_days=3).collect()}
+    # day1: dau 2, trailing-3d {1,2}; day2: dau 1, trailing {1,2};
+    # day5: dau 1, trailing {3} (days 3-5)
+    assert out == {
+        1: (2, 2, 1.0),
+        2: (1, 2, 0.5),
+        5: (1, 1, 1.0),
+    }

@@ -255,13 +255,20 @@ def active_users(
     if the chart needs zeros). NULL users excluded (repo-wide
     behavior contract).
     """
+    if window_days < 1:
+        # F.sequence(0, N-1) DESCENDS for N <= 0 ([0, -1]): the fan-out
+        # would silently include FUTURE days instead of erroring
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     ev = (
         ensure_parallelism(events)
         .filter(F.col(user_col).isNotNull())
         .select(F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("day"))
         .distinct()
     )
-    dau = ev.groupBy("day").agg(F.countDistinct(user_col).alias("dau"))
+    # ev is distinct by (user, day), so a plain count IS the distinct
+    # user count — countDistinct would re-plan the two-phase distinct
+    # expansion over already-distinct rows
+    dau = ev.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     fanned = ev.select(
         F.col(user_col),
         F.explode(

@@ -369,6 +369,30 @@ def bpe_pair_counts(
     )
 
 
+def _winnow_fp_array(text_col: str, k: int, w: int):
+    """Winnowing fingerprint array of a text column (shared kernel of
+    winnow_fingerprints and winnow_match_pairs — the gram hashing and
+    window-min selection must be ONE definition or the cross-engine
+    hash-match contract silently splits). Returns (n_grams, fps)
+    column expressions; fps is distinct, unsorted."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    n_grams = F.size(grams)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    return n_grams, fps
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,
@@ -396,23 +420,8 @@ def winnow_fingerprints(
     one gram (short-doc exact matching, same convention as
     word_shingles).
     """
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    n_grams = F.size(grams)
-    fps = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
-                lambda j: F.array_min(F.slice(grams, j, w)),
-            )
-        )
-    )
+    n_grams, fps_unsorted = _winnow_fp_array(text_col, k, w)
+    fps = F.array_sort(fps_unsorted)
     return ensure_parallelism(df).select(
         F.col(id_col),
         n_grams.alias("n_grams"),
@@ -497,23 +506,17 @@ def winnow_match_pairs(
     as the shingle join (cap via distinct-doc frequency upstream if a
     corpus shows it).
     """
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    n_grams = F.size(grams)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
-            lambda j: F.array_min(F.slice(grams, j, w)),
-        )
-    )
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(fps).alias("fp")
+    _, fps = _winnow_fp_array(text_col, k, w)
+    # EMPTY docs are excluded from the pair join: the short-doc
+    # convention gives every empty text the same constant md5('')
+    # fingerprint, which with min_shared=1 would pair all m empty docs
+    # into m²/2 guaranteed-hot-bucket candidates — empty-copy dedup
+    # belongs to exact_dedup, not run matching
+    toks_nonempty = F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    exploded = (
+        ensure_parallelism(df)
+        .filter(toks_nonempty)
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
     a = exploded.select(F.col(id_col).alias("doc_a"), "fp")
     b = exploded.select(F.col(id_col).alias("doc_b"), "fp")

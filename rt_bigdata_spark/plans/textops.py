@@ -1865,7 +1865,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_WINNOW_PAIRS = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+-- len(t) > 0 mirrors the operator's empty-doc exclusion (the constant
+-- md5('') fingerprint would otherwise pair every empty doc)
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents WHERE len({_DUCK_TOKS_COALESCED}) > 0),
 grams AS (
   SELECT doc_id,
          [{_duck_md5_32(f"array_to_string(t[i:i+{_WIN_K - 1}], ' ')")}

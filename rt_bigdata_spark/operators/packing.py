@@ -12,10 +12,12 @@ Beyond-reference operators extending the SURVEY.md §7.2 step-9 layer.
   "take the first N tokens of this source" mixing primitive. Content-
   keyed order means re-runs and budget raises produce nested subsets
   (same property as sampling.weighted_sample). One window per source:
-  partition-by-source sort — at 100 TB with few giant sources, replace
-  the full sort with a two-pass threshold estimate (percentile of the
-  priority hash at budget/total_tokens) + filter; the exact window
-  form is the oracle-checkable reference semantics.
+  partition-by-source sort — the oracle-checkable reference semantics.
+- ``token_budget_threshold``: the 100 TB form of the same operator —
+  bucketized-priority prune (two passes) so the exact sort only ever
+  sees ~budget tokens per source instead of the whole source; output
+  is bit-identical to ``token_budget_sample`` (prefix property), so it
+  shares the same oracle.
 """
 
 from __future__ import annotations
@@ -198,6 +200,89 @@ def token_budget_sample(
     )
     return (
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_threshold(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The 100 TB form of ``token_budget_sample`` — bit-identical output,
+    O(budget) sort instead of an O(group) sort.
+
+    ``token_budget_sample`` windows over EVERY document of a group: with
+    one giant source that is a single-task total sort — the latent scale
+    cliff documented in this module's header since r4. This variant
+    exploits the fact that the kept set is a PREFIX of the per-group
+    (md5-priority, doc_id) order (keep iff tokens-before < budget, and
+    tokens-before is monotone along the order), so pruning can happen
+    BEFORE the sort:
+
+    1. Bucketize the priority: ``bucket = floor(u * n_buckets)`` where
+       ``u`` is the first 15 hex digits of the md5 as a uniform [0,1)
+       double. Lexicographic order of the full 32-hex md5 equals numeric
+       order (fixed length, '0'-'9' < 'a'-'f' in ASCII), so the bucket
+       is monotone along the sort order.
+    2. Aggregate token sums per (group, bucket) — one hash agg,
+       ≤ ``n_buckets`` rows per group — and compute each bucket's
+       tokens-before via a window over that TINY table. A bucket can
+       contain kept docs iff its tokens-before < budget; every later
+       bucket is entirely past the budget, every earlier one is
+       entirely kept.
+    3. Broadcast-join the surviving-bucket verdicts back and run the
+       EXACT window only over candidate docs: the candidate set holds
+       ~budget tokens plus one bucket's width (~1/n_buckets of the
+       group), so the sort is bounded by the budget, not the corpus.
+       Because the kept set is a prefix, the running sum over the
+       candidate subset equals the running sum over the full group for
+       every emitted row — the outputs are identical, which is why this
+       variant shares ``token_budget_sample``'s oracle verbatim.
+
+    Zero-token docs (priority still defined via md5('')) ride along
+    unchanged: they never advance the running sum and drop out once the
+    budget is reached, exactly as in the exact form.
+    """
+    df = ensure_parallelism(df)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokenize(txt)).cast("long").alias("n_tokens"),
+        F.md5(txt).alias("pr"),
+    )
+    # Uniform [0,1) from the top 60 bits of the md5; bucket is monotone
+    # in the (pr, doc_id) sort order because pr's hex-string order is
+    # its numeric order.
+    u = F.conv(F.substring("pr", 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
+    scored = scored.withColumn("bucket", F.floor(u * n_buckets).cast("int"))
+
+    bucket_w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    buckets = (
+        scored.groupBy(group_col, "bucket")
+        .agg(F.sum("n_tokens").alias("b_tokens"))
+        .withColumn("tokens_before", F.coalesce(F.sum("b_tokens").over(bucket_w), F.lit(0)))
+        .filter(F.col("tokens_before") < budget_tokens)
+        .select(group_col, "bucket")
+    )
+
+    cand = scored.join(F.broadcast(buckets), on=[group_col, "bucket"], how="inner")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("pr", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )

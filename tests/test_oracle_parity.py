@@ -66,6 +66,38 @@ def test_oracle_parity(spark, duck, sf_dir, spec):
         diff_d = [r for r in d_set if r not in s_set][:5]
         raise AssertionError(f"{spec.name}: value mismatch\n spark-only: {diff_s}\n duck-only: {diff_d}")
 
+    _assert_integer_dtypes_survive_pandas(spec, sdf, duck)
+
+
+def _assert_integer_dtypes_survive_pandas(spec, sdf, duck) -> None:
+    """The correctness driver hashes the DuckDB side through pandas
+    (``.df()``), not ``fetchall()``. An uncast SUM of BIGINT is HUGEINT
+    in DuckDB, which pandas materializes as float64 (223.0) while Spark
+    emits int64 (223) — the values then hash differently even though the
+    Python-tuple comparison above sees them as equal (the r5
+    token_budget / paragraph_dedup failure, HUGEINT cousin of the r4
+    datetime overflow). Every oracle must CAST integer aggregates so the
+    pandas round-trip keeps an integer dtype. Null-bearing columns are
+    exempt: pandas promotes them to float on BOTH sides, so they hash
+    consistently."""
+    import pandas as pd
+
+    ddf = duck.execute(spec.oracle).df()
+    int_spark = {
+        f.name.lower()
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("long", "integer", "short", "byte")
+    }
+    for col in ddf.columns:
+        if col.lower() not in int_spark or ddf[col].isna().any():
+            continue
+        assert pd.api.types.is_integer_dtype(ddf[col].dtype), (
+            f"{spec.name}: oracle column {col!r} is {ddf[col].dtype} via the "
+            "pandas path but Spark emits an integer type — wrap the SQL "
+            "expression in CAST(... AS BIGINT) or the driver's value hash "
+            "will mismatch (DuckDB HUGEINT→float64 promotion)"
+        )
+
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_queries_run(spark, sf_dir, spec):

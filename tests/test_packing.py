@@ -167,3 +167,44 @@ def test_concat_pack_drops_zero_token_docs(spark):
     out = concat_pack(df, seq_len=2).collect()
     assert {r.doc_id for r in out} == {1}
     assert out[0].first_seq == 0 and out[0].last_seq == 1  # 3 tokens at L=2
+
+
+def test_token_budget_threshold_matches_exact_form(spark, sf_dir):
+    """The two-pass bucketized-prune form must be bit-identical to the
+    exact window form on real data (the prefix property proof) — this is
+    the subset-equivalence contract its shared oracle relies on."""
+    from rt_bigdata_spark.operators.packing import token_budget_threshold
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {tuple(r) for r in token_budget_sample(docs, 2000).collect()}
+    fast = {tuple(r) for r in token_budget_threshold(docs, 2000).collect()}
+    assert fast == exact and len(exact) > 0
+
+
+def test_token_budget_threshold_boundary_buckets(spark):
+    """Stress the bucket boundary: with n_buckets=2 most groups have a
+    single surviving bucket whose docs straddle the budget, and with a
+    budget larger than any group every doc must survive the prune."""
+    from rt_bigdata_spark.operators.packing import token_budget_threshold
+
+    rows = [(i, f"s{i % 3}", " ".join(f"t{i}w{j}" for j in range(1 + i % 7))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    for budget in (1, 10, 37, 10_000):
+        exact = {tuple(r) for r in token_budget_sample(df, budget).collect()}
+        for nb in (1, 2, 8, 1024):
+            fast = {tuple(r) for r in token_budget_threshold(df, budget, n_buckets=nb).collect()}
+            assert fast == exact, f"budget={budget} n_buckets={nb}"
+
+
+def test_token_budget_threshold_zero_token_docs(spark):
+    """NULL/empty text docs (0 tokens) are kept while the budget is
+    open and dropped after, identically in both forms."""
+    from rt_bigdata_spark.operators.packing import token_budget_threshold
+
+    rows = [(0, "s", None), (1, "s", ""), (2, "s", "a b c"), (3, "s", "d e f g")]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    for budget in (1, 4, 100):
+        exact = {tuple(r) for r in token_budget_sample(df, budget).collect()}
+        fast = {tuple(r) for r in token_budget_threshold(df, budget).collect()}
+        assert fast == exact

@@ -223,3 +223,24 @@ def test_paragraph_dedup_is_single_scan_no_joins(plans):
     p = plans["paragraph_dedup"]
     assert p.count("Scan parquet") + p.count("FileScan") <= 2, p  # formatted lists the node once + details
     assert "Join" not in p, p
+
+
+def test_token_budget_threshold_prunes_before_the_sort(plans):
+    """The 100 TB token-budget form must NOT contain a per-source full
+    sort of the corpus: the exact window's input has to be the
+    broadcast bucket-prune join (candidates ~ budget tokens per
+    source), i.e. in the printed tree the first Window sits ABOVE a
+    BroadcastHashJoin. The exact form (token_budget) windows the raw
+    scan directly — that sort-everything shape must be absent here."""
+    p = plans["token_budget_threshold"]
+    tree = p.split("(1) Scan")[0]
+    first_window = tree.index("Window")
+    join = tree.index("BroadcastHashJoin")
+    assert first_window < join, (
+        "exact-sort Window must consume the bucket-prune join, not the raw scan:\n" + tree
+    )
+    # The only OTHER window is the bucket-table cumulative sum (input
+    # bounded by n_buckets rows per source), inside the broadcast build.
+    assert tree.count("Window") == 2, tree
+    bcast = tree.index("BroadcastExchange")
+    assert tree.index("Window", first_window + 1) > bcast, tree

@@ -212,7 +212,14 @@ def merge_time_rollups(states: Sequence[DataFrame], keys: Sequence[str]) -> Data
     (min_by again, one level up), close the larger c_key. One
     hash-agg over O(groups) rows per input state; raw events are
     never re-read, which is the entire point of keeping the state
-    mergeable."""
+    mergeable.
+
+    ``v_sum`` accumulates in DECIMAL(38,2) — the widest scale-2 decimal
+    — not the DECIMAL(28,2) a single batch produces: with ANSI mode off
+    a narrower cast on a long-lived continuous aggregate would overflow
+    to silent NULL (ADVICE r5). Input rows are capped at (18,2), so 38,2
+    holds ~10^20 batch-sums; unionByName promotes older (28,2) states
+    transparently."""
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s)
@@ -226,7 +233,7 @@ def merge_time_rollups(states: Sequence[DataFrame], keys: Sequence[str]) -> Data
             F.max("c_key").alias("c_key"),
             F.min("v_low").alias("v_low"),
             F.max("v_high").alias("v_high"),
-            F.sum("v_sum").cast("decimal(28,2)").alias("v_sum"),
+            F.sum("v_sum").cast("decimal(38,2)").alias("v_sum"),
         )
     )
 
@@ -260,6 +267,15 @@ def zscore_outliers(
     one broadcast join of the tiny moments table back onto the rows —
     never a window over the raw data (a window would sort every row
     within group for two scalars).
+
+    NULL-key exclusion (ADVICE r5, same convention as the behavior
+    operators): rows whose group key is NULL have no population to
+    score against — the equi-join back onto the moments table drops
+    them from the report entirely (NULL never equals NULL), matching
+    the oracle's INNER JOIN. Callers validating corpora where
+    un-keyable rows are themselves suspect should pre-filter
+    ``key IS NULL`` into a separate rule — this operator will not
+    surface them.
     """
     v = F.col(value_col)
     dec = v.cast("decimal(18,2)")
@@ -315,6 +331,6 @@ def rollup_cascade(state: DataFrame, keys: Sequence[str], unit: str = "day") -> 
             F.max("c_key").alias("c_key"),
             F.min("v_low").alias("v_low"),
             F.max("v_high").alias("v_high"),
-            F.sum("v_sum").cast("decimal(28,2)").alias("v_sum"),
+            F.sum("v_sum").cast("decimal(38,2)").alias("v_sum"),
         )
     )

@@ -178,8 +178,15 @@ def point_in_time_join(
     by pre-bucketing both sides on the key (``write_bucketed``).
 
     ``dim_cols`` selects which version attributes to carry (default:
-    everything except keys/interval bounds); they are emitted with a
-    ``dim_`` prefix to keep fact columns unshadowed.
+    everything except keys, the interval bounds, and the SCD-2
+    bookkeeping flag ``is_current`` — redundant given the emitted
+    version bound and usually meaningless next to a historical fact);
+    pass it explicitly to include ``is_current``. All dim outputs are
+    emitted with a ``dim_`` prefix to keep fact columns unshadowed —
+    INCLUDING the matched version's lower bound (``dim_<valid_from>``):
+    facts tables often carry their own ``valid_from``, and an
+    unprefixed duplicate output name would be unselectable downstream
+    (ADVICE r5).
     """
     f = facts.alias("f")
     d = dim_history.alias("d")
@@ -194,5 +201,5 @@ def point_in_time_join(
     return f.join(d, cond, how).select(
         *[F.col(f"f.{c}") for c in facts.columns],
         *[F.col(f"d.{c}").alias(f"dim_{c}") for c in dim_cols],
-        F.col(f"d.{valid_from}").alias(valid_from),
+        F.col(f"d.{valid_from}").alias(f"dim_{valid_from}"),
     )

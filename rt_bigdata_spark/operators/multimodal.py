@@ -80,12 +80,19 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real image/audio encoder: md5-seeded
-    unit-interval floats. Stable across runs/engines → testable."""
+    unit-interval floats. Stable across runs/engines → testable.
+
+    The chain iterates over HEX DIGEST STRINGS (md5 of the previous
+    hexdigest's ASCII bytes), not raw 16-byte digests: ANSI-SQL engines'
+    md5() takes VARCHAR (DuckDB has no md5(BLOB), and BLOB→VARCHAR casts
+    escape non-UTF8 bytes), so the hex chain is what makes the kernel's
+    values oracle-expressible — each round contributes its first 4
+    bytes (8 hex chars) as [0,1] floats."""
     out: list[float] = []
-    h = content
+    h = hashlib.md5(content).hexdigest()
     while len(out) < dim:
-        h = hashlib.md5(h).digest()
-        out.extend(b / 255.0 for b in h[:4])
+        out.extend(int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(4))
+        h = hashlib.md5(h.encode("ascii")).hexdigest()
     return [float(round(v, 6)) for v in out[:dim]]
 
 
@@ -179,18 +186,7 @@ def media_pseudo_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda j: F.struct(
                 j.cast("long").alias("dim"),
-                (
-                    (
-                        F.conv(
-                            F.substring(F.md5(F.concat(sig, F.lit(":"), j.cast("string"))), 1, 8),
-                            16,
-                            10,
-                        ).cast("long")
-                        % 2001
-                        - 1000
-                    )
-                    / 1000.0
-                ).alias("val"),
+                _pseudo_val(sig, j).alias("val"),
             ),
         )
     )
@@ -198,4 +194,34 @@ def media_pseudo_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
         media.select(F.col("media_id"), F.md5(F.col("content")).alias("_sig"))
         .select(F.col("media_id"), dims.alias("d"))
         .select("media_id", F.col("d.dim").alias("dim"), F.col("d.val").alias("val"))
+    )
+
+
+def _pseudo_val(sig: F.Column, j: F.Column) -> F.Column:
+    """One pseudo-embedding coordinate:
+    (md5_32(sig ‖ ':' ‖ j) mod 2001 − 1000)/1000 — shared by the sparse
+    and dense forms so they can never drift."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(sig, F.lit(":"), j.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / 1000.0
+
+
+def media_pseudo_embedding_array(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Dense form of ``media_pseudo_embedding``: ``(media_id,
+    embedding array<double>)`` built entirely map-side (one transform
+    over the materialized content md5 — zero shuffles, zero Python),
+    ready to feed the array-typed dedup/ANN/k-means consumers directly.
+    The sparse explode form needs a collect_list groupBy (a full
+    exchange on media_id) to reassemble; when the consumer wants the
+    whole vector, build it dense from the start."""
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    sig = F.col("_sig")
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: _pseudo_val(sig, j))
+    return media.select(F.col("media_id"), F.md5(F.col("content")).alias("_sig")).select(
+        F.col("media_id"), vec.alias("embedding")
     )

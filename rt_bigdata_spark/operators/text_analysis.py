@@ -369,6 +369,85 @@ def bpe_pair_counts(
     )
 
 
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE vocabulary induction: ``n_merges`` merge steps, each
+    picking the corpus-wide most frequent adjacent SYMBOL pair and
+    applying it to the vocabulary (Sennrich et al. 2016) — the
+    driver-controlled iterative loop ``bpe_pair_counts`` is one step
+    of. Returns the merge table (step, left, right, pair_count): the
+    trained tokenizer.
+
+    Scale shape (the reason this works at 100 TB): after the one-time
+    token count, EVERY iteration runs over the (token, count)
+    VOCABULARY — millions of rows for a trillions-of-tokens corpus —
+    so per-step cost is O(vocab), independent of corpus size. Per step:
+    one hash-agg over exploded symbol pairs (weighted by count), one
+    1-row argmax collect (bounded driver traffic, the
+    connected_components convergence-check pattern), one map-side
+    string replace, and a ``localCheckpoint`` to stop the per-step
+    lineage/plan growth that would otherwise make step N re-plan steps
+    1..N-1.
+
+    Symbol sequences are DOUBLE-SPACE-joined strings
+    (``'  a  b  c  '``): applying merge (a, b) is then ONE literal
+    ``replace(seq, ' a  b ', ' ab ')`` whose scan-resumes-after-the-
+    replacement semantics (identical in Spark and ANSI SQL) implement
+    exactly BPE's greedy non-overlapping left-to-right application —
+    ``a a a`` merges to ``aa a``, and consecutive disjoint pairs
+    ``a b a b`` both merge (a SINGLE-space join fails that case: the
+    first replacement consumes the shared boundary space). Tokens are
+    alphanumeric (tokenize), so symbols never contain spaces.
+
+    Ties on pair_count break by (left, right) ascending — fully
+    deterministic, oracle-reproducible (the unrolled-CTE DuckDB twin
+    hash-matches the whole merge table).
+    """
+    toks = ensure_parallelism(df).select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # '  a  b  c  ': every char followed by two spaces, two leading
+    seq = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    vocab = vocab.select(seq.alias("seq"), "c").localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        pair_structs = F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.get(syms, i).alias("l"), F.get(syms, i + 1).alias("r")
+            ),
+        )
+        best = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(F.explode(pair_structs).alias("p"), "c")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, left, right, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("seq"), F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            ).alias("seq"),
+            "c",
+        ).localCheckpoint(eager=False)
+
+    return df.sparkSession.createDataFrame(
+        merges, "step: long, left: string, right: string, pair_count: long"
+    )
+
+
 def _winnow_fp_array(text_col: str, k: int, w: int):
     """Winnowing fingerprint array of a text column (shared kernel of
     winnow_fingerprints and winnow_match_pairs — the gram hashing and

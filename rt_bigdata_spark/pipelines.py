@@ -103,28 +103,36 @@ def curate_training_corpus(
         "semi",
     )
 
-    # 4. PII: SSNs drop the doc, emails/phones are redacted in place
+    # 4. PII: SSNs drop the doc (redaction is deferred to AFTER
+    # decontamination — see step 5)
     pii = pii_scrub(rep_ok)
     out["pii"] = pii
-    pii_ok = redact_pii(
-        rep_ok.join(pii.filter(F.col("ssn_ct") == 0).select("doc_id"), "doc_id", "semi")
+    ssn_ok = rep_ok.join(
+        pii.filter(F.col("ssn_ct") == 0).select("doc_id"), "doc_id", "semi"
     )
 
     # 5. decontamination vs the probe set (probes leave the corpus too).
     # Probes come from the RAW input, not the curated survivors: an eval
     # item that happens to be short, low-margin or PII-laden must still
     # decontaminate the corpus — gating the probe set on training-data
-    # quality rules would silently disable exactly those checks
+    # quality rules would silently disable exactly those checks.
+    # The CORPUS side is likewise pre-redaction text (ADVICE r5): raw
+    # probe 8-grams can never match across an already-masked
+    # email/phone span, so redacting first would let PII-adjacent eval
+    # contamination slip through — match first, mask after.
     if probe_ids_below > 0:
         raw_probes = docs.filter(F.col("doc_id") < probe_ids_below)
-        corpus_side = pii_ok.filter(F.col("doc_id") >= probe_ids_below)
+        corpus_side = ssn_ok.filter(F.col("doc_id") >= probe_ids_below)
         contam = contamination_pairs(
             corpus_side.unionByName(raw_probes), probe_ids_below=probe_ids_below
         )
         out["contamination"] = contam
-        pii_ok = corpus_side.join(
+        ssn_ok = corpus_side.join(
             contam.select("doc_id").distinct(), "doc_id", "anti"
         )
+
+    # emails/phones are redacted in place, after the n-gram matching
+    pii_ok = redact_pii(ssn_ok)
 
     # 6. exact dedup (on the REDACTED text: byte-identical after masking
     # is still a duplicate)

@@ -161,13 +161,47 @@ def versioned_state_sink(
     fits. Fencing semantics (commit markers, replay skip, incarnation
     guard) are documented on ``rollup_maintenance_sink`` and shared —
     they depend only on merges being non-idempotent, which is what
-    "mergeable state" means here."""
+    "mergeable state" means here.
+
+    Replay identity: the ``batch_id == newest committed`` path is only
+    safe to skip when it really is Spark re-delivering the batch the
+    fence already folded. A wiped checkpoint restarts numbering at 0,
+    and with exactly one committed version (v_0) the new stream's first
+    batch would otherwise be swallowed as a "replay" — so each commit
+    records the batch's row count in a ``_FENCE`` marker and the skip
+    path verifies it: a count mismatch raises like the
+    ``batch_id < cur`` incarnation guard (a matching count on a wiped
+    checkpoint is the documented residual risk; counts cost one extra
+    action per batch against the replayable micro-batch source).
+
+    Storage assumption: the fence tracks versions via driver-local
+    ``os.listdir`` + parquet ``_SUCCESS`` markers, so ``state_dir``
+    must be a filesystem path visible to the driver (local disk / NFS /
+    a FUSE-mounted object store). Running against raw ``s3a://`` URIs
+    requires porting the listing to the Hadoop FileSystem API."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1 (the newest version IS the state)")
 
+    def _fence_path(v: int) -> str:
+        return os.path.join(state_dir, f"v_{v}", "_FENCE")
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        n_rows = batch_df.count()
         cur = _latest_rollup_version(state_dir)
         if cur is not None and batch_id == cur:
+            try:
+                with open(_fence_path(cur)) as f:
+                    committed_rows = int(f.read().strip())
+            except (OSError, ValueError):
+                committed_rows = None  # pre-fingerprint state dir: trust the id
+            if committed_rows is not None and committed_rows != n_rows:
+                raise RuntimeError(
+                    f"state at {state_dir} has committed version v_{cur} from a batch "
+                    f"of {committed_rows} rows, but the stream re-delivered batch "
+                    f"{batch_id} with {n_rows} rows: this is not a replay — the "
+                    "checkpoint was reset (ids restarted) over existing state; point "
+                    "the query at a fresh state_dir or restore the matching checkpoint"
+                )
             return  # replay of the already-folded latest batch
         if cur is not None and batch_id < cur:
             raise RuntimeError(
@@ -182,6 +216,10 @@ def versioned_state_sink(
             old = batch_df.sparkSession.read.parquet(os.path.join(state_dir, f"v_{cur}"))
             new_state = merge(old, new_state)
         new_state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v_{batch_id}"))
+        # fingerprint AFTER the parquet commit: written under the same
+        # v_ dir, so pruning removes it with its version
+        with open(_fence_path(batch_id), "w") as f:
+            f.write(str(n_rows))
         import shutil
 
         for v in _rollup_versions(state_dir)[:-keep_versions]:

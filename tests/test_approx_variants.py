@@ -7,10 +7,17 @@ table: exact COUNT(DISTINCT) expands to one row per (group, id) before
 the exchange; HLL exchanges fixed-size registers. Exact percentile
 materializes each group's values; Greenwald-Khanna keeps a bounded
 sketch that merges map-side.
+
+Since r6 the registered specs are the sketches' accuracy AUDITS
+(exact deterministic columns + within-tolerance verdicts, all
+driver-hashable); these tests pin (a) the raw estimates against the
+exact queries, and (b) the plan claim that the PRODUCTION projection —
+sketch columns only — prunes the exact expansion entirely.
 """
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
@@ -23,51 +30,81 @@ def _by_key(rows, keys):
     return {tuple(getattr(r, k) for k in keys): r for r in rows}
 
 
+def _agg_key_lists(plan: str) -> list[str]:
+    return [
+        line.split("keys=[", 1)[1].split("]", 1)[0]
+        for line in plan.splitlines()
+        if "HashAggregate" in line and "keys=[" in line
+    ]
+
+
 def test_province_stats_approx_accuracy_and_plan(spark):
+    from rt_bigdata_spark.plans.warehouse import _province_stats_approx_full
+
     exact = _by_key(
         REGISTRY["province_stats"].spark(spark, SF).collect(),
         ("stt", "province_name", "area_name"),
     )
-    approx_df = REGISTRY["province_stats_approx"].spark(spark, SF)
-    approx = _by_key(approx_df.collect(), ("stt", "province_name", "area_name"))
+    full = _province_stats_approx_full(spark, SF)
+    approx = _by_key(full.collect(), ("stt", "province_name", "area_name"))
 
     assert set(exact) == set(approx)
     for k, e in exact.items():
         a = approx[k]
         # rsd=0.01 → a 3-sigma envelope of 3%; groups here are small
         # enough that HLL is usually dead-on
-        assert abs(a.order_count - e.order_count) <= max(3, 0.03 * e.order_count), k
+        assert abs(a.order_count_approx - e.order_count) <= max(3, 0.03 * e.order_count), k
+        assert a.order_count == e.order_count, k  # exact column is exact
         assert a.order_amount == e.order_amount, k  # sums unchanged
 
-    # the exact form's first aggregation phase keys by the DISTINCT
-    # column itself — every order id crosses the exchange; the sketch
-    # form's aggregate keys never include it (only fixed-size HLL
-    # buffers are exchanged) — that's the whole point
+    # the registered audit: every group's verdict is TRUE at this sf
+    # (the oracle asserts the same, so a FALSE is a red driver row)
+    audit = REGISTRY["province_stats_approx"].spark(spark, SF)
+    assert audit.filter(~F.col("approx_within_rsd")).count() == 0
+
+    # Production projection: keep the sketch, drop exact + verdict —
+    # the COUNT(DISTINCT) expand must vanish from the plan (no
+    # aggregation keyed by the distinct column; only fixed-size HLL
+    # buffers cross the exchange)
+    prod = full.select("stt", "edt", "province_name", "area_name", "order_count_approx", "order_amount")
     exact_plan = REGISTRY["province_stats"].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    approx_plan = approx_df._jdf.queryExecution().executedPlan().toString()
-
-    def agg_key_lists(plan: str) -> list[str]:
-        return [
-            line.split("keys=[", 1)[1].split("]", 1)[0]
-            for line in plan.splitlines()
-            if "HashAggregate" in line and "keys=[" in line
-        ]
-
-    assert any("o_orderkey" in ks for ks in agg_key_lists(exact_plan))
-    assert not any("o_orderkey" in ks for ks in agg_key_lists(approx_plan))
+    prod_plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert any("o_orderkey" in ks for ks in _agg_key_lists(exact_plan))
+    assert not any("o_orderkey" in ks for ks in _agg_key_lists(prod_plan))
 
 
 def test_corpus_profile_approx_accuracy(spark):
-    exact = _by_key(REGISTRY["corpus_profile"].spark(spark, SF).collect(), ("source",))
-    approx = _by_key(REGISTRY["corpus_profile_approx"].spark(spark, SF).collect(), ("source",))
+    from rt_bigdata_spark.sources.tables import load_table
 
-    assert set(exact) == set(approx)
+    exact = _by_key(REGISTRY["corpus_profile"].spark(spark, SF).collect(), ("source",))
+
+    # raw estimates (the production projection computes only these)
+    docs = load_table(spark, SF, "documents")
+    raw = _by_key(
+        docs.groupBy("source")
+        .agg(
+            F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50_chars"),
+            F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000)).alias("p95_chars"),
+            F.approx_count_distinct("lang").cast("long").alias("n_langs"),
+        )
+        .collect(),
+        ("source",),
+    )
+    assert set(exact) == set(raw)
     for k, e in exact.items():
-        a = approx[k]
-        assert a.n_docs == e.n_docs and a.total_chars == e.total_chars, k
+        a = raw[k]
         # GK returns an actual group element while exact interpolates
         # between two, so even a perfect sketch lands one element off —
         # 5% covers the interpolation gap at these group sizes
         assert a.p50_chars == pytest.approx(e.p50_chars, rel=0.05), k
         assert a.p95_chars == pytest.approx(e.p95_chars, rel=0.05), k
         assert abs(a.n_langs - e.n_langs) <= max(1, 0.05 * e.n_langs), k
+
+    # the registered audit: deterministic columns exact, verdicts TRUE
+    audit = _by_key(REGISTRY["corpus_profile_approx"].spark(spark, SF).collect(), ("source",))
+    assert set(audit) == set(exact)
+    for k, e in exact.items():
+        r = audit[k]
+        assert r.n_docs == e.n_docs and r.total_chars == e.total_chars, k
+        assert r.n_langs == e.n_langs, k
+        assert r.p50_within_tol and r.p95_within_tol and r.n_langs_within_tol, k

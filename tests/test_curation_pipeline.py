@@ -28,6 +28,8 @@ def corpus(spark):
         # TRAINING data, but it must still decontaminate the corpus
         # (probes are drawn from the raw input, not the survivors)
         (2, "benchmark answer key 123-45-6789 " + PROBE2_TAIL, "eval"),
+        # probe 3 carries an email mid-n-gram (pairs with corpus doc 22)
+        (3, "please email john@corp.com for the secret benchmark key", "eval"),
         # 10: contaminated — contains probe 0's full text (≥ one 8-gram)
         (10, "prefix words " + "held out benchmark question about the meaning of life" + " suffix", "web"),
         # 11/12: exact duplicates
@@ -51,6 +53,12 @@ def corpus(spark):
         # 19-20: clean survivors in another source
         (19, " ".join(f"alpha{i}" for i in range(25)), "books"),
         (20, " ".join(f"beta{i}" for i in range(25)), "books"),
+        # 22: contaminated by probe 3, whose every shared 8-gram SPANS
+        # an email address — detectable only if matching runs on
+        # PRE-redaction text (ADVICE r5: redact after the anti-join);
+        # masking first would rewrite the corpus side to <EMAIL> and
+        # the raw probe n-grams could never match
+        (22, "unrelated opening please email john@corp.com for the secret benchmark key closing words", "web"),
     ]
     return spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
 
@@ -80,7 +88,8 @@ def test_each_stage_removes_its_planted_defect(spark, corpus, tmp_path):
     assert 16 not in kept, "SSN drop"
     assert 10 not in kept, "decontamination"
     assert 21 not in kept, "decontamination via a probe the curation gates would drop"
-    assert not {0, 1, 2} & set(kept), "probes excluded from corpus"
+    assert 22 not in kept, "decontamination across an email span (pre-redaction matching)"
+    assert not {0, 1, 2, 3} & set(kept), "probes excluded from corpus"
     # exact dup: exactly one of 11/12 survives (the min id)
     assert (11 in kept) and (12 not in kept)
     # near-dup: exactly one of 13/14 survives — the HIGHER-margin one

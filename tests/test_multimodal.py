@@ -93,7 +93,8 @@ def test_media_frames_query_pins_cadence_and_bytes(spark, sf_dir):
     for doc_id, frames in by_doc.items():
         assert len(frames) == 1  # duration 0 → single frame
         assert frames[0].frame_ts_ms == 0
-        assert bytes(frames[0].frame_bytes) == docs[doc_id].encode("utf-8")[:16]
+        # registered surface is hex (driver-hashable); byte-wise slice
+        assert frames[0].frame_hex == docs[doc_id].encode("utf-8")[:16].hex().upper()
 
     # nonzero duration: ceil-less cadence, duration//1000 frames
     from rt_bigdata_spark.operators.multimodal import documents_as_media, frame_sample

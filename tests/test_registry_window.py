@@ -65,9 +65,22 @@ MUST_BE_IN_WINDOW = {
     # round-5 thirteenth batch (customer_quartiles, customer_max_order —
     # green r4 — yielded their slots):
     "winnow_pairs", "active_users",
-    "sales_grouping_sets",     "customer_activity", "purchase_attribution", "dim_history", "rolling_revenue",
-    "minhash_lsh", "simhash", "ann_lsh_topk", "ann_ivf_topk", "embedding_dedup_lsh",
+    "dim_history",
+    "minhash_lsh", "embedding_dedup_lsh",
     "embedding_dedup",
+    # round-6 batch: the two red-r5 rows re-verify with their fixed
+    # oracles, embedding_dedup re-verifies non-vacuously, the four
+    # forever-rows-only specs get their first hash rows, and the 100 TB
+    # token-budget shape gets its first row. Five twice-green r4/r5
+    # specs (simhash, sales_grouping_sets, rolling_revenue,
+    # purchase_attribution, customer_activity) yielded their slots
+    # (priority=80; still oracle-verified every CI run).
+    "token_budget_threshold", "media_features", "media_frames",
+    "province_stats_approx", "corpus_profile_approx",
+    # round-6 second batch (ann_lsh_topk / ann_ivf_topk — twice-green —
+    # yielded their slots): the composed multimodal dedup pipeline and
+    # the iterative BPE merge loop
+    "media_dedup", "bpe_merges",
 }
 
 
@@ -107,7 +120,12 @@ def test_no_oracle_backed_spec_is_never_driver_verified():
     root = Path(__file__).resolve().parents[1]
     seen: set[str] = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        seen.update(json.loads(f.read_text()))
+        for name, row in json.loads(f.read_text()).items():
+            # A 0-row hash match is vacuous (both engines emitted
+            # nothing — the r5 embedding_dedup hole): it does not count
+            # as having been verified.
+            if (row.get("spark_rows") or 0) > 0:
+                seen.add(name)
     window = set(list(get_queries())[:DRIVER_WINDOW])
     never = sorted(
         s.name
@@ -115,5 +133,6 @@ def test_no_oracle_backed_spec_is_never_driver_verified():
         if s.oracle is not None and s.name not in seen and s.name not in window
     )
     assert not never, (
-        f"oracle-backed specs with no driver row ever, parked outside the window: {never}"
+        "oracle-backed specs with no non-vacuous driver row ever, parked "
+        f"outside the window: {never}"
     )

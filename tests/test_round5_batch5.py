@@ -288,6 +288,52 @@ def test_bpe_pair_counts_matches_python_mirror(spark):
     assert out5 == {p: c for p, c in expect.items() if c >= 5}
 
 
+def test_bpe_merges_matches_reference_algorithm(spark):
+    """The iterative merge loop must equal the classic Sennrich
+    reference implementation (greedy non-overlapping left-to-right
+    application per step, count-then-lexicographic argmax)."""
+    from collections import Counter
+
+    from rt_bigdata_spark.operators.text_analysis import bpe_merges
+
+    docs = [(1, "abab abab banana"), (2, "abab banana aaa"), (3, "xy xy xy aaa")]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    # reference: symbol tuples per vocab word
+    vocab = Counter(t for _, tx in docs for t in _py_tokens(tx))
+    symbols = {tok: tuple(tok) for tok in vocab}
+    expect = []
+    for step in range(1, 5):
+        counts = Counter()
+        for tok, syms in symbols.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[tok]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        expect.append((step, best[0], best[1], counts[best]))
+        merged = {}
+        for tok, syms in symbols.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tok] = tuple(out)
+        symbols = merged
+
+    got = [(r.step, r.left, r.right, r.pair_count)
+           for r in bpe_merges(df, n_merges=4).orderBy("step").collect()]
+    assert got == expect
+    # sanity: the fixture includes the overlap ('aaa') and the
+    # consecutive-disjoint ('abab') stress words, so equality above
+    # really exercised the greedy-application semantics
+    assert "aaa" in vocab and "abab" in vocab
+
+
 # ---------------------------------------------------------------------------
 # mergeable rollup state
 
@@ -464,9 +510,18 @@ def test_point_in_time_join_serves_historical_versions(spark):
         ],
         "event_id: long, user_id: long, ts: timestamp",
     )
-    out = {r.event_id: r.dim_tier for r in
-           point_in_time_join(facts, dim, keys=["user_id"], fact_ts="ts").collect()}
+    joined = point_in_time_join(facts, dim, keys=["user_id"], fact_ts="ts")
+    out = {r.event_id: r.dim_tier for r in joined.collect()}
     assert out == {10: "bronze", 11: "gold", 12: "gold"}
+    # ADVICE r5: the version bound must come out PREFIXED — facts
+    # tables often carry their own valid_from, and a duplicate output
+    # name is unselectable downstream
+    assert "dim_valid_from" in joined.columns and "valid_from" not in joined.columns
+    import pyspark.sql.functions as SF
+
+    facts_vf = facts.withColumn("valid_from", SF.col("ts"))
+    cols = point_in_time_join(facts_vf, dim, keys=["user_id"], fact_ts="ts").columns
+    assert cols.count("valid_from") == 1 and "dim_valid_from" in cols
 
 
 def test_point_in_time_join_is_equi_keyed(spark):

@@ -95,6 +95,35 @@ def test_streaming_rollup_replay_is_fenced(spark, tmp_path):
     assert list(before.values()) == [(1, 5.0)]
 
 
+def test_streaming_rollup_wiped_checkpoint_batch0_is_caught(spark, tmp_path):
+    """ADVICE r5: with exactly one committed version (v_0), a wiped
+    checkpoint restarts batch numbering at 0 and the old fence treated
+    the NEW stream's first batch as a replay, silently dropping it.
+    The _FENCE row-count fingerprint must reject that; a genuine
+    redelivery (identical batch) still skips."""
+    import pytest as _pt
+
+    state = str(tmp_path / "state")
+    sink = rollup_maintenance_sink(state, ["event_type"])
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "view", 5.0)],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    sink(b1, 0)
+    # same id, same rows → replay → skip (covered above, re-assert here)
+    sink(b1, 0)
+    # wiped checkpoint: new stream, batch 0 again but DIFFERENT content
+    b_new = spark.createDataFrame(
+        [(7, "2024-01-02 09:00:00", "click", 1.0), (8, "2024-01-02 09:01:00", "click", 2.0)],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    with _pt.raises(RuntimeError, match="not a replay"):
+        sink(b_new, 0)
+    # state unchanged by the rejected batch
+    vals = [(r.n_events, r.v_sum) for r in read_rollup(spark, state).collect()]
+    assert vals == [(1, 5.0)]
+
+
 def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     """The sketch maintained across micro-batches must equal the batch
     sketch of all documents — mergeable-state algebra for CMS."""

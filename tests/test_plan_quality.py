@@ -244,3 +244,16 @@ def test_token_budget_threshold_prunes_before_the_sort(plans):
     assert tree.count("Window") == 2, tree
     bcast = tree.index("BroadcastExchange")
     assert tree.index("Window", first_window + 1) > bcast, tree
+
+
+def test_quality_gate_threshold_has_no_corpus_sort(plans):
+    """quality_gate_threshold exists to REPLACE quality_gate's
+    per-source percent_rank sort: its plan must be a tiny percentile
+    aggregate broadcast back onto the scan — no Window, no Sort over
+    the corpus (the only sort the exact form needs is inside the
+    window)."""
+    p = plans["quality_gate_threshold"]
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    exact = plans["quality_gate"]
+    assert "Window" in exact  # the contrast this variant removes

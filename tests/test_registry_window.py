@@ -66,7 +66,7 @@ MUST_BE_IN_WINDOW = {
     # green r4 — yielded their slots):
     "winnow_pairs", "active_users",
     "dim_history",
-    "minhash_lsh", "embedding_dedup_lsh",
+    "embedding_dedup_lsh",
     "embedding_dedup",
     # round-6 batch: the two red-r5 rows re-verify with their fixed
     # oracles, embedding_dedup re-verifies non-vacuously, the four
@@ -81,6 +81,9 @@ MUST_BE_IN_WINDOW = {
     # yielded their slots): the composed multimodal dedup pipeline and
     # the iterative BPE merge loop
     "media_dedup", "bpe_merges",
+    # round-6 third batch (minhash_lsh — twice-green — yielded its
+    # slot): quality_gate's promised broadcast-threshold scale form
+    "quality_gate_threshold",
 }
 
 

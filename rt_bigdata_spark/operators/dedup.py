@@ -575,6 +575,7 @@ def incremental_minhash_lsh(
     bands: int = 8,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    sigs_out: str = "all",
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-shaped near-dup discovery: LSH candidates between the NEW
     batch and the accumulated corpus (``seen_sigs`` — the persisted
@@ -613,7 +614,16 @@ def incremental_minhash_lsh(
     incremental regime the batch is small relative to the corpus, so
     re-computing it is cheaper than unbounded executor-cache growth;
     callers that disagree can persist/write ``new_docs`` first.
+
+    ``sigs_out``: ``"all"`` (default) returns the full updated
+    signature table — the rewrite-the-state shape; ``"new"`` returns
+    only THIS batch's signatures, for append-only signature stores
+    (``streaming.sinks.near_dup_maintenance_sink`` writes one O(batch)
+    delta dir per micro-batch instead of rewriting the corpus-scale
+    sig table every trigger — at 100 TB the rewrite IS the job).
     """
+    if sigs_out not in ("all", "new"):
+        raise ValueError(f"sigs_out must be 'all' or 'new', got {sigs_out!r}")
     r = _band_width(num_hashes, bands)
     if seen_sigs is not None:
         # Schema contract: stored signatures MUST have been built with
@@ -657,7 +667,7 @@ def incremental_minhash_lsh(
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est").alias("est_jaccard"))
     )
-    return pairs, all_sigs
+    return pairs, (sig_new if sigs_out == "new" else all_sigs)
 
 
 def streaming_exact_dedup(

@@ -272,3 +272,108 @@ def read_rollup(spark, state_dir: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed rollup state under {state_dir}")
     return finalize_time_rollup(spark.read.parquet(os.path.join(state_dir, f"v_{cur}")))
+
+
+def _committed_batch_dirs(base: str) -> list[str]:
+    """COMMITTED ``b_<id>`` delta dirs under an append-only store,
+    ascending by batch id (same _SUCCESS-marker rule as
+    ``_rollup_versions``: a crash mid-write leaves no marker and the
+    partial dir is invisible to readers and to the replay check)."""
+    if not os.path.isdir(base):
+        return []
+    ids = sorted(
+        int(d.split("_", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("b_")
+        and d.split("_", 1)[1].isdigit()
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+    return [os.path.join(base, f"b_{i}") for i in ids]
+
+
+def near_dup_maintenance_sink(
+    state_dir: str,
+    pairs_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming near-dup DISCOVERY maintenance: each micro-batch runs
+    ``dedup.incremental_minhash_lsh`` against the accumulated signature
+    store — pairs are new×(new+corpus), the corpus is touched only
+    through its stored ~260 B/doc signatures, never re-tokenized.
+    The streaming complement of the batch `minhash_lsh` query, and the
+    exact-once sibling of ``streaming_exact_dedup`` (which bounds state
+    by a watermark and so MISSES late duplicates; this sink keeps the
+    full signature corpus and misses nothing).
+
+    Both outputs are APPEND-ONLY per-batch delta dirs (``b_<id>`` with
+    parquet _SUCCESS as the commit marker): signatures under
+    ``state_dir``, discovered pairs under ``pairs_dir``. A rewrite-the-
+    state design (the rollup sink's v_N shape) would rewrite the
+    corpus-scale signature table every trigger — at 100 TB the rewrite
+    IS the job; deltas make each trigger O(batch + candidates).
+
+    Replay protocol — IDENTITY-fenced, not version-fenced: near-dup
+    state is idempotent by document id (the operator anti-joins ids
+    already in the store), so unlike counts/sums no row-count
+    fingerprint is needed. A committed ``state_dir/b_<id>`` is the
+    batch's receipt: the sink skips the batch outright (re-running it
+    would anti-join everything away and OVERWRITE the batch's real
+    pairs with an empty frame). Crash between the pairs write and the
+    sigs write replays cleanly: sigs for the batch don't exist yet, so
+    the batch recomputes and overwrites its own pairs dir with
+    identical content. Write ORDER is therefore pairs-first —
+    committing sigs first would turn the replay into a no-op that
+    never restores the lost pairs (the operator docstring's
+    consume-before-commit contract, realized).
+
+    Same driver-local-FS listing assumption as the rollup sink.
+    Readers: ``read_near_dup_pairs`` / ``read_near_dup_sigs``.
+    """
+    from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(os.path.join(state_dir, f"b_{batch_id}", "_SUCCESS")):
+            return  # identity receipt: this batch's docs are in the store
+        spark = batch_df.sparkSession
+        dirs = _committed_batch_dirs(state_dir)
+        seen = spark.read.parquet(*dirs) if dirs else None
+        pairs, sig_new = incremental_minhash_lsh(
+            batch_df,
+            seen,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            df_cap=df_cap,
+            sigs_out="new",
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
+        sig_new.write.mode("overwrite").parquet(os.path.join(state_dir, f"b_{batch_id}"))
+
+    return fn
+
+
+def read_near_dup_pairs(spark, pairs_dir: str) -> DataFrame:
+    """All committed near-dup pairs discovered so far. Every pair of
+    the corpus appears exactly once — in the batch that delivered the
+    LATER of its two docs (new×(new+corpus) per batch telescopes to
+    all×all across batches)."""
+    dirs = _committed_batch_dirs(pairs_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed pair batches under {pairs_dir}")
+    return spark.read.parquet(*dirs)
+
+
+def read_near_dup_sigs(spark, state_dir: str) -> DataFrame:
+    """The accumulated committed signature store (feeds the next
+    ingest's ``seen_sigs``, or a batch re-run)."""
+    dirs = _committed_batch_dirs(state_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed signature batches under {state_dir}")
+    return spark.read.parquet(*dirs)

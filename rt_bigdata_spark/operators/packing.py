@@ -138,27 +138,31 @@ def concat_pack(
     contamination audits, resume points) without re-tokenizing.
 
     Zero-token documents occupy no tokens and emit no row (consistent
-    with ``chunk_documents``). One window per group — a single shuffle
-    on the group key, running sum computed in-sort; identical plan
-    shape to ``token_budget_sample``. Closed-form (no sequential scan):
-    the span indices are pure functions of the cumulative sum, so the
+    with ``chunk_documents``). Closed-form (no sequential scan): the
+    span indices are pure functions of the cumulative sum, so the
     whole operator is window + map-side arithmetic.
+
+    Scale shape: the running token sum comes from the bucket-decomposed
+    kernel (``scale.bucketed_group_order``) — per-(group, bucket)
+    partial sums + broadcast offsets instead of one task sorting and
+    summing a whole (possibly dominant) source. Bit-identical cumsums,
+    unchanged oracle.
     """
+    from rt_bigdata_spark.operators.scale import bucketed_group_order
+
     df = ensure_parallelism(df)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     scored = df.select(
         F.col(id_col),
         F.col(group_col),
         F.size(tokenize(txt)).cast("long").alias("n_tokens"),
-        F.md5(txt).alias("pr"),
+        F.md5(txt).alias("_pr"),
     ).filter(F.col("n_tokens") > 0)
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("pr", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = bucketed_group_order(
+        scored, "_pr", id_col, group_col=group_col, sum_col="n_tokens", cumsum_col="_cum"
     )
-    cum = F.sum("n_tokens").over(w)
-    return scored.select(
+    cum = F.col("_cum")
+    return packed.select(
         id_col,
         group_col,
         "n_tokens",
@@ -247,42 +251,34 @@ def token_budget_threshold(
     Zero-token docs (priority still defined via md5('')) ride along
     unchanged: they never advance the running sum and drop out once the
     budget is reached, exactly as in the exact form.
+
+    The bucketize→offset→prune→exact-window mechanics live in
+    ``scale.bucketed_group_order`` (``prune_sum=budget_tokens``), whose
+    struct group key also keeps NULL-group rows flowing through the
+    broadcast join exactly as ``token_budget_sample``'s
+    ``Window.partitionBy`` keeps its NULL partition.
     """
+    from rt_bigdata_spark.operators.scale import bucketed_group_order
+
     df = ensure_parallelism(df)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     scored = df.select(
         F.col(id_col),
         F.col(group_col),
         F.size(tokenize(txt)).cast("long").alias("n_tokens"),
-        F.md5(txt).alias("pr"),
+        F.md5(txt).alias("_pr"),
     )
-    # Uniform [0,1) from the top 60 bits of the md5; bucket is monotone
-    # in the (pr, doc_id) sort order because pr's hex-string order is
-    # its numeric order.
-    u = F.conv(F.substring("pr", 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
-    scored = scored.withColumn("bucket", F.floor(u * n_buckets).cast("int"))
-
-    bucket_w = (
-        Window.partitionBy(group_col)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    buckets = (
-        scored.groupBy(group_col, "bucket")
-        .agg(F.sum("n_tokens").alias("b_tokens"))
-        .withColumn("tokens_before", F.coalesce(F.sum("b_tokens").over(bucket_w), F.lit(0)))
-        .filter(F.col("tokens_before") < budget_tokens)
-        .select(group_col, "bucket")
-    )
-
-    cand = scored.join(F.broadcast(buckets), on=[group_col, "bucket"], how="inner")
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("pr", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = bucketed_group_order(
+        scored,
+        "_pr",
+        id_col,
+        group_col=group_col,
+        n_buckets=n_buckets,
+        sum_col="n_tokens",
+        cumsum_col="cum_tokens",
+        prune_sum=budget_tokens,
     )
     return (
-        cand.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        out.filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 
 def split_boundaries(splits: Sequence[tuple[str, float]], hex_chars: int = 4) -> list[tuple[str, str]]:
@@ -115,21 +115,29 @@ def stratified_sample(
     ``weighted_sample``'s rate-based filter cannot promise an exact
     count. Output ``(id, group, sample_rank)``.
 
-    One shuffle (the per-group window); the md5 order key makes the
-    choice reproducible across runs/engines and independent of input
-    layout, and a different ``seed`` draws a fresh, disjoint-in-
-    expectation sample. Scale: rows-per-group is the window's sort
-    width; the rank filter prunes to n_per_group×groups rows total.
+    The md5 order key makes the choice reproducible across
+    runs/engines and independent of input layout, and a different
+    ``seed`` draws a fresh, disjoint-in-expectation sample.
+
+    Scale shape: the rank is computed by the bucket-decomposed kernel
+    (``scale.bucketed_group_order``) with a ``prune_rank`` prefix
+    prune — buckets whose rows-before offset already reaches
+    ``n_per_group`` are dropped before any sort, so the exact window
+    only ever sees ~n_per_group rows per group (plus one bucket's
+    width) instead of the whole group. Bit-identical to the naive
+    per-group ``row_number`` window (the kept set is a prefix of the
+    order), so the oracle is unchanged.
     """
-    from rt_bigdata_spark.operators.scale import ensure_parallelism
+    from rt_bigdata_spark.operators.scale import bucketed_group_order, ensure_parallelism
 
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    scored = ensure_parallelism(df).select(F.col(id_col), F.col(group_col), key.alias("_pr"))
+    ranked = bucketed_group_order(
+        scored, "_pr", id_col, group_col=group_col, rank_col="_rn", prune_rank=n_per_group
+    )
     return (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.col(group_col), F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= n_per_group)
-        .select(id_col, group_col, F.col("rn").cast("long").alias("sample_rank"))
+        ranked.filter(F.col("_rn") <= n_per_group)
+        .select(id_col, group_col, F.col("_rn").alias("sample_rank"))
     )
 
 
@@ -147,35 +155,20 @@ def global_shuffle(
 
     Scale shape: a naive global ``row_number`` window has NO partition
     key, which Catalyst executes as a single-partition sort — the
-    canonical 100 TB failure. Instead the total order is decomposed by
-    its own prefix: bucket = first ``bucket_chars`` hex of the shuffle
-    key (256 buckets at 2 chars) — ordering by (bucket, key) equals
-    ordering by key since the bucket IS a key prefix. Ranks are
-    computed per-bucket (parallel windows over ~n/256 rows each), and
-    each bucket's starting offset is the cumulative count of earlier
-    buckets — a 256-row aggregate, broadcast back. One shuffle on the
-    bucket + one tiny broadcast join; the only single-partition window
-    runs over ≤ 16^bucket_chars count rows.
+    canonical 100 TB failure. The bucket-decomposed kernel
+    (``scale.bucketed_group_order``) splits the total order by a
+    prefix of the key itself: per-bucket parallel windows over
+    ~n/n_buckets rows each plus a ≤ n_buckets-row offsets aggregate
+    broadcast back. One shuffle on the bucket + one tiny broadcast
+    join; the only single-partition window runs over the bucket-count
+    table.
     """
-    from rt_bigdata_spark.operators.scale import ensure_parallelism
+    from rt_bigdata_spark.operators.scale import bucketed_group_order, ensure_parallelism
 
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    b = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), key.alias("skey"))
-        .withColumn("bkt", F.substring("skey", 1, bucket_chars))
-    )
-    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
-    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select("bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
-    w_bkt = Window.partitionBy("bkt").orderBy("skey", id_col)
-    return (
-        b.join(F.broadcast(offsets), "bkt")
-        .select(
-            id_col,
-            (F.col("off") + F.row_number().over(w_bkt)).cast("long").alias("position"),
-        )
-    )
+    b = ensure_parallelism(df).select(F.col(id_col), key.alias("_pr"))
+    ranked = bucketed_group_order(b, "_pr", id_col, n_buckets=16**bucket_chars, rank_col="position")
+    return ranked.select(id_col, "position")
 
 
 def mix_schedule(
@@ -194,17 +187,22 @@ def mix_schedule(
     stride scheduling, so a weight-3 source appears 3× as often as a
     weight-1 source at every horizon of the schedule, not just in
     aggregate. Consumers materialize the order by sorting on
-    ``(sched_key, group, src_rank)`` — a range-partition sort; the
-    operator itself needs only one per-source window (single shuffle
-    on the group key), no global window.
+    ``(sched_key, group, src_rank)`` — a range-partition sort.
+
+    Scale shape: the per-source rank comes from the bucket-decomposed
+    kernel (``scale.bucketed_group_order``) — ~n/n_buckets rows per
+    sort task instead of one task sorting a whole (possibly dominant)
+    source. Bit-identical ranks, unchanged oracle.
     """
-    from rt_bigdata_spark.operators.scale import ensure_parallelism
+    from rt_bigdata_spark.operators.scale import bucketed_group_order, ensure_parallelism
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    w = Window.partitionBy(group_col).orderBy(F.md5(txt), id_col)
-    ranked = ensure_parallelism(df).select(
-        F.col(id_col), F.col(group_col), F.row_number().over(w).alias("src_rank")
+    scored = ensure_parallelism(df).select(
+        F.col(id_col), F.col(group_col), F.md5(txt).alias("_pr")
     )
+    ranked = bucketed_group_order(
+        scored, "_pr", id_col, group_col=group_col, rank_col="src_rank"
+    ).select(id_col, group_col, "src_rank")
     wexpr: Column | None = None
     for g, wt in weights.items():
         wexpr = (

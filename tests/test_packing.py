@@ -208,3 +208,38 @@ def test_token_budget_threshold_zero_token_docs(spark):
         exact = {tuple(r) for r in token_budget_sample(df, budget).collect()}
         fast = {tuple(r) for r in token_budget_threshold(df, budget).collect()}
         assert fast == exact
+
+
+def test_token_budget_threshold_null_group_rows_survive(spark):
+    """ADVICE r6: the bucket-prune join must be null-safe on the group
+    key — NULL-group rows form their own budget pool in the exact form
+    (Window.partitionBy keeps a NULL partition) and must do the same in
+    the threshold form, not vanish in an inner equi-join."""
+    from rt_bigdata_spark.operators.packing import token_budget_threshold
+
+    rows = [
+        (0, None, "a b c d"),
+        (1, None, "e f g h i"),
+        (2, "s", "j k l"),
+        (3, None, None),
+        (4, "s", "m n o p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    for budget in (1, 5, 100):
+        exact = {tuple(r) for r in token_budget_sample(df, budget).collect()}
+        fast = {tuple(r) for r in token_budget_threshold(df, budget).collect()}
+        assert fast == exact, f"budget={budget}"
+        assert any(r[1] is None for r in exact)  # NULL pool genuinely exercised
+
+
+def test_concat_pack_null_group_rows_survive(spark):
+    """Same null-safety contract for the packing cumsum: NULL-source
+    docs pack into their own stream."""
+    from rt_bigdata_spark.operators.packing import concat_pack
+
+    rows = [(0, None, "a b c"), (1, None, "d e f g"), (2, "s", "h i")]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = concat_pack(df, seq_len=4).collect()
+    assert {r.doc_id for r in out} == {0, 1, 2}
+    null_stream = sorted((r for r in out if r.source is None), key=lambda r: r.first_seq)
+    assert sum(r.n_tokens for r in null_stream) == 7  # both NULL docs, one stream

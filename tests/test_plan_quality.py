@@ -246,6 +246,55 @@ def test_token_budget_threshold_prunes_before_the_sort(plans):
     assert tree.index("Window", first_window + 1) > bcast, tree
 
 
+def test_no_registered_query_sorts_a_full_group_partition(plans):
+    """The r6-verdict blanket ban: no registered plan may contain a
+    window that sorts a whole per-group partition by an md5-priority
+    key — the single-giant-source 100 TB cliff. Mechanically: every
+    ``windowspecdefinition`` whose ORDER key is an md5-priority column
+    (the training-order operators name theirs ``_pr``/``pr``/``skey``)
+    must carry the kernel's ``_bkt`` bucket in its PARTITION spec, so
+    each sort task sees ~n/n_buckets rows. The offsets window (ordered
+    BY ``_bkt`` over the bucket-counts table) is bounded by n_buckets
+    rows per group and exempt by construction. ``token_budget`` is the
+    registered EXACT contrast form (the oracle-readable reference
+    semantics) whose production path is ``token_budget_threshold`` —
+    the same exemption shape as quality_gate vs
+    quality_gate_threshold."""
+    import re
+
+    exempt = {"token_budget"}
+    offenders = []
+    for name, p in plans.items():
+        if name in exempt:
+            continue
+        for spec in re.findall(r"windowspecdefinition\((.*?), specifiedwindowframe", p):
+            orders_by_priority = re.search(r"\b_?pr#|\bskey#", spec)
+            if orders_by_priority and "_bkt#" not in spec:
+                offenders.append((name, spec[:120]))
+    assert not offenders, f"full-group md5-order windows (unbucketed sorts): {offenders}"
+
+
+def test_pack_and_sample_windows_are_bucket_decomposed(plans):
+    """concat_pack, mix_schedule, stratified_sample (and global_shuffle)
+    must run on the bucket-decomposed kernel: exactly two windows — the
+    bounded bucket-offsets window (ordered by _bkt) and the in-bucket
+    exact window (partitioned by _bkt) — with the offsets broadcast
+    back (BroadcastHashJoin), never a plain per-group full sort."""
+    import re
+
+    for name in ("concat_pack", "mix_schedule", "stratified_sample", "global_shuffle"):
+        p = plans[name]
+        tree = p.split("(1) Scan")[0]
+        specs = re.findall(r"windowspecdefinition\((.*?), specifiedwindowframe", p)
+        assert len(specs) == 2, f"{name}: expected offsets + in-bucket windows, got {specs}"
+        assert all("_bkt#" in s for s in specs), f"{name}: window not bucket-decomposed: {specs}"
+        assert "BroadcastHashJoin" in tree, f"{name}: offsets not broadcast back:\n{tree}"
+        first_window = tree.index("Window")
+        assert first_window < tree.index("BroadcastHashJoin"), (
+            f"{name}: exact window must consume the broadcast offsets join:\n{tree}"
+        )
+
+
 def test_quality_gate_threshold_has_no_corpus_sort(plans):
     """quality_gate_threshold exists to REPLACE quality_gate's
     per-source percent_rank sort: its plan must be a tiny percentile

@@ -54,3 +54,25 @@ def test_mix_schedule_respects_weights_at_every_horizon(spark):
     for src in ("heavy", "light"):
         ranks = sorted(r.src_rank for r in out if r.source == src)
         assert ranks == list(range(1, 101))
+
+
+def test_mix_schedule_and_stratified_null_groups_survive(spark):
+    """Null-safety of the bucket kernel's broadcast offsets join: a
+    NULL source is its own stratum/stride group, exactly as the naive
+    Window.partitionBy treats its NULL partition."""
+    from rt_bigdata_spark.operators.sampling import stratified_sample
+
+    rows = [(i, None if i % 2 else "s", f"doc {i} text w{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+
+    sched = mix_schedule(df, {"s": 2.0}).collect()
+    assert {r.doc_id for r in sched} == set(range(20))
+    null_ranks = sorted(r.src_rank for r in sched if r.source is None)
+    assert null_ranks == list(range(1, 11))  # contiguous per-group ranks
+
+    samp = stratified_sample(df, 3, seed="1").collect()
+    by_group = {}
+    for r in samp:
+        by_group.setdefault(r.source, []).append(r.sample_rank)
+    assert sorted(by_group[None]) == [1, 2, 3]
+    assert sorted(by_group["s"]) == [1, 2, 3]

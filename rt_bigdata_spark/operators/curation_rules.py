@@ -107,25 +107,64 @@ def contamination_pairs(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: (doc_id, probe_id, shared_ngrams)
-    for every corpus doc sharing ≥1 word ``n``-gram with a probe doc
-    (the stand-in for an eval-suite decontamination list). Shingles are
-    distinct per doc, so shared_ngrams counts distinct shared n-grams.
+    for every corpus doc sharing ≥1 word ``n``-gram with a probe doc.
+    Shingles are distinct per doc, so shared_ngrams counts distinct
+    shared n-grams.
+
+    ``probes`` is the eval-suite decontamination list as a
+    ``(probe_id, text_col)`` DataFrame; when None, corpus docs with
+    ``id < probe_ids_below`` stand in (self-pairs excluded by the
+    ``id != probe_id`` filter — external probe lists should use an id
+    namespace disjoint from doc ids so the filter never misfires).
 
     The probe side is tiny by construction and broadcast; the corpus
     side is one map-side shingle explode. 8-grams are the standard
     decontamination unit (GPT-3 appendix C uses 8-13)."""
     df = ensure_parallelism(df)
     grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
-    probes = grams.filter(F.col(id_col) < probe_ids_below).select(
-        F.col(id_col).alias("probe_id"), "g"
-    )
+    if probes is None:
+        probe_grams = grams.filter(F.col(id_col) < probe_ids_below).select(
+            F.col(id_col).alias("probe_id"), "g"
+        )
+    else:
+        probe_grams = probes.select(
+            F.col("probe_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
     return (
-        grams.join(F.broadcast(probes), "g")
+        grams.join(F.broadcast(probe_grams), "g")
         .filter(F.col(id_col) != F.col("probe_id"))
         .groupBy(id_col, "probe_id")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )
+
+
+def derived_probe_set(
+    df: DataFrame,
+    every: int = 53,
+    probe_tokens: int = 27,
+    id_offset: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A deterministic probe set DERIVED from the corpus: every
+    ``every``-th doc contributes its first ``probe_tokens`` tokens as a
+    probe, with ``probe_id = doc_id + id_offset`` (a disjoint id
+    namespace, so a doc pairs with the probe derived from ITSELF —
+    overlap is guaranteed by construction). This is the verification
+    harness for ``contamination_pairs`` on corpora where no real eval
+    suite overlaps the fixture (the r6 verdict's vacuous-driver-row
+    hole): it exercises the full probe-shingle → broadcast →
+    overlap-count path with planted, engine-reproducible hits.
+    Production passes the real decontamination list instead."""
+    from rt_bigdata_spark.functions.text_fns import tokenize
+
+    return df.filter(F.col(id_col) % every == 0).select(
+        (F.col(id_col) + id_offset).alias("probe_id"),
+        F.concat_ws(" ", F.slice(tokenize(F.col(text_col)), 1, probe_tokens)).alias(text_col),
     )
 
 

@@ -317,28 +317,67 @@ def near_dup_maintenance_sink(
     corpus-scale signature table every trigger — at 100 TB the rewrite
     IS the job; deltas make each trigger O(batch + candidates).
 
-    Replay protocol — IDENTITY-fenced, not version-fenced: near-dup
-    state is idempotent by document id (the operator anti-joins ids
-    already in the store), so unlike counts/sums no row-count
-    fingerprint is needed. A committed ``state_dir/b_<id>`` is the
-    batch's receipt: the sink skips the batch outright (re-running it
-    would anti-join everything away and OVERWRITE the batch's real
-    pairs with an empty frame). Crash between the pairs write and the
-    sigs write replays cleanly: sigs for the batch don't exist yet, so
-    the batch recomputes and overwrites its own pairs dir with
-    identical content. Write ORDER is therefore pairs-first —
+    Replay protocol — receipt-fenced like the rollup sink (r6 ADVICE):
+    a committed ``state_dir/b_<id>`` is the batch's receipt and the
+    sink skips the batch outright (re-running it would anti-join
+    everything away and OVERWRITE the batch's real pairs with an empty
+    frame). But the receipt alone cannot distinguish a genuine Spark
+    replay from a WIPED/reset checkpoint whose restarted numbering
+    collides with committed dirs — there the skip silently drops the
+    new batch's docs from the signature store. So the fence mirrors
+    ``versioned_state_sink``: each commit records the batch's input
+    row count in a ``_FENCE`` marker inside ``b_<id>``, the skip path
+    verifies it (mismatch raises), and a ``batch_id`` BELOW the
+    highest committed id raises the incarnation guard instead of
+    processing under a colliding-id future. Crash between the pairs
+    write and the sigs write replays cleanly: sigs for the batch don't
+    exist yet, so the batch recomputes and overwrites its own pairs
+    dir with identical content. Write ORDER is therefore pairs-first —
     committing sigs first would turn the replay into a no-op that
     never restores the lost pairs (the operator docstring's
-    consume-before-commit contract, realized).
+    consume-before-commit contract, realized). ``sig_new`` is persisted
+    across the two writes so the batch's tokenize+minhash pipeline and
+    the seen-store scan run once per trigger, not twice (r6 ADVICE).
 
     Same driver-local-FS listing assumption as the rollup sink.
     Readers: ``read_near_dup_pairs`` / ``read_near_dup_sigs``.
     """
     from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh
 
+    def _fence_path(bid: int) -> str:
+        return os.path.join(state_dir, f"b_{bid}", "_FENCE")
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(os.path.join(state_dir, f"b_{batch_id}", "_SUCCESS")):
+        n_rows = batch_df.count()
+        committed = sorted(
+            int(d[2:])
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("b_")
+            and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+        )
+        if committed and batch_id in committed:
+            try:
+                with open(_fence_path(batch_id)) as f:
+                    committed_rows = int(f.read().strip())
+            except (OSError, ValueError):
+                committed_rows = None  # pre-fingerprint state dir: trust the id
+            if committed_rows is not None and committed_rows != n_rows:
+                raise RuntimeError(
+                    f"signature store at {state_dir} has committed batch b_{batch_id} "
+                    f"from {committed_rows} rows, but the stream re-delivered batch "
+                    f"{batch_id} with {n_rows} rows: this is not a replay — the "
+                    "checkpoint was reset (ids restarted) over existing state; point "
+                    "the query at a fresh state_dir or restore the matching checkpoint"
+                )
             return  # identity receipt: this batch's docs are in the store
+        if committed and batch_id < committed[-1]:
+            raise RuntimeError(
+                f"signature store at {state_dir} has committed batches up to "
+                f"b_{committed[-1]} but the stream delivered batch {batch_id}: the "
+                "checkpoint was reset or belongs to a different stream — processing "
+                "would commit under a colliding future id; point the query at a "
+                "fresh state_dir or restore the matching checkpoint"
+            )
         spark = batch_df.sparkSession
         dirs = _committed_batch_dirs(state_dir)
         seen = spark.read.parquet(*dirs) if dirs else None
@@ -353,8 +392,14 @@ def near_dup_maintenance_sink(
             df_cap=df_cap,
             sigs_out="new",
         )
-        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
-        sig_new.write.mode("overwrite").parquet(os.path.join(state_dir, f"b_{batch_id}"))
+        sig_new = sig_new.persist()
+        try:
+            pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
+            sig_new.write.mode("overwrite").parquet(os.path.join(state_dir, f"b_{batch_id}"))
+        finally:
+            sig_new.unpersist()
+        with open(_fence_path(batch_id), "w") as f:
+            f.write(str(n_rows))
 
     return fn
 

@@ -165,3 +165,56 @@ def test_incremental_minhash_lsh_rejects_mismatched_signature_length(spark):
     pairs, sigs = incremental_minhash_lsh(b2, wrong, num_hashes=32, bands=8)
     with _pytest.raises(Exception, match="stored signature length"):
         sigs.collect()
+
+
+def test_near_dup_sink_accumulates_and_fences(spark, tmp_path):
+    """The streaming near-dup maintenance sink end-to-end (r6 ADVICE:
+    the skip path needs the rollup sink's fence): two batches
+    accumulate sigs + cross-batch pairs; an identical replay skips; a
+    wiped-checkpoint collision (same batch_id, different rows) raises
+    instead of silently dropping the batch; a batch_id below the
+    highest committed id raises the incarnation guard."""
+    import pytest as _pt
+
+    from rt_bigdata_spark.streaming.sinks import (
+        near_dup_maintenance_sink,
+        read_near_dup_pairs,
+        read_near_dup_sigs,
+    )
+
+    state = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = near_dup_maintenance_sink(state, pairs_dir, threshold=0.3)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark engines")],
+        "doc_id: long, text: string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, base + " tail"), (11, "unrelated new content with novel tokens entirely")],
+        "doc_id: long, text: string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    assert read_near_dup_sigs(spark, state).count() == 4
+    got = {(r.doc_a, r.doc_b) for r in read_near_dup_pairs(spark, pairs_dir).collect()}
+    assert any(10 in p and 1 in p for p in got)  # cross-batch pair discovered
+
+    # Genuine replay of the latest batch: skipped, nothing changes.
+    sink(b1, 1)
+    assert read_near_dup_sigs(spark, state).count() == 4
+
+    # Wiped checkpoint: id collides with a committed dir but rows differ.
+    b_new = spark.createDataFrame(
+        [(20, "fresh doc one"), (21, "fresh doc two"), (22, "fresh doc three")],
+        "doc_id: long, text: string",
+    )
+    with _pt.raises(RuntimeError, match="not a replay"):
+        sink(b_new, 1)
+    # Incarnation guard: an UNCOMMITTED id below the highest committed
+    # one (commit at 3, then deliver 2) must raise, not process.
+    sink(b_new, 3)
+    with _pt.raises(RuntimeError, match="colliding future id"):
+        sink(b_new, 2)
+    assert read_near_dup_sigs(spark, state).count() == 7  # b0+b1+b_new only

@@ -139,3 +139,31 @@ def test_no_oracle_backed_spec_is_never_driver_verified():
         "oracle-backed specs with no non-vacuous driver row ever, parked "
         f"outside the window: {never}"
     )
+
+
+def test_no_spec_stays_vacuous_in_window(spark):
+    """r6 verdict item 2: a spec whose LAST >=2 driver rows were all
+    vacuous (0 = 0 rows) has occupied a verified-window slot for two
+    rounds without verifying anything. For every such spec still in
+    the current window, actually RUN the registered Spark query at the
+    test SF and require rows > 0 — i.e. the registration must have
+    been changed (planted probes, different fixture slice) before this
+    round's driver runs, or this test fails the build."""
+    from tests.conftest import SF_DIR
+
+    root = Path(__file__).resolve().parents[1]
+    trailing_vacuous: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if row.get("err") is None and (row.get("spark_rows") or 0) == 0:
+                trailing_vacuous[name] = trailing_vacuous.get(name, 0) + 1
+            else:
+                trailing_vacuous[name] = 0
+    window = set(list(get_queries())[:DRIVER_WINDOW])
+    stale = sorted(n for n, k in trailing_vacuous.items() if k >= 2 and n in window)
+    queries = get_queries()
+    still_vacuous = [n for n in stale if queries[n](spark, SF_DIR).limit(1).count() == 0]
+    assert not still_vacuous, (
+        "in-window specs vacuous for >=2 consecutive driver rounds and STILL "
+        f"producing 0 rows: {still_vacuous} — plant overlap or rotate them out"
+    )

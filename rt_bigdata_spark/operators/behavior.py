@@ -246,9 +246,9 @@ def active_users(
     (×N map-side), then exactly distinct-counted per window-end day.
     The ×N expansion runs on the ACTIVITY table, never the event log,
     so at 100 TB the cost is days×users-scale, not events-scale; for
-    N beyond ~30 switch to HLL sketch unions per day
-    (approx_count_distinct over the same expansion, or presketched
-    daily registers merged N-ways).
+    N beyond ~30 (or user counts where days×users itself hurts)
+    switch to ``active_users_hll`` — presketched daily HLL registers
+    merged N-ways, no per-user fan-out at all.
 
     A day's WAU window covers days [d−N+1, d]; days with no activity
     emit no row (standard dashboard semantics — gap-fill downstream
@@ -294,4 +294,74 @@ def active_users(
             "wau",
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
+    )
+
+
+def active_users_hll(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """The sketch form of ``active_users`` — the documented HLL swap
+    for large N, implemented (r6 verdict item 4). Returns
+    ``(day, dau_approx, wau_approx, stickiness_approx)``.
+
+    Shape difference that matters at 100 TB: the exact form fans the
+    per-(user, day) ACTIVITY table ×N before the distinct count —
+    days×users×N exchanged rows. Here each day folds into one
+    fixed-size HLL register set FIRST (``hll_sketch_agg``, a Datasketches
+    HLL_8 of ≤ 2^lg_config_k registers, partial-aggregated map-side),
+    and only the O(days) sketch rows fan ×N for the trailing-window
+    union (``hll_union_agg``) — the per-user explode disappears
+    entirely, so shuffle bytes are days×sketch-size regardless of user
+    count. No pre-distinct on (user, day) either: HLL insertion is
+    idempotent, so the raw event projection feeds the sketch directly
+    (one shuffle total where the exact form needs two).
+
+    Mergeability is the same monoid property the rollup/CMS maintenance
+    sinks exploit; persisted daily registers would make this
+    incrementally maintainable by ``versioned_state_sink``. Estimate
+    accuracy: standard error ≈ 1.04/√2^lg_config_k (~1.6 % at the
+    default 12); the Datasketches sparse mode is near-exact at small
+    cardinalities. Audited against the exact form by the registered
+    ``active_users_hll`` spec (tolerance verdict hash-checked by the
+    DuckDB oracle, the province_stats_approx recipe).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ev = (
+        ensure_parallelism(events)
+        .filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("day"))
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg(user_col, F.lit(lg_config_k)).alias("sk")
+    )
+    fanned = daily.select(
+        "sk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda i: F.date_add(F.col("day").cast("date"), i.cast("int")),
+            )
+        ).alias("win_end"),
+    )
+    # window-ends clipped to real active days (same axis as the exact
+    # form); the day list is O(days) — broadcast
+    days = daily.select(F.col("day").cast("date").alias("win_end"))
+    wau = (
+        fanned.join(F.broadcast(days), "win_end")
+        .groupBy("win_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
+    )
+    dau = daily.select("day", F.hll_sketch_estimate("sk").alias("dau_approx"))
+    return dau.join(wau, dau["day"].cast("date") == wau["win_end"]).select(
+        "day",
+        "dau_approx",
+        "wau_approx",
+        F.round(F.col("dau_approx").cast("double") / F.col("wau_approx"), 6).alias(
+            "stickiness_approx"
+        ),
     )

@@ -2226,10 +2226,10 @@ for spec in [
     QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), priority=10),
     QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=10),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=10),
-    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=10),
+    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=80),
     # round-5 third batch (text→vector bridge + embedding compression)
-    QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=10),
-    QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=10),
+    QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=80),
+    QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=80),
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
     QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=10),

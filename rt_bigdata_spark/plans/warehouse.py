@@ -2080,6 +2080,54 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCURACY AUDIT of behavior.active_users_hll (the
+    province_stats_approx recipe): deterministic columns — day, exact
+    dau/wau from the expansion form — are hash-checked, and the HLL
+    estimates are asserted within ±max(2, 5 % of exact) per day (the
+    oracle asserts TRUE for every row). Production selects the sketch
+    operator alone (no ×N activity explode in ITS plan — asserted in
+    tests/test_plan_quality.py); this audit deliberately carries both
+    paths."""
+    from rt_bigdata_spark.operators.behavior import active_users, active_users_hll
+
+    events = load_table(spark, sf_dir, "events")
+    exact = active_users(events, window_days=_AU_WINDOW_DAYS)
+    approx = active_users_hll(events, window_days=_AU_WINDOW_DAYS).withColumnRenamed(
+        "day", "a_day"
+    )
+    dau_tol = F.greatest(F.lit(2.0), F.col("dau") * 0.05)
+    wau_tol = F.greatest(F.lit(2.0), F.col("wau") * 0.05)
+    return exact.join(approx, exact["day"] == approx["a_day"]).select(
+        "day",
+        "dau",
+        "wau",
+        (F.abs(F.col("dau_approx") - F.col("dau")) <= dau_tol).alias("dau_within_tol"),
+        (F.abs(F.col("wau_approx") - F.col("wau")) <= wau_tol).alias("wau_within_tol"),
+    )
+
+
+_ORACLE_ACTIVE_USERS_HLL = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY day),
+fanned AS (
+  SELECT user_id, day + CAST(g.i AS INT) AS win_end
+  FROM ev CROSS JOIN generate_series(0, {_AU_WINDOW_DAYS - 1}) AS g(i)
+),
+wau AS (
+  SELECT win_end, COUNT(DISTINCT user_id) AS wau
+  FROM fanned JOIN (SELECT DISTINCT day AS win_end FROM ev) USING (win_end)
+  GROUP BY win_end
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, dau, wau,
+       TRUE AS dau_within_tol, TRUE AS wau_within_tol
+FROM dau d JOIN wau w ON d.day = w.win_end
+"""
+
+
 _ORACLE_ACTIVE_USERS = f"""
 WITH ev AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -2127,16 +2175,16 @@ for spec in [
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
-    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=80),
+    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=40),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=80),
-    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=80),
-    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=80),
+    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=40),
+    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=40),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=80),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=80),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=10),
     QuerySpec("dim_history_merge", q_dim_history_merge, _ORACLE_SCD2, ("scd", "incremental"), priority=10),
-    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=80),
-    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=80),
+    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=40),
+    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=40),
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=80),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=80),
     QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
@@ -2150,14 +2198,14 @@ for spec in [
     QuerySpec("cohort_retention", q_cohort_retention, _ORACLE_COHORT, ("behavior", "agg"), priority=10),
     # round-5 fifth batch (Markov transitions + hypertable rollup);
     # slots yielded by the four textops-side demotions (see textops.py)
-    QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=10),
+    QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=80),
     QuerySpec("events_rollup", q_events_rollup, _ORACLE_EVENTS_ROLLUP, ("agg", "timeseries"), priority=10),
     # round-5 sixth batch (sessionization; keyword_stats — green r1-r4
     # — yields its slot on the textops side alongside order_wide)
-    QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=10),
+    QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=80),
     # round-5 seventh batch (single-table DQ suite; visitor_stats +
     # province_stats — green r1-r4 — yield their slots)
-    QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=10),
+    QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=80),
     # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
     # green r1-r4 — yields its slot)
     QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=10),
@@ -2170,5 +2218,6 @@ for spec in [
     QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=10),
     # (customer_max_order — green r4 — yields its slot)
     QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=10),
+    QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), priority=10),
 ]:
     register(spec)

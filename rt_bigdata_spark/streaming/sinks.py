@@ -75,25 +75,84 @@ def jdbc_batch_sink(url: str, table: str, keys: Sequence[str], version_col: str 
     return fn
 
 
-def _rollup_versions(state_dir: str) -> list[int]:
-    """COMMITTED state versions, ascending. A version counts only if
-    its parquet commit marker (_SUCCESS) exists: a crash mid-write
-    leaves a directory without the marker, and trusting it would make
-    the replayed batch skip itself and canonize the partial state —
-    the exact at-least-once case the fence exists for."""
-    if not os.path.isdir(state_dir):
+def _hfs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the Hadoop FileSystem
+    API — the fence's storage layer since r7 (r6 verdict item 5): the
+    same listing/marker/fingerprint protocol now works on any
+    Hadoop-supported store (``file:/``, ``hdfs://``, ``s3a://``…), not
+    just driver-local paths. Local bare paths resolve through the
+    default (local) FileSystem, so behavior there is unchanged."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _fs_committed_ids(spark, base: str, prefix: str) -> list[int]:
+    """COMMITTED ``<prefix><id>`` child dirs of ``base``, ascending. A
+    dir counts only if its parquet commit marker (_SUCCESS) exists: a
+    crash mid-write leaves a directory without the marker, and
+    trusting it would make the replayed batch skip itself and canonize
+    the partial state — the exact at-least-once case the fence exists
+    for."""
+    fs, path = _hfs(spark, base)
+    if not fs.exists(path):
         return []
-    return sorted(
-        int(d.split("_", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("v_")
-        and d.split("_", 1)[1].isdigit()
-        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
-    )
+    jvm = spark._jvm
+    ids = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        tail = name[len(prefix):]
+        if name.startswith(prefix) and tail.isdigit() and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            ids.append(int(tail))
+    return sorted(ids)
 
 
-def _latest_rollup_version(state_dir: str) -> int | None:
-    versions = _rollup_versions(state_dir)
+def _fs_read_text(spark, path_str: str) -> str | None:
+    """Contents of a small text file (fence fingerprints), or None if
+    absent/unreadable."""
+    fs, path = _hfs(spark, path_str)
+    try:
+        stream = fs.open(path)
+    except Exception:
+        return None
+    try:
+        jvm = spark._jvm
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        return reader.readLine() or ""
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark, path_str: str, text: str) -> None:
+    fs, path = _hfs(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_delete(spark, path_str: str) -> None:
+    fs, path = _hfs(spark, path_str)
+    fs.delete(path, True)
+
+
+def _rollup_versions(state_dir: str, spark=None) -> list[int]:
+    """COMMITTED state versions, ascending (see ``_fs_committed_ids``)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    return _fs_committed_ids(spark, state_dir, "v_")
+
+
+def _latest_rollup_version(state_dir: str, spark=None) -> int | None:
+    versions = _rollup_versions(state_dir, spark)
     return versions[-1] if versions else None
 
 
@@ -174,11 +233,12 @@ def versioned_state_sink(
     checkpoint is the documented residual risk; counts cost one extra
     action per batch against the replayable micro-batch source).
 
-    Storage assumption: the fence tracks versions via driver-local
-    ``os.listdir`` + parquet ``_SUCCESS`` markers, so ``state_dir``
-    must be a filesystem path visible to the driver (local disk / NFS /
-    a FUSE-mounted object store). Running against raw ``s3a://`` URIs
-    requires porting the listing to the Hadoop FileSystem API."""
+    Storage: the fence tracks versions through the Hadoop FileSystem
+    API resolved from ``state_dir``'s own scheme (``_hfs``), so plain
+    local paths, ``file:/`` URIs, and object-store URIs (``s3a://``…)
+    all work — listing, ``_SUCCESS`` probing, fingerprint read/write
+    and version pruning ride the same connector Spark uses for the
+    parquet data itself."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1 (the newest version IS the state)")
 
@@ -186,13 +246,13 @@ def versioned_state_sink(
         return os.path.join(state_dir, f"v_{v}", "_FENCE")
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         n_rows = batch_df.count()
-        cur = _latest_rollup_version(state_dir)
+        cur = _latest_rollup_version(state_dir, spark)
         if cur is not None and batch_id == cur:
             try:
-                with open(_fence_path(cur)) as f:
-                    committed_rows = int(f.read().strip())
-            except (OSError, ValueError):
+                committed_rows = int((_fs_read_text(spark, _fence_path(cur)) or "").strip())
+            except ValueError:
                 committed_rows = None  # pre-fingerprint state dir: trust the id
             if committed_rows is not None and committed_rows != n_rows:
                 raise RuntimeError(
@@ -218,12 +278,9 @@ def versioned_state_sink(
         new_state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v_{batch_id}"))
         # fingerprint AFTER the parquet commit: written under the same
         # v_ dir, so pruning removes it with its version
-        with open(_fence_path(batch_id), "w") as f:
-            f.write(str(n_rows))
-        import shutil
-
-        for v in _rollup_versions(state_dir)[:-keep_versions]:
-            shutil.rmtree(os.path.join(state_dir, f"v_{v}"), ignore_errors=True)
+        _fs_write_text(spark, _fence_path(batch_id), str(n_rows))
+        for v in _rollup_versions(state_dir, spark)[:-keep_versions]:
+            _fs_delete(spark, os.path.join(state_dir, f"v_{v}"))
 
     return fn
 
@@ -256,7 +313,7 @@ def read_cms_grid(spark, state_dir: str, depth: int = 4, width: int = 256) -> li
     (feeds ``sketches._cms_estimate`` / heavy-hitter queries)."""
     from rt_bigdata_spark.operators.sketches import grid_from_cells
 
-    cur = _latest_rollup_version(state_dir)
+    cur = _latest_rollup_version(state_dir, spark)
     if cur is None:
         raise FileNotFoundError(f"no committed sketch state under {state_dir}")
     rows = spark.read.parquet(os.path.join(state_dir, f"v_{cur}")).collect()
@@ -268,27 +325,22 @@ def read_rollup(spark, state_dir: str) -> DataFrame:
     display form."""
     from rt_bigdata_spark.operators.aggregations import finalize_time_rollup
 
-    cur = _latest_rollup_version(state_dir)
+    cur = _latest_rollup_version(state_dir, spark)
     if cur is None:
         raise FileNotFoundError(f"no committed rollup state under {state_dir}")
     return finalize_time_rollup(spark.read.parquet(os.path.join(state_dir, f"v_{cur}")))
 
 
-def _committed_batch_dirs(base: str) -> list[str]:
+def _committed_batch_dirs(base: str, spark=None) -> list[str]:
     """COMMITTED ``b_<id>`` delta dirs under an append-only store,
     ascending by batch id (same _SUCCESS-marker rule as
     ``_rollup_versions``: a crash mid-write leaves no marker and the
     partial dir is invisible to readers and to the replay check)."""
-    if not os.path.isdir(base):
-        return []
-    ids = sorted(
-        int(d.split("_", 1)[1])
-        for d in os.listdir(base)
-        if d.startswith("b_")
-        and d.split("_", 1)[1].isdigit()
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    )
-    return [os.path.join(base, f"b_{i}") for i in ids]
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    return [os.path.join(base, f"b_{i}") for i in _fs_committed_ids(spark, base, "b_")]
 
 
 def near_dup_maintenance_sink(
@@ -339,7 +391,7 @@ def near_dup_maintenance_sink(
     across the two writes so the batch's tokenize+minhash pipeline and
     the seen-store scan run once per trigger, not twice (r6 ADVICE).
 
-    Same driver-local-FS listing assumption as the rollup sink.
+    Same Hadoop-FileSystem storage layer as the rollup sink.
     Readers: ``read_near_dup_pairs`` / ``read_near_dup_sigs``.
     """
     from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh
@@ -348,18 +400,13 @@ def near_dup_maintenance_sink(
         return os.path.join(state_dir, f"b_{bid}", "_FENCE")
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         n_rows = batch_df.count()
-        committed = sorted(
-            int(d[2:])
-            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
-            if d.startswith("b_")
-            and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
-        )
+        committed = _fs_committed_ids(spark, state_dir, "b_")
         if committed and batch_id in committed:
             try:
-                with open(_fence_path(batch_id)) as f:
-                    committed_rows = int(f.read().strip())
-            except (OSError, ValueError):
+                committed_rows = int((_fs_read_text(spark, _fence_path(batch_id)) or "").strip())
+            except ValueError:
                 committed_rows = None  # pre-fingerprint state dir: trust the id
             if committed_rows is not None and committed_rows != n_rows:
                 raise RuntimeError(
@@ -378,8 +425,7 @@ def near_dup_maintenance_sink(
                 "would commit under a colliding future id; point the query at a "
                 "fresh state_dir or restore the matching checkpoint"
             )
-        spark = batch_df.sparkSession
-        dirs = _committed_batch_dirs(state_dir)
+        dirs = _committed_batch_dirs(state_dir, spark)
         seen = spark.read.parquet(*dirs) if dirs else None
         pairs, sig_new = incremental_minhash_lsh(
             batch_df,
@@ -398,8 +444,7 @@ def near_dup_maintenance_sink(
             sig_new.write.mode("overwrite").parquet(os.path.join(state_dir, f"b_{batch_id}"))
         finally:
             sig_new.unpersist()
-        with open(_fence_path(batch_id), "w") as f:
-            f.write(str(n_rows))
+        _fs_write_text(spark, _fence_path(batch_id), str(n_rows))
 
     return fn
 
@@ -409,7 +454,7 @@ def read_near_dup_pairs(spark, pairs_dir: str) -> DataFrame:
     the corpus appears exactly once — in the batch that delivered the
     LATER of its two docs (new×(new+corpus) per batch telescopes to
     all×all across batches)."""
-    dirs = _committed_batch_dirs(pairs_dir)
+    dirs = _committed_batch_dirs(pairs_dir, spark)
     if not dirs:
         raise FileNotFoundError(f"no committed pair batches under {pairs_dir}")
     return spark.read.parquet(*dirs)
@@ -418,7 +463,7 @@ def read_near_dup_pairs(spark, pairs_dir: str) -> DataFrame:
 def read_near_dup_sigs(spark, state_dir: str) -> DataFrame:
     """The accumulated committed signature store (feeds the next
     ingest's ``seen_sigs``, or a batch re-run)."""
-    dirs = _committed_batch_dirs(state_dir)
+    dirs = _committed_batch_dirs(state_dir, spark)
     if not dirs:
         raise FileNotFoundError(f"no committed signature batches under {state_dir}")
     return spark.read.parquet(*dirs)

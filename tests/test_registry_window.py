@@ -30,22 +30,21 @@ MUST_BE_IN_WINDOW = {
     # ann_cosine_topk, corpus_profile, quality_gate, unigram_surprisal
     # — yielded their slots; all stay CI-oracle-verified):
     "semantic_clusters", "semdedup", "bm25_search", "stratified_sample",
-    "corpus_diff",
     # round-5 third batch (is_new_correction, bounce_detection,
     # cdc_routing, doc_keywords yielded their slots):
-    "event_funnel", "cohort_retention", "doc_embedding", "embedding_project",
+    "event_funnel", "cohort_retention",
     # round-5 fourth batch (sales_rollup — green r1-r4 — yielded its slot):
     "heavy_hitters",
     # round-5 fifth batch (order_wide_enriched, shipping_priority,
     # supplier_volume, product_stats — all green r1-r4 — yielded their
     # slots; still oracle-verified every CI run):
-    "quality_classifier", "substring_dedup", "event_transitions", "events_rollup",
+    "quality_classifier", "substring_dedup", "events_rollup",
     # round-5 sixth batch (keyword_stats, order_wide — green r1-r4 —
     # yielded their slots):
-    "user_sessions", "bpe_pairs",
+    "bpe_pairs",
     # round-5 seventh batch (visitor_stats, province_stats — green
     # r1-r4 — yielded their slots):
-    "winnow_fingerprint", "dq_orders",
+    "winnow_fingerprint",
     # round-5 eighth batch (pricing_summary — green r1-r4 — yielded
     # its slot):
     "point_in_time_join",
@@ -84,6 +83,15 @@ MUST_BE_IN_WINDOW = {
     # round-6 third batch (minhash_lsh — twice-green — yielded its
     # slot): quality_gate's promised broadcast-threshold scale form
     "quality_gate_threshold",
+    # round-7 batch: six twice-green r5 first-timers (corpus_diff,
+    # doc_embedding, embedding_project, event_transitions,
+    # user_sessions, dq_orders) yielded their slots (priority=80; still
+    # oracle-verified every CI run). In: the HLL swap for the xN
+    # activity expansion (new), and five once-green parked specs pulled
+    # back through the window for their second green (priority=40).
+    "active_users_hll",
+    "sales_cube", "customer_quartiles", "customer_max_order",
+    "nation_trade", "integrity_audit",
 }
 
 

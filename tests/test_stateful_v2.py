@@ -20,7 +20,6 @@ Two layers:
 
 from __future__ import annotations
 
-import importlib.util
 import json
 import os
 import time
@@ -36,10 +35,38 @@ from rt_bigdata_spark.streaming.stateful_v2 import (
     unique_visits_v2,
 )
 
-try:
-    HAVE_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:
-    HAVE_PROTOBUF = False
+def _probe_protobuf() -> bool:
+    """Import-order-robust probe (r6 verdict: the find_spec probe
+    resolved False in one full-suite ordering while passing standalone
+    — find_spec re-walks parent __path__/__spec__ state that other
+    tests' imports can perturb). A direct import hits the module cache
+    conftest's shim bridge already populated, and a clean-interpreter
+    subprocess probe (inheriting the shim PYTHONPATH) settles any
+    in-process ambiguity."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        pass
+    import subprocess
+    import sys
+
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", "import google.protobuf"],
+                env=os.environ.copy(),
+                capture_output=True,
+                timeout=60,
+            ).returncode
+            == 0
+        )
+    except Exception:
+        return False
+
+
+HAVE_PROTOBUF = _probe_protobuf()
 
 FIXTURE = [
     {"mid": "101", "page_id": "home", "last_page_id": None, "is_new": "1", "ts": 10000},

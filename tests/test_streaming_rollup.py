@@ -175,3 +175,40 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         [(r["doc_id"], r["text"]) for r in docs1 + docs2], "doc_id: long, text: string"
     )
     assert streamed == cms_build(full, depth=2, width=16)
+
+
+def test_fence_works_through_hadoop_fs_uri(spark, tmp_path):
+    """r6 verdict item 5: the version fence must run on the Hadoop
+    FileSystem API, not driver-local os.listdir — exercised here with
+    an explicit ``file:/`` URI (a path os.listdir cannot list), which
+    routes listing, _SUCCESS probing, _FENCE read/write and pruning
+    through the same resolver an object-store URI would use. Fold,
+    replay-skip, wiped-checkpoint rejection and version pruning all
+    behave identically to the bare-path tests."""
+    import os as _os
+
+    import pytest as _pt
+
+    state = (tmp_path / "state").as_uri().replace("file://", "file:")
+    assert state.startswith("file:/") and not _os.path.isdir(state)
+    sink = rollup_maintenance_sink(state, ["event_type"], keep_versions=1)
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "view", 5.0)],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    sink(b, 0)
+    sink(b, 0)  # replay skips (fingerprint matches through the URI)
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 11:00:00", "view", 2.0), (3, "2024-01-01 11:01:00", "click", 1.0)],
+        "event_id: long, ts_s: string, event_type: string, value: double",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    sink(b2, 1)
+    got = {(r.event_type, r.bucket_ts.hour): (r.n_events, r.v_sum)
+           for r in read_rollup(spark, state).collect()}
+    assert got == {("view", 10): (1, 5.0), ("view", 11): (1, 2.0), ("click", 11): (1, 1.0)}
+    # keep_versions=1 pruned v_0 through the FS API
+    local = tmp_path / "state"
+    assert sorted(d.name for d in local.iterdir() if d.name.startswith("v_")) == ["v_1"]
+    # wiped checkpoint over the URI store still raises
+    with _pt.raises(RuntimeError, match="not a replay"):
+        sink(b, 1)

@@ -62,20 +62,28 @@ def connected_components(
     # Symmetrized, so the a-side alone covers every edge-touched node.
     labels = e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
-        # each node also receives its neighbors' current labels …
+        # Each node receives its neighbors' current labels; its OWN
+        # current label rides along tagged in ``_old`` (neigh rows
+        # carry NULL there), so the min-agg yields the new label AND
+        # the previous one in the same pass — the convergence check
+        # needs no second join.
         neigh = e.join(labels, e["b"] == labels["node"]).select(
-            F.col("a").alias("node"), F.col("label")
+            F.col("a").alias("node"), F.col("label"), F.lit(None).cast(labels.schema["label"].dataType).alias("_old")
         )
+        own = labels.select("node", "label", F.col("label").alias("_old"))
+        # ONE Spark job per round (r6 verdict item 6): the lazy
+        # localCheckpoint is materialized by the changed-count action
+        # itself (a full aggregate, so every partition persists), and
+        # the next round's join reuses the persisted blocks — the
+        # eager-checkpoint + count pattern ran two jobs per round.
         new_labels = (
-            labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+            own.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     out = nodes.select(F.col(id_col).alias("node")).join(labels, "node", "left")
@@ -149,7 +157,10 @@ def connected_components_two_phase(
         # large-star needs both directions of the current edge set
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         e2 = _star_edges(sym, large=True)
-        e = _star_edges(e2, large=False).localCheckpoint()
+        # one job per round: the fingerprint aggregate materializes the
+        # lazily-marked checkpoint (full scan → every partition
+        # persists; next round reuses the blocks)
+        e = _star_edges(e2, large=False).localCheckpoint(eager=False)
         fp = fingerprint(e)
         if fp == prev_fp:
             break

@@ -143,3 +143,31 @@ def test_two_phase_matches_min_label_on_random_graphs(spark):
             for r in connected_components_two_phase(nodes, edges).collect()
         }
         assert got == expect
+
+
+def test_cc_loop_runs_one_query_per_round(spark):
+    """r6 verdict item 6: the CC loops must fold the convergence check
+    into the round's materializing action (lazy localCheckpoint whose
+    blocks are persisted by the changed-count / fingerprint aggregate
+    itself) — the eager-checkpoint + separate convergence-join pattern
+    ran two queries per round (measured 40 jobs on this fixture for
+    the loop alone vs 33 for the whole operator now; AQE stage-jobs
+    account for the remainder). Ceilings set between the two
+    implementations so a regression to two-queries-per-round fails."""
+    from rt_bigdata_spark.operators.graph import connected_components_two_phase
+
+    sc = spark.sparkContext
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id: long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "src: long, dst: long")
+
+    sc.setJobGroup("cc_jobs", "cc job-count probe")
+    out = {(r.node, r.label) for r in connected_components(nodes, edges).collect()}
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobs"))
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 6), (7, 7)}
+    assert n_jobs <= 35, f"CC ran {n_jobs} jobs — two-queries-per-round regression?"
+
+    sc.setJobGroup("cc2_jobs", "two-phase job-count probe")
+    out2 = {(r.node, r.label) for r in connected_components_two_phase(nodes, edges).collect()}
+    n_jobs2 = len(sc.statusTracker().getJobIdsForGroup("cc2_jobs"))
+    assert out2 == out
+    assert n_jobs2 <= 24, f"two-phase ran {n_jobs2} jobs"

@@ -413,16 +413,41 @@ def embedding_near_dup_lsh(
     bucket computation is three small higher-order functions regardless
     of dimensionality.
     """
+    from rt_bigdata_spark.operators.similarity import dot
+
+    sig = _emb_lsh_cells(
+        ensure_parallelism(df), id_col, vec_col, num_planes, num_tables, dim, seed
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sim").alias("sim"))
+    )
+
+
+def _emb_lsh_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(id, v, nrm, cell) rows — one per (vector, table): the shared
+    hyperplane-LSH cell assignment of ``embedding_near_dup_lsh`` and
+    its incremental form (identical plane constants, so batch and
+    stream land every vector in the same cells)."""
     from rt_bigdata_spark.operators.similarity import dot, lcg_planes
 
-    v = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     planes_lit = F.lit([lcg_planes(num_planes, dim, seed + t) for t in range(num_tables)])
     cells = F.transform(
         F.sequence(F.lit(0), F.lit(num_tables - 1)),
@@ -439,16 +464,68 @@ def embedding_near_dup_lsh(
             ).alias("bkt"),
         ),
     )
-    sig = v.withColumn("cell", F.explode(cells))
-    a, b = sig.alias("a"), sig.alias("b")
+    return v.withColumn("cell", F.explode(cells))
+
+
+def incremental_embedding_near_dup_lsh(
+    new_vecs: DataFrame,
+    seen_vecs: DataFrame | None,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-shaped ``embedding_near_dup_lsh``: pairs are
+    new×(new+corpus) — the stored corpus is touched only through its
+    persisted ``(id, vector)`` rows, re-celled with the SAME plane
+    constants, never re-encoded. The embedding twin of
+    ``incremental_minhash_lsh`` (same telescoping identity: per-batch
+    new×all pairs union to the batch operator's all×all over the full
+    corpus, each pair emitted exactly once — in the batch that
+    delivered the LATER of its two vectors).
+
+    Returns ``(pairs, new_rows)``: pairs as (id_a, id_b, sim) with the
+    canonical least/greatest id order and the batch operator's
+    rounding (so streamed ∪ batch results are directly comparable),
+    and new_rows = THIS batch's (id, vector) rows for an append-only
+    store (redelivered ids are anti-joined out first, so a replayed
+    batch neither re-pairs nor duplicates state).
+
+    Scale: per trigger one cell exchange of O(batch + matching corpus
+    cells) — the stored side is joined cell-equi (broadcast-eligible
+    for small batches under AQE), never crossed.
+    """
+    new_vecs = new_vecs.select(F.col(id_col), F.col(vec_col))
+    if seen_vecs is not None:
+        new_vecs = new_vecs.join(
+            seen_vecs.select(F.col(id_col)), id_col, "left_anti"
+        )
+    from rt_bigdata_spark.operators.similarity import dot
+
+    new_cells = _emb_lsh_cells(new_vecs, id_col, vec_col, num_planes, num_tables, dim, seed)
+    all_vecs = (
+        new_vecs
+        if seen_vecs is None
+        else seen_vecs.select(F.col(id_col), F.col(vec_col)).unionByName(new_vecs)
+    )
+    all_cells = _emb_lsh_cells(all_vecs, id_col, vec_col, num_planes, num_tables, dim, seed)
+    a, b = new_cells.alias("a"), all_cells.alias("b")
     sim = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
-    return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            sim.alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
         .groupBy("id_a", "id_b")
         .agg(F.first("sim").alias("sim"))
     )
+    return pairs, new_vecs
 
 
 def paragraph_dedup(

@@ -331,6 +331,45 @@ def read_rollup(spark, state_dir: str) -> DataFrame:
     return finalize_time_rollup(spark.read.parquet(os.path.join(state_dir, f"v_{cur}")))
 
 
+def _delta_fence_path(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, f"b_{batch_id}", "_FENCE")
+
+
+def _delta_fence_skips(spark, state_dir: str, batch_id: int, n_rows: int, what: str) -> bool:
+    """The append-only-delta-store fence shared by the near-dup and
+    embedding maintenance sinks: True → verified replay of a committed
+    batch, skip it. Raises on a wiped/reset checkpoint — a committed
+    ``b_<id>`` whose recorded _FENCE row count differs from the
+    delivered batch, or a batch id strictly below the highest committed
+    id (processing would commit under a colliding future id)."""
+    committed = _fs_committed_ids(spark, state_dir, "b_")
+    if committed and batch_id in committed:
+        try:
+            committed_rows = int(
+                (_fs_read_text(spark, _delta_fence_path(state_dir, batch_id)) or "").strip()
+            )
+        except ValueError:
+            committed_rows = None  # pre-fingerprint state dir: trust the id
+        if committed_rows is not None and committed_rows != n_rows:
+            raise RuntimeError(
+                f"{what} at {state_dir} has committed batch b_{batch_id} "
+                f"from {committed_rows} rows, but the stream re-delivered batch "
+                f"{batch_id} with {n_rows} rows: this is not a replay — the "
+                "checkpoint was reset (ids restarted) over existing state; point "
+                "the query at a fresh state_dir or restore the matching checkpoint"
+            )
+        return True
+    if committed and batch_id < committed[-1]:
+        raise RuntimeError(
+            f"{what} at {state_dir} has committed batches up to "
+            f"b_{committed[-1]} but the stream delivered batch {batch_id}: the "
+            "checkpoint was reset or belongs to a different stream — processing "
+            "would commit under a colliding future id; point the query at a "
+            "fresh state_dir or restore the matching checkpoint"
+        )
+    return False
+
+
 def _committed_batch_dirs(base: str, spark=None) -> list[str]:
     """COMMITTED ``b_<id>`` delta dirs under an append-only store,
     ascending by batch id (same _SUCCESS-marker rule as
@@ -396,35 +435,11 @@ def near_dup_maintenance_sink(
     """
     from rt_bigdata_spark.operators.dedup import incremental_minhash_lsh
 
-    def _fence_path(bid: int) -> str:
-        return os.path.join(state_dir, f"b_{bid}", "_FENCE")
-
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         n_rows = batch_df.count()
-        committed = _fs_committed_ids(spark, state_dir, "b_")
-        if committed and batch_id in committed:
-            try:
-                committed_rows = int((_fs_read_text(spark, _fence_path(batch_id)) or "").strip())
-            except ValueError:
-                committed_rows = None  # pre-fingerprint state dir: trust the id
-            if committed_rows is not None and committed_rows != n_rows:
-                raise RuntimeError(
-                    f"signature store at {state_dir} has committed batch b_{batch_id} "
-                    f"from {committed_rows} rows, but the stream re-delivered batch "
-                    f"{batch_id} with {n_rows} rows: this is not a replay — the "
-                    "checkpoint was reset (ids restarted) over existing state; point "
-                    "the query at a fresh state_dir or restore the matching checkpoint"
-                )
+        if _delta_fence_skips(spark, state_dir, batch_id, n_rows, "signature store"):
             return  # identity receipt: this batch's docs are in the store
-        if committed and batch_id < committed[-1]:
-            raise RuntimeError(
-                f"signature store at {state_dir} has committed batches up to "
-                f"b_{committed[-1]} but the stream delivered batch {batch_id}: the "
-                "checkpoint was reset or belongs to a different stream — processing "
-                "would commit under a colliding future id; point the query at a "
-                "fresh state_dir or restore the matching checkpoint"
-            )
         dirs = _committed_batch_dirs(state_dir, spark)
         seen = spark.read.parquet(*dirs) if dirs else None
         pairs, sig_new = incremental_minhash_lsh(
@@ -444,7 +459,70 @@ def near_dup_maintenance_sink(
             sig_new.write.mode("overwrite").parquet(os.path.join(state_dir, f"b_{batch_id}"))
         finally:
             sig_new.unpersist()
-        _fs_write_text(spark, _fence_path(batch_id), str(n_rows))
+        _fs_write_text(spark, _delta_fence_path(state_dir, batch_id), str(n_rows))
+
+    return fn
+
+
+def embedding_dedup_maintenance_sink(
+    state_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.35,
+    dim: int = 64,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming EMBEDDING near-dup discovery maintenance — the vector
+    twin of ``near_dup_maintenance_sink`` (r6 verdict item 8): each
+    micro-batch of ``(id, vector)`` rows runs
+    ``dedup.incremental_embedding_near_dup_lsh`` against the
+    accumulated vector store; pairs are new×(new+corpus), the corpus
+    is touched only through its persisted vectors, re-celled with the
+    same plane constants — never re-encoded.
+
+    The streaming media path composes as: media stream →
+    ``multimodal.media_pseudo_embedding_array`` (pure column exprs —
+    valid on streaming DataFrames; a CLIP/ViT Pandas-UDF encoder swaps
+    in with the same contract) → this sink inside ``foreachBatch``.
+    Batch-equivalence: the union of per-batch pairs dirs equals the
+    batch ``media_dedup`` pipeline's pairs over the full corpus (the
+    telescoping identity, tested two-micro-batch vs batch).
+
+    Same append-only delta-store layout, pairs-first commit order,
+    _FENCE fingerprints and incarnation guard as the minhash sink
+    (``_delta_fence_skips``); readers: ``read_near_dup_pairs`` /
+    ``read_near_dup_sigs`` (the stored rows are (id, vector) here).
+    """
+    from rt_bigdata_spark.operators.dedup import incremental_embedding_near_dup_lsh
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        n_rows = batch_df.count()
+        if _delta_fence_skips(spark, state_dir, batch_id, n_rows, "vector store"):
+            return
+        dirs = _committed_batch_dirs(state_dir, spark)
+        seen = spark.read.parquet(*dirs) if dirs else None
+        pairs, vec_new = incremental_embedding_near_dup_lsh(
+            batch_df,
+            seen,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            dim=dim,
+            seed=seed,
+        )
+        vec_new = vec_new.persist()
+        try:
+            pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
+            vec_new.write.mode("overwrite").parquet(os.path.join(state_dir, f"b_{batch_id}"))
+        finally:
+            vec_new.unpersist()
+        _fs_write_text(spark, _delta_fence_path(state_dir, batch_id), str(n_rows))
 
     return fn
 

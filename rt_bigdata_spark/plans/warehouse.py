@@ -2218,6 +2218,6 @@ for spec in [
     QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=10),
     # (customer_max_order — green r4 — yields its slot)
     QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=10),
-    QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), priority=10),
+    QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), bench=True, priority=10),
 ]:
     register(spec)

@@ -99,8 +99,11 @@ def _assert_integer_dtypes_survive_pandas(spec, sdf, duck) -> None:
         )
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
-def test_rows_only_queries_run(spark, sf_dir, spec):
-    df = spec.spark(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_spec_is_oracle_backed():
+    """Since r6 the registry carries ZERO rows-only specs — every query
+    is hash-checked against DuckDB. This invariant replaces the old
+    parametrized rows-only smoke test, whose now-empty parameter set
+    was the full suite's one lingering 'skipped' line (r6 verdict item
+    3). A future genuinely-non-SQL-expressible registration should
+    reinstate that execution check alongside relaxing this assertion."""
+    assert ROWS_ONLY_SPECS == [], [s.name for s in ROWS_ONLY_SPECS]

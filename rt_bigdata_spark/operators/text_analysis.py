@@ -448,6 +448,52 @@ def bpe_merges(
     )
 
 
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a trained BPE merge table: per document, the word count
+    and the BPE token count under the tokenizer ``bpe_merges``
+    induced — the train→encode round trip, and the number every
+    token-budget pipeline actually needs (``token_budget`` counts
+    words; a budget in model tokens needs THIS).
+
+    Scale shape: the merge chain is applied per token TYPE, not per
+    occurrence — distinct tokens (vocab-sized: millions of rows for a
+    trillions-of-tokens corpus) run the chained double-space literal
+    replaces (identical greedy left-to-right semantics as training,
+    see ``bpe_merges``), reduce to (token, n_symbols), and join back
+    onto the exploded doc tokens (AQE broadcasts the vocab side when
+    it fits; the join key is the token string — max-cardinality, no
+    skew). Encoding cost is O(vocab × merges) + one count-shaped join,
+    independent of how often each token repeats. Zero-token documents
+    emit no row (nothing to encode — the ``chunk_documents``
+    convention). ``merges`` is the driver-side trained model (a
+    per-step (left, right) list — the k-means-centroid pattern:
+    model as literals, never a Python UDF).
+    """
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    doc_toks = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
+    seq = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    for left, right in merges:
+        seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    enc = (
+        doc_toks.select("tok")
+        .distinct()
+        .select("tok", F.size(F.split(F.trim(seq), "  ")).alias("n_sym"))
+    )
+    return (
+        doc_toks.join(enc, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def _winnow_fp_array(text_col: str, k: int, w: int):
     """Winnowing fingerprint array of a text column (shared kernel of
     winnow_fingerprints and winnow_match_pairs — the gram hashing and

@@ -33,6 +33,9 @@ FLAGSHIPS = {
     "contamination": "corpus-side shingle explode stays map-side; the probe set is broadcast, so the only Exchange is the final per-pair count.",
     "paragraph_dedup": "ONE corpus scan (n_chunks carried on chunk rows; min(struct full-row) keeper — no join-back, no totals pass), two agg exchanges, zero joins.",
     "global_shuffle": "contiguous global positions without a single-partition sort: per-bucket row_number windows in parallel + a 256-row cumulative-offset broadcast; the only ordered-by-everything node runs on the tiny counts table.",
+    "stratified_sample": "bucket-kernel rank with prefix prune: per-(stratum, bucket) counts -> offsets window over the tiny bucket table -> surviving buckets broadcast back -> exact window over ~n_per_group candidate rows; every windowspecdefinition carries the _bkt key (blanket plan ban on unbucketed md5-order group sorts).",
+    "concat_pack": "packing cumsum on the bucket kernel: per-(source, bucket) token sums + broadcast offsets + in-bucket running sum; span indices are closed-form projections over the cumsum — a dominant source sorts in ~n/256-row tasks, not one.",
+    "active_users_hll": "the sketch swap's audit plan: the exact side still expands activity xN, but the HLL side aggregates per-day registers FIRST and only O(days) sketch rows fan out — the production projection's only Generate never touches user_id (asserted).",
     "filtered_ann_indexed": "IVF probe scan partition-pruned to the probed cells (PartitionFilters) with the metadata keep-set applied as a LeftSemi join BEFORE the cosine kernel.",
     "semantic_clusters": "final k-means assignment pass: centroids inlined as literal arrays (broadcast model, MLlib-style), cell argmax and cosine are map-side expressions — the only exchange in the whole iteration loop is the (cell, dim) partial-sum hash-agg.",
     "bm25_search": "corpus stats (N, Σdl, per-term df) reduce partial→final to ONE row broadcast back over the scan; scoring is a single map-side expression; top-k is TakeOrderedAndProject, never a global window.",

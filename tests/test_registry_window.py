@@ -41,7 +41,8 @@ MUST_BE_IN_WINDOW = {
     "quality_classifier", "substring_dedup", "events_rollup",
     # round-5 sixth batch (keyword_stats, order_wide — green r1-r4 —
     # yielded their slots):
-    "bpe_pairs",
+    "bpe_encode",  # r7: bpe_pairs (twice-green; the single step bpe_merges
+    # subsumes) yielded its slot to the train->encode round trip
     # round-5 seventh batch (visitor_stats, province_stats — green
     # r1-r4 — yielded their slots):
     "winnow_fingerprint",

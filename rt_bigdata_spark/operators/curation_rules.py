@@ -146,25 +146,35 @@ def derived_probe_set(
     df: DataFrame,
     every: int = 53,
     probe_tokens: int = 27,
-    id_offset: int = 1_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """A deterministic probe set DERIVED from the corpus: every
-    ``every``-th doc contributes its first ``probe_tokens`` tokens as a
-    probe, with ``probe_id = doc_id + id_offset`` (a disjoint id
-    namespace, so a doc pairs with the probe derived from ITSELF —
-    overlap is guaranteed by construction). This is the verification
-    harness for ``contamination_pairs`` on corpora where no real eval
-    suite overlaps the fixture (the r6 verdict's vacuous-driver-row
-    hole): it exercises the full probe-shingle → broadcast →
-    overlap-count path with planted, engine-reproducible hits.
-    Production passes the real decontamination list instead."""
+    ``every``-th doc with ≥1 token contributes its first
+    ``probe_tokens`` tokens as a probe, with ``probe_id = -doc_id - 1``
+    — the negative ids are disjoint from ANY non-negative corpus id
+    space (an additive offset is only disjoint while ids stay under
+    it; review finding, r7), so a doc pairs with the probe derived
+    from ITSELF and overlap is guaranteed by construction.
+    NULL/zero-token docs contribute no probe (their would-be probe
+    text is empty, and an empty probe's single '' shingle would plant
+    meaningless matches against every other empty doc). This is the
+    verification harness for ``contamination_pairs`` on corpora where
+    no real eval suite overlaps the fixture (the r6 verdict's
+    vacuous-driver-row hole): it exercises the full probe-shingle →
+    broadcast → overlap-count path with planted, engine-reproducible
+    hits. Production passes the real decontamination list instead."""
     from rt_bigdata_spark.functions.text_fns import tokenize
 
-    return df.filter(F.col(id_col) % every == 0).select(
-        (F.col(id_col) + id_offset).alias("probe_id"),
-        F.concat_ws(" ", F.slice(tokenize(F.col(text_col)), 1, probe_tokens)).alias(text_col),
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.filter(F.col(id_col) % every == 0)
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .select(
+            (-F.col(id_col) - 1).alias("probe_id"),
+            F.concat_ws(" ", F.slice(F.col("_t"), 1, probe_tokens)).alias(text_col),
+        )
     )
 
 

@@ -506,20 +506,31 @@ def incremental_embedding_near_dup_lsh(
     from rt_bigdata_spark.operators.similarity import dot
 
     new_cells = _emb_lsh_cells(new_vecs, id_col, vec_col, num_planes, num_tables, dim, seed)
-    all_vecs = (
-        new_vecs
-        if seen_vecs is None
-        else seen_vecs.select(F.col(id_col), F.col(vec_col)).unionByName(new_vecs)
-    )
-    all_cells = _emb_lsh_cells(all_vecs, id_col, vec_col, num_planes, num_tables, dim, seed)
-    a, b = new_cells.alias("a"), all_cells.alias("b")
+    a, b = new_cells.alias("a"), new_cells.alias("b")
     sim = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
+    # in-batch pairs with a.id < b.id (each once — the batch operator's
+    # shape, not both orientations deduped later; review finding, r7)
+    cand = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"), sim.alias("s"))
+    if seen_vecs is not None:
+        seen_cells = _emb_lsh_cells(
+            seen_vecs.select(F.col(id_col), F.col(vec_col)),
+            id_col, vec_col, num_planes, num_tables, dim, seed,
+        ).alias("b")
+        # new×seen needs no id filter: the anti-join above made the id
+        # sets disjoint, so self-pairs are impossible
+        sim_ns = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
+        cand = cand.unionByName(
+            a.join(seen_cells, F.col("a.cell") == F.col("b.cell")).select(
+                F.col("a.id").alias("ia"), F.col("b.id").alias("ib"), sim_ns.alias("s")
+            )
+        )
     pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") != F.col("b.id")))
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            sim.alias("sim"),
+        cand.select(
+            F.least(F.col("ia"), F.col("ib")).alias("id_a"),
+            F.greatest(F.col("ia"), F.col("ib")).alias("id_b"),
+            F.col("s").alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .groupBy("id_a", "id_b")

@@ -1170,8 +1170,8 @@ FROM documents
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination pairs (curation_rules.contamination_pairs)
     against a probe set DERIVED from the corpus
-    (curation_rules.derived_probe_set: every 53rd doc's first 27 tokens,
-    probe_id = doc_id + 1e6) — overlap is guaranteed by construction,
+    (curation_rules.derived_probe_set: every 53rd non-empty doc's first 27
+    tokens, probe_id = -doc_id - 1) — overlap is guaranteed by construction,
     so the driver row verifies the overlap join on real rows instead of
     the 0=0 vacuity the r6 verdict flagged (the sf0.01 fixture has no
     natural 8-gram overlap with any tiny probe subset)."""
@@ -1192,7 +1192,8 @@ g AS (
                                FOR i IN generate_series(1, greatest(len(t) - 7, 1))])) AS g
   FROM tl
 ),
-ptl AS (SELECT doc_id + 1000000 AS probe_id, t[1:27] AS t FROM tl WHERE doc_id % 53 = 0),
+ptl AS (SELECT -doc_id - 1 AS probe_id, t[1:27] AS t FROM tl
+        WHERE doc_id % 53 = 0 AND len(t) >= 1),
 pg AS (
   SELECT probe_id,
          UNNEST(list_distinct([array_to_string(t[i:i+7], ' ')
@@ -1905,7 +1906,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rt_bigdata_spark.operators.text_analysis import bpe_encode_counts, bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = [(r.left, r.right) for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).collect()]
+    # orderBy(step): merge-application ORDER is semantically load-bearing
+    # and collect() row order is not contractual (review finding, r7)
+    merges = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
+    ]
     return bpe_encode_counts(docs, merges)
 
 

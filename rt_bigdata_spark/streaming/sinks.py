@@ -113,13 +113,17 @@ def _fs_committed_ids(spark, base: str, prefix: str) -> list[int]:
 
 
 def _fs_read_text(spark, path_str: str) -> str | None:
-    """Contents of a small text file (fence fingerprints), or None if
-    absent/unreadable."""
+    """Contents of a small text file (fence fingerprints); None ONLY
+    when the file does not exist (the pre-fingerprint-state-dir case
+    the fence callers deliberately trust). Any other failure — a
+    transient object-store error, permissions — RAISES: a swallowed
+    read error here would make the replay path skip a batch unverified,
+    which is precisely the silent data-drop the fence exists to catch
+    (review finding, r7)."""
     fs, path = _hfs(spark, path_str)
-    try:
-        stream = fs.open(path)
-    except Exception:
+    if not fs.exists(path):
         return None
+    stream = fs.open(path)
     try:
         jvm = spark._jvm
         reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))

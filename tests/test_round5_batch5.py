@@ -941,7 +941,7 @@ def test_bpe_encode_counts_applies_merges_greedily(spark):
 
     rows = [(1, "aaab aaab aaab"), (2, "ab cd"), (3, ""), (4, None)]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
-    merges = [(r.left, r.right) for r in bpe_merges(df, n_merges=2).collect()]
+    merges = [(r.left, r.right) for r in bpe_merges(df, n_merges=2).orderBy("step").collect()]
     # corpus pairs: 'aaab' x3 -> (a,a) x2 each = 6, (a,b) x3; 'ab','cd' 1 each
     # step1 merges (a,a): 'aaab' -> 'aa a b' ... re-count -> step2 picks
     # the next best pair deterministically; verify against a python mirror

@@ -126,6 +126,7 @@ def concat_pack(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Causal-LM concatenation packing map: per group, documents are
     concatenated in deterministic md5-priority order into one token
@@ -146,7 +147,9 @@ def concat_pack(
     kernel (``scale.bucketed_group_order``) — per-(group, bucket)
     partial sums + broadcast offsets instead of one task sorting and
     summing a whole (possibly dominant) source. Bit-identical cumsums,
-    unchanged oracle.
+    unchanged oracle. Size ``n_buckets`` ≳ dominant-group rows /
+    target-task rows (the default 256 caps per-group sort parallelism
+    at 256 tasks; a 10^11-doc source wants 4096+).
     """
     from rt_bigdata_spark.operators.scale import bucketed_group_order
 
@@ -159,7 +162,8 @@ def concat_pack(
         F.md5(txt).alias("_pr"),
     ).filter(F.col("n_tokens") > 0)
     packed = bucketed_group_order(
-        scored, "_pr", id_col, group_col=group_col, sum_col="n_tokens", cumsum_col="_cum"
+        scored, "_pr", id_col, group_col=group_col, n_buckets=n_buckets,
+        sum_col="n_tokens", cumsum_col="_cum",
     )
     cum = F.col("_cum")
     return packed.select(

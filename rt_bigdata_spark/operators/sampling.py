@@ -108,6 +108,7 @@ def stratified_sample(
     group_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "0",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Exact-N-per-stratum deterministic sample: the first
     ``n_per_group`` rows of each group in ``md5(seed:id)`` order —
@@ -133,7 +134,8 @@ def stratified_sample(
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     scored = ensure_parallelism(df).select(F.col(id_col), F.col(group_col), key.alias("_pr"))
     ranked = bucketed_group_order(
-        scored, "_pr", id_col, group_col=group_col, rank_col="_rn", prune_rank=n_per_group
+        scored, "_pr", id_col, group_col=group_col, n_buckets=n_buckets,
+        rank_col="_rn", prune_rank=n_per_group,
     )
     return (
         ranked.filter(F.col("_rn") <= n_per_group)
@@ -178,6 +180,7 @@ def mix_schedule(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Stride-scheduled source interleaving: the deterministic global
     ORDER in which a training run should consume a weighted mix of
@@ -192,7 +195,8 @@ def mix_schedule(
     Scale shape: the per-source rank comes from the bucket-decomposed
     kernel (``scale.bucketed_group_order``) — ~n/n_buckets rows per
     sort task instead of one task sorting a whole (possibly dominant)
-    source. Bit-identical ranks, unchanged oracle.
+    source. Bit-identical ranks, unchanged oracle. Size ``n_buckets``
+    ≳ dominant-group rows / target-task rows.
     """
     from rt_bigdata_spark.operators.scale import bucketed_group_order, ensure_parallelism
 
@@ -201,7 +205,7 @@ def mix_schedule(
         F.col(id_col), F.col(group_col), F.md5(txt).alias("_pr")
     )
     ranked = bucketed_group_order(
-        scored, "_pr", id_col, group_col=group_col, rank_col="src_rank"
+        scored, "_pr", id_col, group_col=group_col, n_buckets=n_buckets, rank_col="src_rank"
     ).select(id_col, group_col, "src_rank")
     wexpr: Column | None = None
     for g, wt in weights.items():

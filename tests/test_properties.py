@@ -226,3 +226,55 @@ def test_scd2_merge_equals_rebuild_for_arbitrary_histories(spark, rows, cutoff_d
     built = scd2_from_changes(spark.createDataFrame(early, schema), **kw)
     merged = scd2_merge(built, spark.createDataFrame(late, schema), **kw)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),          # doc_id (deduped below)
+            st.sampled_from(["a", "b", None]),                   # group incl. NULL
+            st.integers(min_value=0, max_value=50),              # value (token count)
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 2, 7, 256]),                             # n_buckets incl. degenerate
+    st.integers(min_value=1, max_value=20),                      # prune_rank
+)
+@settings(max_examples=12, deadline=None)
+def test_bucketed_group_order_equals_naive_window(spark, rows, n_buckets, prune_rank):
+    """The kernel's contract, property-tested directly: for arbitrary
+    (id, group incl. NULL, value) rows and ANY bucket count (including
+    the degenerate n_buckets=1, which collapses to the naive window),
+    rank and running sum are bit-identical to Window.partitionBy, and
+    prune_rank never changes the rank<=k answer (prefix property)."""
+    from pyspark.sql import Window
+
+    from rt_bigdata_spark.operators.scale import bucketed_group_order
+
+    df = spark.createDataFrame(rows, "doc_id: long, grp: string, val: long").withColumn(
+        "_pr", F.md5(F.col("doc_id").cast("string"))
+    )
+    out = bucketed_group_order(
+        df, "_pr", "doc_id", group_col="grp", n_buckets=n_buckets,
+        sum_col="val", rank_col="rnk", cumsum_col="cs",
+    )
+    got = {r.doc_id: (r.rnk, r.cs) for r in out.collect()}
+
+    w = Window.partitionBy("grp").orderBy("_pr", "doc_id")
+    naive = df.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cs"),
+    )
+    want = {r.doc_id: (r.rnk, r.cs) for r in naive.collect()}
+    assert got == want
+
+    pruned = bucketed_group_order(
+        df, "_pr", "doc_id", group_col="grp", n_buckets=n_buckets,
+        rank_col="rnk", prune_rank=prune_rank,
+    )
+    got_p = {r.doc_id for r in pruned.filter(F.col("rnk") <= prune_rank).collect()}
+    want_p = {d for d, (rk, _) in want.items() if rk <= prune_rank}
+    assert got_p == want_p

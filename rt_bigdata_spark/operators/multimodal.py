@@ -132,6 +132,60 @@ def extract_features(media: DataFrame, stub: bool = True, batch_note_col: str | 
     return pruned.mapInPandas(fn, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("resized_sig", StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32, stub: bool = True
+) -> DataFrame:
+    """Per-item resize over Arrow batches (mapInPandas) — the remaining
+    named multimodal kernel (decode / features / RESIZE / frames).
+
+    ``stub=True`` (the only runnable mode here — no codec in the
+    container) emits the target dimensions plus a deterministic
+    witness of the would-be resized bytes: ``resized_sig =
+    md5(md5(content_as_text) ‖ ':WxH')`` — the same hex-chain trick as
+    ``_fake_features``, so the value is reproducible in ANSI SQL and
+    the whole Arrow path (schema, column pruning into the scan, batch
+    iteration) is hash-oracled, not just rows-counted. ``stub=False``
+    calls the real-codec plug point (PIL/pyav resize + re-encode), at
+    which point ``resized_sig`` becomes the md5 of the actual resized
+    bytes — the dedup-ready fingerprint either way.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for content, mtype in zip(pdf["content"], pdf["media_type"]):
+                raw = bytes(content)
+                if not stub:
+                    _decode_real(mtype, raw)
+                h = hashlib.md5(raw).hexdigest()
+                sigs.append(hashlib.md5(f"{h}:{width}x{height}".encode("ascii")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "resized_sig": sigs,
+                }
+            )
+
+    pruned = media.select("media_id", "media_type", "content")
+    return pruned.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (decode stubbed — frame bytes are a slice of the source

@@ -1040,6 +1040,29 @@ FROM m{rounds}
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (multimodal.resize_media): the
+    mapInPandas Arrow path with a deterministic resized-bytes witness
+    — ``resized_sig = md5(md5(content_as_text) ‖ ':32x32')``, the same
+    hex-chain device that made media_features hash-oracled. A real
+    codec swaps into the stubbed kernel without touching the plan."""
+    from rt_bigdata_spark.operators.multimodal import documents_as_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(docs), width=32, height=32)
+
+
+_ORACLE_MEDIA_RESIZE = """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(md5(text) || ':32x32') AS resized_sig
+FROM documents
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring (see text_analysis.
     unigram_surprisal): average −ln p(token) per doc under corpus
@@ -2246,6 +2269,7 @@ for spec in [
     # made both SQL-expressible after five rounds of rows-only checks
     QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=10),
     QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=10),
+    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=10),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
@@ -2325,7 +2349,7 @@ for spec in [
     QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=10),
     # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
     # — green r4 — yields its slot)
-    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), priority=10),
+    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), priority=80),
     # round-6 first batch: the 100 TB token-budget shape (same oracle as
     # the exact form — subset-equivalence by the prefix property)
     QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=10),

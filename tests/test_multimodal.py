@@ -177,3 +177,29 @@ def test_media_pseudo_embedding_hoists_sig_and_rejects_bad_dim(spark):
     # lambda (a captured expression re-evaluates per element: dim x
     # full-byte hashing otherwise)
     assert p.count("md5(content") <= 2, p  # tree + detail line of one node
+
+
+def test_resize_media_stub_witness_and_codec_guard(spark, media):
+    """resize_media: deterministic per-item resized-bytes witness
+    (md5 chain keyed by content AND target dims), Arrow schema, and
+    the stub=False real-codec guard."""
+    import hashlib
+
+    from rt_bigdata_spark.operators.multimodal import resize_media
+
+    out = {r.media_id: r for r in resize_media(media, 32, 32).collect()}
+    rows = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert set(out) == set(rows) and len(out) == 50
+    for mid, raw in rows.items():
+        r = out[mid]
+        h = hashlib.md5(raw).hexdigest()
+        assert r.resized_sig == hashlib.md5(f"{h}:32x32".encode()).hexdigest()
+        assert (r.width, r.height, r.n_bytes) == (32, 32, len(raw))
+    # different target dims → different witness (the dims are in the key)
+    other = {r.media_id: r.resized_sig for r in resize_media(media, 64, 48).collect()}
+    assert all(other[m] != out[m].resized_sig for m in out)
+
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="codec"):
+        resize_media(media, 32, 32, stub=False).collect()

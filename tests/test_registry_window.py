@@ -64,7 +64,8 @@ MUST_BE_IN_WINDOW = {
     "events_rollup_daily",
     # round-5 thirteenth batch (customer_quartiles, customer_max_order —
     # green r4 — yielded their slots):
-    "winnow_pairs", "active_users",
+    "active_users",  # r7: winnow_pairs (twice-green; winnow_fingerprint
+    # keeps the family in-window) yielded its slot to media_resize
     "dim_history",
     "embedding_dedup_lsh",
     "embedding_dedup",
@@ -90,7 +91,7 @@ MUST_BE_IN_WINDOW = {
     # oracle-verified every CI run). In: the HLL swap for the xN
     # activity expansion (new), and five once-green parked specs pulled
     # back through the window for their second green (priority=40).
-    "active_users_hll",
+    "active_users_hll", "media_resize",
     "sales_cube", "customer_quartiles", "customer_max_order",
     "nation_trade", "integrity_audit",
 }

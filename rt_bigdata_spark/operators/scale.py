@@ -44,6 +44,7 @@ def bucketed_group_order(
     cumsum_col: "str | None" = None,
     prune_rank: "int | None" = None,
     prune_sum: "int | None" = None,
+    broadcast_offsets: bool = True,
 ) -> "DataFrame":
     """Bucket-decomposed per-group rank / running sum over the order
     ``(pr_col, id_col)`` — the shared kernel behind ``global_shuffle``,
@@ -117,7 +118,9 @@ def bucketed_group_order(
     if prune_sum is not None:
         offsets = offsets.filter(F.col("_soff") < prune_sum)
 
-    joined = b.join(F.broadcast(offsets), on=gkeys + ["_bkt"], how="inner")
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    joined = b.join(offsets, on=gkeys + ["_bkt"], how="inner")
     w_bkt = Window.partitionBy(*gkeys, "_bkt").orderBy(pr_col, id_col)
     out = joined
     if rank_col is not None:

@@ -164,3 +164,28 @@ def test_curation_ops_run_unchanged_on_streams(spark, tmp_path):
     assert got_pii == {r.doc_id: r.email_ct for r in pii_scrub(batch_df).collect()}
     assert got_pii[1] == 1 and got_pii[2] == 0
     assert got_chunks == chunk_documents(batch_df, chunk_tokens=4).count()
+
+
+def test_derived_probe_set_planted_overlap_and_null_safety(spark):
+    """derived_probe_set: negative-namespace probe ids (disjoint for
+    any non-negative corpus ids), NULL/zero-token docs contribute no
+    probe, and the composition with contamination_pairs plants the
+    guaranteed self-overlap pair."""
+    from rt_bigdata_spark.operators.curation_rules import (
+        contamination_pairs,
+        derived_probe_set,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (53, None),                      # selected but NULL -> no probe
+        (106, ""),                       # selected but empty -> no probe
+        (7, "unrelated words entirely here today friends"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    probes = derived_probe_set(df, every=53)
+    got = {(r.probe_id, r.text) for r in probes.collect()}
+    assert {p for p, _ in got} == {-1}  # only doc 0 qualifies; -doc_id-1
+    pairs = contamination_pairs(df, probes=probes).collect()
+    assert {(r.doc_id, r.probe_id) for r in pairs} == {(0, -1)}  # self-overlap planted
+    assert all(r.shared_ngrams >= 1 for r in pairs)

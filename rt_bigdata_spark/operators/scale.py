@@ -131,6 +131,54 @@ def bucketed_group_order(
     return out.select(*out_cols)
 
 
+def key_skew_profile(df: "DataFrame", key_col: str, top_n: int = 20) -> "DataFrame":
+    """Key-distribution diagnostics: the top-``top_n`` heaviest values
+    of ``key_col`` with their row counts, corpus share, and multiple of
+    the mean per-key load — the numbers that DECIDE the scale
+    mitigations this module ships (``salted_join`` when skew_x is
+    large on a join key, broadcast when n_keys is small, AQE skew
+    thresholds otherwise). Output: (rank, key, n_rows, share, n_keys,
+    skew_x), rank by count desc with key-string ties ascending —
+    deterministic and oracle-comparable.
+
+    Scale shape: one map-side-combinable count aggregate over the key,
+    then ``orderBy().limit(top_n)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps + a top_n-row merge),
+    NEVER a global sort of the key space; totals reduce to one row and
+    broadcast back. The only window ranks the ≤ top_n surviving rows.
+    NULL keys profile as their own value (often the heaviest skew
+    culprit in practice — that is the point of seeing them).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_tot"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc_nulls_first("key")).limit(top_n)
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))  # ≤ top_n rows
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("_tot").cast("double"), 9).alias(
+                "share"
+            ),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(
+                F.col("n_rows").cast("double")
+                / (F.col("_tot").cast("double") / F.col("n_keys").cast("double")),
+                6,
+            ).alias("skew_x"),
+        )
+    )
+
+
 def salted_join(
     left: "DataFrame",
     right: "DataFrame",

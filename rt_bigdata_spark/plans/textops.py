@@ -2337,7 +2337,7 @@ for spec in [
     QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=10),
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
-    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=10),
+    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=10),
     # round-5 eleventh batch (first hash-matched multimodal row;

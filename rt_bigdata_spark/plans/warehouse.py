@@ -1927,6 +1927,34 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the event stream's user key
+    (scale.key_skew_profile): top-20 heaviest users with share and
+    multiple-of-mean load — the measurement that justifies
+    salting/broadcast/AQE choices this repo documents in SCALE.md.
+    TakeOrdered + 1-row broadcast totals; no global sort of the key
+    space."""
+    from rt_bigdata_spark.operators.scale import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
+_ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_rows) AS t, CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts),
+top AS (SELECT * FROM counts ORDER BY n_rows DESC, key NULLS FIRST LIMIT 20)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key NULLS FIRST) AS BIGINT) AS rank,
+       key, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share,
+       n_keys,
+       ROUND(CAST(n_rows AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_x
+FROM top CROSS JOIN tot
+"""
+
+
 def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative data-quality suite
     (expectations.check_expectations) on orders: nullability, domain,
@@ -2206,6 +2234,7 @@ for spec in [
     # round-5 seventh batch (single-table DQ suite; visitor_stats +
     # province_stats — green r1-r4 — yield their slots)
     QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=80),
+    QuerySpec("key_skew", q_key_skew, _ORACLE_KEY_SKEW, ("audit", "scale"), priority=10),
     # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
     # green r1-r4 — yields its slot)
     QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=10),

@@ -171,3 +171,32 @@ def test_cc_loop_runs_one_query_per_round(spark):
     n_jobs2 = len(sc.statusTracker().getJobIdsForGroup("cc2_jobs"))
     assert out2 == out
     assert n_jobs2 <= 24, f"two-phase ran {n_jobs2} jobs"
+
+
+def test_key_skew_profile_ranks_and_takeordered_plan(spark):
+    """key_skew_profile: deterministic top-N with NULL keys profiled as
+    their own value, share/skew_x arithmetic, and the scale claim —
+    the plan takes TakeOrderedAndProject (per-partition heaps), never
+    a global sort of the key space."""
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.scale import key_skew_profile
+
+    rows = [(i, "hot") for i in range(60)] + [(100 + i, None) for i in range(30)] + [
+        (200 + i, f"u{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, user_id: string")
+    out = key_skew_profile(df, "user_id", top_n=3).collect()
+    assert [(r.rank, r.key, r.n_rows) for r in out] == [
+        (1, "hot", 60), (2, None, 30), (3, "u0", 1),
+    ]
+    assert out[0].n_keys == 12
+    assert abs(out[0].share - 0.6) < 1e-9
+    assert abs(out[0].skew_x - 60 / (100 / 12)) < 1e-6
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        key_skew_profile(df, "user_id", top_n=3).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p, p

@@ -52,7 +52,8 @@ MUST_BE_IN_WINDOW = {
     # (cluster_split — green r1-r4 — yielded its slot to this one):
     "contrastive_samples",
     # round-5 ninth batch (dup_clusters — green r1-r4 — yielded its slot):
-    "bigram_surprisal",
+    "key_skew",  # r7: bigram_surprisal (twice-green; unigram twin parked
+    # four-times-green) yielded its slot to the skew diagnostics op
     # (doc_curation — green r1-r4 — yielded its slot):
     "dedup_keepers",
     # round-5 tenth batch (ngram_jaccard — green r1-r4, unchanged — yielded

@@ -195,6 +195,7 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "bm25_search",  # broadcast 1-row corpus stats (N, avgdl, df_t)
         "contrastive_samples",  # broadcast query set (vec_id < 5) vs corpus
         "bigram_surprisal",  # broadcast 1-row context-vocab size V
+        "key_skew",  # broadcast 1-row totals (sum, n_keys) onto the top-N rows
     }
     offenders = [
         n for n, pl in plans.items()

@@ -120,14 +120,21 @@ def contamination_pairs(
     ``id != probe_id`` filter — external probe lists should use an id
     namespace disjoint from doc ids so the filter never misfires).
 
-    The probe side is tiny by construction and broadcast; the corpus
-    side is one map-side shingle explode. 8-grams are the standard
-    decontamination unit (GPT-3 appendix C uses 8-13)."""
+    The DERIVED probe side (``probes=None``) is tiny by construction
+    (id < probe_ids_below) and gets an explicit broadcast hint. A
+    CALLER-SUPPLIED ``probes`` frame is left unhinted: a real
+    eval-suite decontamination list (thousands of docs × distinct
+    8-grams) can exceed the broadcast/driver limit, and AQE already
+    broadcasts it at runtime when its measured size fits (r7 ADVICE).
+    The corpus side is one map-side shingle explode. 8-grams are the
+    standard decontamination unit (GPT-3 appendix C uses 8-13)."""
     df = ensure_parallelism(df)
     grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
     if probes is None:
-        probe_grams = grams.filter(F.col(id_col) < probe_ids_below).select(
-            F.col(id_col).alias("probe_id"), "g"
+        probe_grams = F.broadcast(
+            grams.filter(F.col(id_col) < probe_ids_below).select(
+                F.col(id_col).alias("probe_id"), "g"
+            )
         )
     else:
         probe_grams = probes.select(
@@ -135,7 +142,7 @@ def contamination_pairs(
             F.explode(word_shingles(F.col(text_col), n)).alias("g"),
         )
     return (
-        grams.join(F.broadcast(probe_grams), "g")
+        grams.join(probe_grams, "g")
         .filter(F.col(id_col) != F.col("probe_id"))
         .groupBy(id_col, "probe_id")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))

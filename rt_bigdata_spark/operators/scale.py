@@ -94,7 +94,13 @@ def bucketed_group_order(
 
     out_cols = list(df.columns) + [c for c in (rank_col, cumsum_col) if c]
     u = F.conv(F.substring(pr_col, 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
-    b = df.withColumn("_bkt", F.floor(u * n_buckets).cast("int"))
+    # Clamp to [0, n_buckets): md5 prefixes within ~2^7 of 2^60 round up
+    # to u == 1.0 in double, which would emit the stray bucket id
+    # n_buckets. least() is monotone, so the order-decomposition proof
+    # is untouched (r7 ADVICE).
+    b = df.withColumn(
+        "_bkt", F.least(F.floor(u * n_buckets), F.lit(n_buckets - 1)).cast("int")
+    )
     gkeys = []
     if group_col is not None:
         b = b.withColumn("_gk", F.struct(F.col(group_col).alias("g")))

@@ -758,6 +758,184 @@ def incremental_minhash_lsh(
     return pairs, (sig_new if sigs_out == "new" else all_sigs)
 
 
+def _store_pc(*cols, n_store_parts: int):
+    """Bounded store-partition id for a cell-partitioned delta store:
+    md5-derived (engine/version-stable, unlike Murmur3 ``F.hash`` whose
+    seed is a Spark implementation detail) and uniform over
+    ``[0, n_store_parts)``. The cell key hashes DOWN to a bounded
+    directory count so ``partitionBy(pc)`` never creates unbounded
+    partition dirs while still letting a trigger prune its read to the
+    partitions its own cells hash into."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), F.lit(n_store_parts)
+    ).cast("int")
+
+
+def minhash_store_rows(
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    df_cap: int | None = None,
+    n_store_parts: int = 32,
+) -> DataFrame:
+    """Banded signature rows shaped for a CELL-PARTITIONED signature
+    store: (doc, signature, band, bucket, pc) — one row per (doc,
+    band), ``pc = md5(band:bucket) mod n_store_parts`` the bounded
+    partition id the store is ``partitionBy``'d on.
+
+    This is the r7-verdict fix for the streaming near-dup sink's
+    per-trigger O(corpus) rescan: with the store partitioned by pc and
+    bucket keys PRECOMPUTED at write time, a trigger (a) never
+    re-tokenizes or re-hashes stored docs and (b) reads only the
+    partitions its own batch's buckets hash into — the streaming twin
+    of ``similarity.build_ivf_index``'s partition-pruned probes. The
+    signature array rides on every band row (bands× replication,
+    ~2 KB/doc at the 32/8 defaults) so candidate scoring needs no
+    join-back into an unprunable per-doc table: storage is traded for
+    the one access path the trigger needs. Reference parity: dim
+    lookups in the reference are per-key point reads
+    (…/utils/phoenix/DimUtil.scala:43-96), never a universe scan.
+    """
+    r = _band_width(num_hashes, bands)
+    sig = minhash_signatures(new_docs, text_col, id_col, num_hashes, df_cap=df_cap)
+    return _banded(sig, bands, r).withColumn(
+        "pc", _store_pc("band", "bucket", n_store_parts=n_store_parts)
+    )
+
+
+def minhash_pairs_from_banded(
+    new_banded: DataFrame,
+    stored_banded: DataFrame | None,
+    num_hashes: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs from PRE-BANDED rows: new×(new+stored) with the
+    exact output contract of ``incremental_minhash_lsh`` (canonical
+    doc_a < doc_b, signature-agreement estimate, one row per pair) —
+    but the stored side arrives as already-banded store rows
+    (``minhash_store_rows`` schema), so no signature is re-banded and
+    the caller can partition-prune the stored read to the new batch's
+    ``pc`` set. Stored signatures are length-checked inside the plan
+    (a store written with a different num_hashes would band into wrong
+    buckets silently)."""
+    if stored_banded is not None:
+        stored_banded = stored_banded.withColumn(
+            "signature",
+            F.when(F.size("signature") == num_hashes, F.col("signature")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "minhash_pairs_from_banded: stored signature length %s != "
+                        f"num_hashes {num_hashes} for doc %s",
+                        F.size("signature").cast("string"),
+                        F.col("doc").cast("string"),
+                    )
+                )
+            ),
+        )
+    cols = ["doc", "signature", "band", "bucket"]
+    b_side = new_banded.select(cols)
+    if stored_banded is not None:
+        b_side = b_side.unionByName(stored_banded.select(cols))
+    a, b = new_banded.select(cols).alias("a"), b_side.alias("b")
+    agreement = _est_agreement(num_hashes)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+            agreement.alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est").alias("est_jaccard"))
+    )
+
+
+def embedding_store_rows(
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    n_store_parts: int = 32,
+) -> DataFrame:
+    """LSH cell rows shaped for a CELL-PARTITIONED vector store:
+    (id, v, nrm, t, bkt, pc) — one row per (vector, table), with the
+    norm and every (table, bucket) cell PRECOMPUTED at write time and
+    ``pc = md5(t:bkt) mod n_store_parts`` the bounded partition id.
+    The vector twin of ``minhash_store_rows`` (same r7-verdict fix):
+    a trigger re-derives nothing for stored vectors — no norms, no
+    num_tables×num_planes dot products — and prunes its read to the
+    partitions its own batch's cells hash into. Plane constants are
+    seed-deterministic (``_emb_lsh_cells``), so batch and stream land
+    every vector in identical cells."""
+    cells = _emb_lsh_cells(
+        ensure_parallelism(new_vecs.select(F.col(id_col), F.col(vec_col))),
+        id_col, vec_col, num_planes, num_tables, dim, seed,
+    )
+    return cells.select(
+        "id", "v", "nrm",
+        F.col("cell.t").alias("t"),
+        F.col("cell.bkt").alias("bkt"),
+    ).withColumn("pc", _store_pc("t", "bkt", n_store_parts=n_store_parts))
+
+
+def embedding_pairs_from_cells(
+    new_cells: DataFrame,
+    stored_cells: DataFrame | None,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-dup pairs from PRE-CELLED rows (the
+    ``embedding_store_rows`` schema): new×new within the batch plus
+    new×stored cell-equi, true-cosine scored from the STORED norms and
+    vectors — the exact output contract of
+    ``incremental_embedding_near_dup_lsh`` (canonical least/greatest id
+    order, round-9 sim, one row per pair), with the stored side
+    arriving pre-celled so nothing is re-derived per trigger."""
+    from rt_bigdata_spark.operators.similarity import dot
+
+    a, b = new_cells.alias("a"), new_cells.alias("b")
+    sim = F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9)
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"), sim.alias("s"))
+    if stored_cells is not None:
+        sb = stored_cells.alias("b")
+        sim_ns = F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 9
+        )
+        # new×stored needs no id-order filter: the caller anti-joins
+        # redelivered ids out first, so the id sets are disjoint
+        cand = cand.unionByName(
+            a.join(
+                sb, (F.col("a.t") == F.col("b.t")) & (F.col("a.bkt") == F.col("b.bkt"))
+            ).select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"), sim_ns.alias("s"))
+        )
+    return (
+        cand.select(
+            F.least(F.col("ia"), F.col("ib")).alias("id_a"),
+            F.greatest(F.col("ia"), F.col("ib")).alias("id_b"),
+            F.col("s").alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sim").alias("sim"))
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

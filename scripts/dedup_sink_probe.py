@@ -1,0 +1,138 @@
+"""History-independence probe for the CELL-PARTITIONED streaming
+dedup delta stores (streaming/sinks.near_dup_maintenance_sink and
+embedding_dedup_maintenance_sink): drives B fixed-size micro-batches
+through each sink so the persisted store grows B×, and measures
+per-batch wall time of the FULL loop — fence check, batch
+signature/cell computation, PARTITION-PRUNED store read, pair join,
+pairs + partitioned store writes.
+
+The claim under test is the r7 verdict item 1 fix: per-trigger cost
+must be O(batch + matching cells), NOT O(corpus) — before the fix the
+sinks re-read and re-celled the ENTIRE store every trigger, so the
+last batch cost ~B× the first. After the fix last/first should be
+~flat (bounded by the genuinely growing parts: O(#batches) dir
+listings and the matching-cell data, which at a fixed duplicate rate
+grows with corpus but is read without any re-derivation). The probe
+reports first/last batch seconds and the late/early ratio over the
+middle batches (first batch excluded — it has no store to read and
+pays JVM warmup).
+
+Usage:
+    python scripts/dedup_sink_probe.py [--docs 24000] [--batches 12]
+Prints ONE JSON line:
+  {"docs": N, "batches": B,
+   "minhash": {"sec": s, "first_batch_s": f, "last_batch_s": l,
+                "late_early_ratio": r},
+   "embedding": {...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from rt_bigdata_spark.session import get_spark  # noqa: E402
+from rt_bigdata_spark.streaming.sinks import (  # noqa: E402
+    embedding_dedup_maintenance_sink,
+    near_dup_maintenance_sink,
+)
+
+
+def _ratio(batch_times: list[float]) -> float:
+    """Median of the last 3 batches over median of batches 2-4 (skip
+    batch 1: empty store + warmup)."""
+    early = sorted(batch_times[1:4])[1]
+    late = sorted(batch_times[-3:])[1]
+    return round(late / early, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=24_000)
+    ap.add_argument("--batches", type=int, default=12)
+    args = ap.parse_args()
+
+    spark = get_spark("dedup-sink-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="dedup_sink_probe_")
+    out: dict = {"docs": args.docs, "batches": args.batches}
+
+    # synthetic docs: ~1% near-dup rate via shared template ids
+    docs = (
+        spark.range(args.docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit("alpha beta gamma delta"),
+                (F.col("id") % (args.docs // 100 + 1)).cast("string"),
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") * 7).cast("string")),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    docs.count()
+
+    state = os.path.join(work, "sigs")
+    pairs = os.path.join(work, "pairs")
+    sink = near_dup_maintenance_sink(state, pairs, threshold=0.3)
+    batch_times = []
+    t0 = time.time()
+    for b in range(args.batches):
+        bt = time.time()
+        sink(docs.filter((F.col("doc_id") % args.batches) == b), b)
+        batch_times.append(time.time() - bt)
+    out["minhash"] = {
+        "sec": round(time.time() - t0, 2),
+        "first_batch_s": round(batch_times[0], 2),
+        "last_batch_s": round(batch_times[-1], 2),
+        "late_early_ratio": _ratio(batch_times),
+    }
+
+    # synthetic unit-ish vectors, dim 16, deterministic
+    dim = 16
+    vecs = (
+        spark.range(args.docs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.sin(F.col("id") * (i + 1) * 0.7) + F.cos(i * 1.3),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    vecs.count()
+
+    state2 = os.path.join(work, "vecs")
+    pairs2 = os.path.join(work, "vpairs")
+    sink2 = embedding_dedup_maintenance_sink(state2, pairs2, threshold=0.9, dim=dim)
+    batch_times = []
+    t0 = time.time()
+    for b in range(args.batches):
+        bt = time.time()
+        sink2(vecs.filter((F.col("vec_id") % args.batches) == b), b)
+        batch_times.append(time.time() - bt)
+    out["embedding"] = {
+        "sec": round(time.time() - t0, 2),
+        "first_batch_s": round(batch_times[0], 2),
+        "last_batch_s": round(batch_times[-1], 2),
+        "late_early_ratio": _ratio(batch_times),
+    }
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

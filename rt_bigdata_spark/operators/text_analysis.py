@@ -453,6 +453,7 @@ def bpe_encode_counts(
     merges: "list[tuple[str, str]]",
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunk: int = 64,
 ) -> DataFrame:
     """APPLY a trained BPE merge table: per document, the word count
     and the BPE token count under the tokenizer ``bpe_merges``
@@ -473,17 +474,34 @@ def bpe_encode_counts(
     convention). ``merges`` is the driver-side trained model (a
     per-step (left, right) list — the k-means-centroid pattern:
     model as literals, never a Python UDF).
+
+    MERGE-DEPTH bound (r7 verdict item 2): one nested ``F.replace``
+    per merge would make the expression tree ``len(merges)`` deep — a
+    Catalyst analysis/codegen cliff long before data is touched at a
+    real 32k-merge vocab. The chain is therefore applied to the
+    distinct-token vocabulary frame in ``chunk``-sized slices with a
+    ``localCheckpoint(eager=False)`` between slices (``bpe_merges``'
+    own per-step truncation pattern): expression depth is capped at
+    ``chunk`` and total cost is O(vocab) per slice ×
+    ``ceil(merges/chunk)`` slices — the same O(vocab × merges) work,
+    with plan size now O(chunk) instead of O(merges). At the
+    registered query's n_merges=8 the single slice is plan-identical
+    to the unchunked form. Greedy application order is preserved:
+    merges take effect strictly in training order regardless of slice
+    boundaries (chunked ≡ unchunked, property-tested).
     """
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     doc_toks = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    seq = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
-    for left, right in merges:
-        seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
-    enc = (
-        doc_toks.select("tok")
-        .distinct()
-        .select("tok", F.size(F.split(F.trim(seq), "  ")).alias("n_sym"))
-    )
+    seq0 = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    vocab = doc_toks.select("tok").distinct().select("tok", seq0.alias("seq"))
+    for i in range(0, len(merges), chunk):
+        seq = F.col("seq")
+        for left, right in merges[i : i + chunk]:
+            seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+        vocab = vocab.select("tok", seq.alias("seq"))
+        if i + chunk < len(merges):  # last slice fuses into the join
+            vocab = vocab.localCheckpoint(eager=False)
+    enc = vocab.select("tok", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym"))
     return (
         doc_toks.join(enc, "tok")
         .groupBy(id_col)

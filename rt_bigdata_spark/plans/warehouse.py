@@ -1955,6 +1955,47 @@ FROM top CROSS JOIN tot
 """
 
 
+def q_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mitigation `key_skew` diagnoses FOR, driver-verified
+    (r7 verdict item 3): events enriched with the customer dim through
+    ``scale.salted_join`` — the hot-key fix for the residual cases
+    AQE's skew split can't reach (deterministic partition needs, or
+    first-stage joins with no runtime stats). The salt spreads each
+    user key over 16 (key, salt) sub-keys: the dim side replicates
+    16× (explode of a literal range — the SMALL side by construction),
+    the fact side salts randomly, and the inner join result is
+    salt-INDEPENDENT, so the oracle is the plain join. Aggregates are
+    decimal-exact (value summed as DECIMAL(18,6)) so the hash compare
+    is order-insensitive-safe. Plan-asserted in
+    tests/test_plan_quality.py::test_salted_enrichment_plan_shape:
+    the salt explode feeds the join and both keys join together."""
+    from rt_bigdata_spark.operators.scale import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(events, dim, "user_id", salt_buckets=16)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+
+
+_ORACLE_SALTED_ENRICHMENT = """
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       SUM(CAST(e.value AS DECIMAL(18,6))) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative data-quality suite
     (expectations.check_expectations) on orders: nullability, domain,
@@ -2203,21 +2244,21 @@ for spec in [
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
-    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=40),
+    QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=80),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=80),
-    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=40),
-    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=40),
+    QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=80),
+    QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=80),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=80),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=80),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=10),
     QuerySpec("dim_history_merge", q_dim_history_merge, _ORACLE_SCD2, ("scd", "incremental"), priority=10),
-    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=40),
-    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=40),
-    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=80),
-    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=80),
-    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
+    QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=80),
+    QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=80),
+    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=40),
+    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=40),
+    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=40),
     QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), priority=10),
-    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
+    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=40),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=80),
     # round-5 third batch (behavior analytics): four multi-round greens
     # (is_new_correction, bounce_detection, cdc_routing, doc_keywords)
@@ -2235,6 +2276,8 @@ for spec in [
     # province_stats — green r1-r4 — yield their slots)
     QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=80),
     QuerySpec("key_skew", q_key_skew, _ORACLE_KEY_SKEW, ("audit", "scale"), priority=10),
+    # round-8: the mitigation key_skew diagnoses for (r7 verdict item 3)
+    QuerySpec("salted_enrichment", q_salted_enrichment, _ORACLE_SALTED_ENRICHMENT, ("join", "scale", "skew"), priority=10),
     # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
     # green r1-r4 — yields its slot)
     QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=10),

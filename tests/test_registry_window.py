@@ -93,8 +93,16 @@ MUST_BE_IN_WINDOW = {
     # activity expansion (new), and five once-green parked specs pulled
     # back through the window for their second green (priority=40).
     "active_users_hll", "media_resize",
-    "sales_cube", "customer_quartiles", "customer_max_order",
-    "nation_trade", "integrity_audit",
+    # round-8 batch: the five r4-green p40 specs pulled back in r7
+    # (sales_cube, customer_quartiles, customer_max_order, nation_trade,
+    # integrity_audit) got their second green in r7 and yielded their
+    # slots (priority=80; still CI-oracle-verified). In: the skew
+    # mitigation query (new — r7 verdict item 3), and the four
+    # remaining once-green parked specs pulled back for their second
+    # green (priority=40).
+    "salted_enrichment",
+    "value_histogram", "event_pivot", "order_priority",
+    "province_stats_sql",
 }
 
 

@@ -14,6 +14,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def bounded_window_key(col):
+    """A constant-valued but NON-foldable partition key for windows
+    whose input is provably bounded (post-LIMIT top-k ranks, the
+    ≤ n_buckets offset rows): the empty string for every row, derived
+    from a real column so FoldablePropagation cannot erase it the way
+    it erases ``F.lit(1)`` (verified: a literal key is folded out of
+    the optimized windowspec and WindowExec still warns "No Partition
+    Defined"). With this key the physical partition spec stays
+    non-empty — execution is identical (all rows hash to the one
+    group), bench tails stay warning-free, and the plan suite can BAN
+    genuinely unpartitioned windows outright
+    (tests/test_plan_quality.py::test_bounded_windows_carry_literal_partition_key).
+    """
+    import pyspark.sql.functions as F
+
+    return F.substring(F.coalesce(col.cast("string"), F.lit("")), 1, 0)
+
+
 def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Repartition iff the DataFrame has fewer partitions than
     ``min_factor ×`` the cluster's default parallelism.
@@ -110,8 +128,11 @@ def bucketed_group_order(
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_bs"))
     counts = b.groupBy(*gkeys, "_bkt").agg(*aggs)
+    # groupless form: the window spans the <= n_buckets offset rows
+    # (bounded by construction); the non-foldable constant key keeps
+    # the physical partition spec non-empty (r7 item 6)
     w_off = (
-        (Window.partitionBy(*gkeys) if gkeys else Window.partitionBy())
+        (Window.partitionBy(*gkeys) if gkeys else Window.partitionBy(bounded_window_key(F.col("_bkt"))))
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -165,7 +186,11 @@ def key_skew_profile(df: "DataFrame", key_col: str, top_n: int = 20) -> "DataFra
         F.sum("n_rows").alias("_tot"), F.count(F.lit(1)).alias("n_keys")
     )
     top = counts.orderBy(F.desc("n_rows"), F.asc_nulls_first("key")).limit(top_n)
-    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))  # ≤ top_n rows
+    # ≤ top_n rows; the non-foldable constant key keeps the partition
+    # spec non-empty without changing the (bounded) execution (r7 item 6)
+    w = Window.partitionBy(bounded_window_key(F.col("n_rows"))).orderBy(
+        F.desc("n_rows"), F.asc_nulls_first("key")
+    )
     return (
         top.crossJoin(F.broadcast(totals))
         .select(

@@ -83,5 +83,14 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    # the window ranks the <= k LIMIT survivors (bounded by
+    # construction); the non-foldable constant key keeps the partition
+    # spec non-empty so BENCH tails stay free of the "No Partition
+    # Defined" warning that would otherwise train readers to ignore a
+    # REAL unpartitioned window (r7 verdict item 6)
+    from rt_bigdata_spark.operators.scale import bounded_window_key
+
+    w = Window.partitionBy(bounded_window_key(F.col("score"))).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))

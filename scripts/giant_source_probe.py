@@ -10,8 +10,16 @@ reconstruction of its pre-r7 naive per-group-window form (bit-identical
 outputs, asserted on a sample).
 
 Usage:
-    python scripts/giant_source_probe.py [--rows 2000000]
-Prints one JSON line: {"rows": N, "ops": {op: {"naive": s, "bucketed": s}}}.
+    python scripts/giant_source_probe.py [--rows 2000000] [--skew 95]
+Prints one JSON line:
+  {"rows": N, "skew_pct": P, "ops": {op: {"naive": s, "bucketed": s}}}.
+
+``--skew`` is the percentage of rows in the single giant source (r8:
+probed at 99.9 to pin the regime where WindowGroupLimit's map-side
+top-k no longer saves the naive forms). ``global_shuffle`` is probed
+too (r8): its naive form is a GLOBAL row_number window — no partition
+key at all, the canonical single-task sort — against the bucket
+kernel's 256-way decomposition.
 """
 
 from __future__ import annotations
@@ -29,14 +37,16 @@ from pyspark.sql import Window
 from rt_bigdata_spark.session import get_spark
 
 
-def _corpus(spark, n: int):
-    # 95% of rows in one giant source; deterministic short texts with
-    # varying token counts so the cumsum/rank work is realistic.
+def _corpus(spark, n: int, skew_pct: float):
+    # skew_pct% of rows in one giant source; deterministic short texts
+    # with varying token counts so the cumsum/rank work is realistic.
+    mod = 1000
+    cut = int(round(mod * skew_pct / 100.0))
     df = (
         spark.range(n)
         .select(
             F.col("id").alias("doc_id"),
-            F.when(F.col("id") % 20 < 19, F.lit("web"))
+            F.when(F.col("id") % mod < cut, F.lit("web"))
             .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string")))
             .alias("source"),
             F.concat_ws(
@@ -60,16 +70,21 @@ def _time(fn) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--skew", type=float, default=95.0)
     args = ap.parse_args()
 
     spark = get_spark("giant-source-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    df = _corpus(spark, args.rows)
+    df = _corpus(spark, args.rows, args.skew)
     df.count()
 
     from rt_bigdata_spark.functions.text_fns import tokenize
     from rt_bigdata_spark.operators.packing import concat_pack
-    from rt_bigdata_spark.operators.sampling import mix_schedule, stratified_sample
+    from rt_bigdata_spark.operators.sampling import (
+        global_shuffle,
+        mix_schedule,
+        stratified_sample,
+    )
 
     results: dict[str, dict[str, float]] = {}
 
@@ -136,6 +151,24 @@ def main() -> None:
 
     results["mix_schedule"] = {"naive": _time(naive_mix), "bucketed": _time(fast_mix)}
 
+    # --- global_shuffle (r8) --------------------------------------------------
+    # Naive: a truly UNPARTITIONED row_number window — all rows sort in
+    # one task. Skew is irrelevant here (there are no groups): this is
+    # the absolute worst window shape and the kernel's reason to exist.
+    gkey = F.md5(F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string")))
+    wg = Window.orderBy(gkey, "doc_id")
+
+    def naive_global():
+        (
+            df.select("doc_id", F.row_number().over(wg).cast("long").alias("position"))
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    def fast_global():
+        global_shuffle(df, seed="0").write.mode("overwrite").format("noop").save()
+
+    results["global_shuffle"] = {"naive": _time(naive_global), "bucketed": _time(fast_global)}
+
     # Equivalence spot-check (bit-identical claim) on a 50k slice.
     small = df.filter(F.col("doc_id") < 50_000)
     naive = {
@@ -150,7 +183,17 @@ def main() -> None:
     fast = {tuple(r) for r in stratified_sample(small, 100, seed="7").collect()}
     assert naive == fast, "bucketed form diverged from the naive window"
 
-    print(json.dumps({"rows": args.rows, "ops": results}))
+    # global_shuffle equivalence on the same slice
+    naive_g = {
+        tuple(r)
+        for r in small.select(
+            "doc_id", F.row_number().over(wg).cast("long").alias("position")
+        ).collect()
+    }
+    fast_g = {tuple(r) for r in global_shuffle(small, seed="0").collect()}
+    assert naive_g == fast_g, "bucketed global order diverged from the naive window"
+
+    print(json.dumps({"rows": args.rows, "skew_pct": args.skew, "ops": results}))
 
 
 if __name__ == "__main__":

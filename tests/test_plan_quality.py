@@ -307,3 +307,88 @@ def test_quality_gate_threshold_has_no_corpus_sort(plans):
     assert "BroadcastHashJoin" in p, p
     exact = plans["quality_gate"]
     assert "Window" in exact  # the contrast this variant removes
+
+
+def test_salted_enrichment_plan_shape(plans):
+    """r7 verdict item 3: the registered skew mitigation must actually
+    route through the salt — the dim side's literal-range explode
+    (Generate explode) is in the plan, and the join condition carries
+    BOTH the natural key and the salt (grep the composite join key in
+    the simple-mode plan, where join keys print inline)."""
+    from __spark_entry__ import queries
+
+    p = plans["salted_enrichment"]
+    # 16x dim replication: a Generate node whose generator is explode
+    # (formatted mode prints the node name and the generator detail
+    # in separate sections)
+    assert "Generate" in p and "explode" in p, p
+    df = queries()["salted_enrichment"](
+        __import__("pyspark.sql", fromlist=["SparkSession"]).SparkSession.getActiveSession(),
+        SF_DIR,
+    )
+    simple = plan_of(df, mode="simple")
+    import re as _re
+
+    join_lines = [ln for ln in simple.splitlines() if "Join" in ln]
+    assert any(
+        _re.search(r"user_id#\d+", ln) and _re.search(r"_salt#\d+", ln)
+        for ln in join_lines
+    ), simple
+
+
+def test_windowgrouplimit_protects_naive_rank_filter(spark):
+    """r7 verdict item 4: SCALE.md:253's honest finding — the naive
+    `row_number() OVER (PARTITION BY g ORDER BY o) <= k` filter shape
+    is protected by Spark's WindowGroupLimit rewrite (map-side per-
+    group top-k BEFORE the exchange, so a giant group's final sort sees
+    <= k x map-tasks rows, not the group). That protection is a
+    VERSION-DEPENDENT optimizer rewrite, not a structural property:
+    pin it so a Spark upgrade that drops or renames the rewrite is
+    caught here instead of silently turning every naive rank filter
+    back into a full per-group sort."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_id"))
+    naive = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    assert "WindowGroupLimit" in plan_of(naive), plan_of(naive)
+
+    # and the rewrite does NOT fire once the rank column escapes the
+    # filter shape (rank exposed, filter downstream of another op) —
+    # the drift case SCALE.md documents as the reason the bucketed
+    # kernel stays structural
+    exposed = docs.withColumn("rn", F.row_number().over(w))
+    assert "WindowGroupLimit" not in plan_of(exposed)
+
+
+def test_bounded_windows_carry_literal_partition_key(spark):
+    """r7 verdict item 6: the three provably-bounded one-partition
+    windows (key_skew_profile's top-N rank, bucketed_group_order's
+    groupless offsets, BM25's top-k rank) are partitioned by a literal
+    key, so BENCH tails stay free of `WindowExec: No Partition Defined`
+    warnings and a FUTURE unpartitioned window stands out. Asserted
+    structurally: no registered query's analyzed plan contains a
+    window with an empty partition spec."""
+    import re as _re
+
+    from __spark_entry__ import queries as _qs
+
+    offenders = []
+    for name, fn in _qs().items():
+        df = fn(spark, SF_DIR)
+        ext = plan_of(df, mode="extended")
+        for ln in ext.splitlines():
+            m = _re.search(r"windowspecdefinition\((.*)\)", ln)
+            if not m:
+                continue
+            args = m.group(1)
+            # empty partition spec <=> the spec starts directly with an
+            # ordering expression (ASC/DESC before any comma-separated
+            # partition cols)
+            first = args.split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                offenders.append(f"{name}: {ln.strip()[:120]}")
+    assert not offenders, offenders

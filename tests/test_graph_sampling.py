@@ -238,3 +238,41 @@ def test_key_skew_profile_ranks_and_takeordered_plan(spark):
         key_skew_profile(df, "user_id", top_n=3).explain(mode="formatted")
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_kmeans_loop_runs_one_query_per_iteration(spark):
+    """r7 verdict item 7 (the k-means half of the CC pin above): each
+    Lloyd iteration must cost ONE materializing query — the component-
+    means agg+collect; assignment is lazy map-side work folded into it.
+    Marginal-jobs bound between iters=1 and iters=4 in the same
+    session (fixed overhead — seeding, the final assignment — cancels
+    in the difference; a second action per iteration would double the
+    marginal cost and fail the bound)."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.clustering import kmeans_lloyd
+
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.sin(F.col("id") * (i + 1) * 0.37) + F.cos(i * 1.1),
+        ).alias("embedding"),
+    ).cache()
+    vecs.count()
+
+    def run(iters):
+        assigned, cents = kmeans_lloyd(vecs, k=4, iters=iters)
+        return assigned.count(), [tuple(c) for c in cents]
+
+    n1, (rows1, _) = _jobs_for(spark, "km_1", lambda: run(1))
+    n4, (rows4, _) = _jobs_for(spark, "km_4", lambda: run(4))
+    assert rows1 == rows4 == 64
+    marginal = (n4 - n1) / 3
+    # one agg-query per iteration measures ~1-3 jobs marginal under AQE;
+    # a two-action iteration doubles it. 5 bounds with headroom.
+    assert marginal <= 5, (
+        f"k-means marginal jobs/iteration {marginal:.1f} "
+        f"(iters=1: {n1}, iters=4: {n4}) — extra action per iteration?"
+    )
+    vecs.unpersist()

@@ -88,12 +88,15 @@ def _day(ts_ms: int) -> str:
 # --- T1 ---------------------------------------------------------------------
 
 
-def _is_new_fn(
-    key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Rewrite is_new=1 → 0 when the mid has an earlier first-visit date
-    (OdsBaseLogApp.scala:90-135). State: first visit date string."""
-    (first_date,) = state.get if state.exists else (None,)
+def _is_new_scan(
+    pdfs: Iterable[pd.DataFrame], first_date: str | None
+) -> tuple[list[dict[str, Any]], str | None]:
+    """Shared T1 kernel (rows_to_emit, new_first_date): rewrite
+    is_new=1 → 0 when the mid has an earlier first-visit date
+    (OdsBaseLogApp.scala:90-135). ONE pure function consumed by BOTH
+    engines (``_is_new_fn`` here, ``stateful_v2.IsNewProcessor``) so
+    the reference semantics cannot drift between them (r7 verdict
+    item 8)."""
     rows: list[dict[str, Any]] = []
     for pdf in pdfs:
         for r in pdf.sort_values("ts").itertuples(index=False):
@@ -112,6 +115,15 @@ def _is_new_fn(
             rows.append(
                 {"mid": r.mid, "page_id": r.page_id, "last_page_id": r.last_page_id, "is_new": is_new, "ts": r.ts}
             )
+    return rows, first_date
+
+
+def _is_new_fn(
+    key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """T1 on applyInPandasWithState. State: first visit date string."""
+    (first_date,) = state.get if state.exists else (None,)
+    rows, first_date = _is_new_scan(pdfs, first_date)
     state.update((first_date,))
     yield pd.DataFrame(rows, columns=[f.name for f in IS_NEW_OUT_SCHEMA.fields])
 
@@ -201,34 +213,54 @@ def unique_visits(events: DataFrame, ttl: bool = False) -> DataFrame:
 # --- T3 ---------------------------------------------------------------------
 
 
+def _bounce_scan(
+    pdfs: Iterable[pd.DataFrame],
+    pending_page: str | None,
+    pending_ts: int | None,
+    on_resolved=None,
+) -> tuple[list[dict[str, Any]], str | None, int | None]:
+    """Shared T3 kernel (rows_to_emit, pending_page, pending_ts): hold
+    each entry event (empty last_page_id); the NEXT event for the mid
+    resolves the held entry — gap > 10 s emits it as a bounce, within
+    10 s discards it (UserJumpDetailApp.scala:93-140). ``on_resolved``
+    fires (with the resolved entry's ts) whenever a held entry is
+    resolved by a successor — the v2 engine uses it to delete that
+    entry's registered timer. ONE pure function consumed by all three
+    callers (``_bounce_fn``, ``detect_bounces_batch``,
+    ``stateful_v2.BounceProcessor``) so the CEP semantics cannot drift
+    between engines (r7 verdict item 8)."""
+    rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        for r in pdf.sort_values("ts").itertuples(index=False):
+            if pending_ts is not None:
+                if r.ts - pending_ts > BOUNCE_TIMEOUT_MS:
+                    rows.append({"mid": r.mid, "page_id": pending_page, "ts": pending_ts})
+                if on_resolved is not None:
+                    on_resolved(pending_ts)
+                pending_page, pending_ts = None, None
+            if r.last_page_id is None or r.last_page_id == "":
+                pending_page, pending_ts = r.page_id, r.ts
+    return rows, pending_page, pending_ts
+
+
 def _bounce_fn(key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    """CEP-timeout semantics (UserJumpDetailApp.scala:93-140): hold each
-    entry event (empty last_page_id); if the next event for the mid
-    arrives within 10 s the partial match is discarded, otherwise the
-    held entry is emitted as a bounce. State: pending entry (page_id, ts).
+    """T3 on applyInPandasWithState. State: pending entry (page_id, ts).
 
     On streams, the pending entry is flushed by an event-time timeout
     when the watermark passes ts+10 s; on batch (applyInPandas path)
     the group end flushes it.
     """
     pending_page, pending_ts = (state.get if state.exists else (None, None))
-    rows: list[dict[str, Any]] = []
 
     if state.hasTimedOut:
+        rows: list[dict[str, Any]] = []
         if pending_ts is not None:
             rows.append({"mid": key[0], "page_id": pending_page, "ts": pending_ts})
         state.remove()
         yield pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
         return
 
-    for pdf in pdfs:
-        for r in pdf.sort_values("ts").itertuples(index=False):
-            if pending_ts is not None:
-                if r.ts - pending_ts > BOUNCE_TIMEOUT_MS:
-                    rows.append({"mid": r.mid, "page_id": pending_page, "ts": pending_ts})
-                pending_page, pending_ts = None, None
-            if r.last_page_id is None or r.last_page_id == "":
-                pending_page, pending_ts = r.page_id, r.ts
+    rows, pending_page, pending_ts = _bounce_scan(pdfs, pending_page, pending_ts)
     if pending_ts is not None:
         state.update((pending_page, pending_ts))
         state.setTimeoutTimestamp(pending_ts + BOUNCE_TIMEOUT_MS)
@@ -257,19 +289,12 @@ def detect_bounces(events: DataFrame) -> DataFrame:
 
 
 def detect_bounces_batch(events: DataFrame) -> DataFrame:
-    """Batch path: same per-group logic via applyInPandas (whole history
-    per mid in one group; trailing entry events are flushed as bounces)."""
+    """Batch path: same shared kernel via applyInPandas (whole history
+    per mid in one group; trailing entry events are flushed as bounces
+    — batch "end of stream" plays the stream's timeout)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows: list[dict[str, Any]] = []
-        pending_page, pending_ts = None, None
-        for r in pdf.sort_values("ts").itertuples(index=False):
-            if pending_ts is not None:
-                if r.ts - pending_ts > BOUNCE_TIMEOUT_MS:
-                    rows.append({"mid": r.mid, "page_id": pending_page, "ts": pending_ts})
-                pending_page, pending_ts = None, None
-            if r.last_page_id is None or r.last_page_id == "":
-                pending_page, pending_ts = r.page_id, r.ts
+        rows, pending_page, pending_ts = _bounce_scan([pdf], None, None)
         if pending_ts is not None:
             rows.append({"mid": pdf["mid"].iloc[0], "page_id": pending_page, "ts": pending_ts})
         return pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])

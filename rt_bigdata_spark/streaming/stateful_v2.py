@@ -46,7 +46,8 @@ from rt_bigdata_spark.streaming.stateful import (
     IS_NEW_OUT_SCHEMA,
     UV_OUT_SCHEMA,
     _DAY_MS,
-    _day,
+    _bounce_scan,
+    _is_new_scan,
     _uv_scan,
 )
 
@@ -71,28 +72,7 @@ class IsNewProcessor(StatefulProcessor):
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         held = self._first_date.get()
-        first_date = held[0] if held is not None else None
-        out: list[dict] = []
-        for pdf in rows:
-            for r in pdf.sort_values("ts").itertuples(index=False):
-                d = _day(r.ts)
-                is_new = r.is_new
-                if is_new == "1":
-                    if first_date is None:
-                        first_date = d
-                    elif first_date != d:
-                        is_new = "0"
-                elif first_date is None:
-                    first_date = _day(r.ts - _DAY_MS)
-                out.append(
-                    {
-                        "mid": r.mid,
-                        "page_id": r.page_id,
-                        "last_page_id": r.last_page_id,
-                        "is_new": is_new,
-                        "ts": r.ts,
-                    }
-                )
+        out, first_date = _is_new_scan(rows, held[0] if held is not None else None)
         if first_date is not None:
             self._first_date.update((first_date,))
         yield pd.DataFrame(out, columns=_IS_NEW_COLS)
@@ -142,16 +122,13 @@ class BounceProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         held = self._pending.get()
         pending_page, pending_ts = held if held is not None else (None, None)
-        out: list[dict] = []
-        for pdf in rows:
-            for r in pdf.sort_values("ts").itertuples(index=False):
-                if pending_ts is not None:
-                    if r.ts - pending_ts > BOUNCE_TIMEOUT_MS:
-                        out.append({"mid": r.mid, "page_id": pending_page, "ts": pending_ts})
-                    self._handle.deleteTimer(pending_ts + BOUNCE_TIMEOUT_MS)
-                    pending_page, pending_ts = None, None
-                if r.last_page_id is None or r.last_page_id == "":
-                    pending_page, pending_ts = r.page_id, r.ts
+        out, pending_page, pending_ts = _bounce_scan(
+            rows,
+            pending_page,
+            pending_ts,
+            # a resolved entry's registered timer must not outlive it
+            on_resolved=lambda ts: self._handle.deleteTimer(ts + BOUNCE_TIMEOUT_MS),
+        )
         if pending_ts is not None:
             self._pending.update((pending_page, pending_ts))
             self._handle.registerTimer(pending_ts + BOUNCE_TIMEOUT_MS)

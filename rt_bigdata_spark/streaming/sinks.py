@@ -324,6 +324,109 @@ def read_cms_grid(spark, state_dir: str, depth: int = 4, width: int = 256) -> li
     return grid_from_cells(rows, depth, width)
 
 
+def histogram_maintenance_sink(
+    state_dir: str,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    nbuckets: int = 10,
+    keep_versions: int = 2,
+):
+    """Streaming equi-width histogram maintenance — the third
+    ``versioned_state_sink`` monoid instance (rollup = OHLC+sums,
+    CMS = cell-wise sums, this = per-(key, bucket) counts): each
+    micro-batch folds to its own ≤ keys×(nbuckets+2)-row bucket-count
+    frame and merges into the persisted state by summed counts. The
+    streaming twin of the registered ``value_histogram`` query (same
+    ``width_bucket`` semantics — underflow bucket 0, overflow
+    nbuckets+1), maintained over the WHOLE stream history at
+    O(state) merge cost per batch, independent of how many events
+    ever streamed — the profiling-threshold primitive (quality-score
+    cutoffs, anomaly bands) kept continuously fresh without re-scanning
+    history. Same version fence as the rollup sink (counts are
+    non-idempotent under re-merge). Reader: ``read_histogram``."""
+
+    def fold(b: DataFrame) -> DataFrame:
+        bucket = F.width_bucket(
+            F.col(value_col), F.lit(lo), F.lit(hi), F.lit(nbuckets)
+        ).cast("long")
+        return b.groupBy(F.col(key_col), bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy(key_col, "bucket")
+            .agg(F.sum("ct").cast("long").alias("ct"))
+        )
+
+    return versioned_state_sink(state_dir, fold, merge, keep_versions=keep_versions)
+
+
+def hll_maintenance_sink(
+    state_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_config_k: int = 12,
+    keep_versions: int = 2,
+):
+    """Streaming daily-active-users maintenance — the fourth
+    ``versioned_state_sink`` monoid instance, and the incremental form
+    ``behavior.active_users_hll`` promises in its docstring ("persisted
+    daily registers would make this incrementally maintainable"): each
+    micro-batch folds to O(days-in-batch) Datasketches HLL rows
+    (``hll_sketch_agg`` per day — the per-user explode never exists),
+    merged into the persisted per-day sketch state by
+    ``hll_union_agg``. HLL insertion is idempotent WITHIN a sketch but
+    union of overlapping slices is safe precisely because of that
+    idempotence — the version fence still matters for the day-row
+    bookkeeping and for symmetry with the other instances (one replay
+    protocol for all mergeable state). State is O(distinct days) ×
+    fixed sketch bytes, independent of user count and stream history —
+    the exact property the rollup probe measures. Reader:
+    ``read_active_users_hll`` (per-day DAU estimates)."""
+
+    def fold(b: DataFrame) -> DataFrame:
+        return (
+            b.filter(F.col(user_col).isNotNull())
+            .select(F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("day"))
+            .groupBy("day")
+            .agg(F.hll_sketch_agg(user_col, F.lit(lg_config_k)).alias("sk"))
+        )
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("day")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+        )
+
+    return versioned_state_sink(state_dir, fold, merge, keep_versions=keep_versions)
+
+
+def read_active_users_hll(spark, state_dir: str) -> DataFrame:
+    """The newest COMMITTED per-day sketch state as DAU estimates:
+    (day, dau_approx) — matches the ``dau_approx`` column of the batch
+    ``active_users_hll`` over the same events (same lg_config_k)."""
+    cur = _latest_rollup_version(state_dir, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed HLL state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v_{cur}")).select(
+        "day", F.hll_sketch_estimate("sk").alias("dau_approx")
+    )
+
+
+def read_histogram(spark, state_dir: str) -> DataFrame:
+    """The newest COMMITTED histogram state: (key, bucket, ct) rows —
+    the same shape as the batch ``value_histogram`` query."""
+    cur = _latest_rollup_version(state_dir, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed histogram state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v_{cur}"))
+
+
 def read_rollup(spark, state_dir: str) -> DataFrame:
     """Read the newest COMMITTED continuous-aggregate state in
     display form."""

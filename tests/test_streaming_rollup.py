@@ -212,3 +212,110 @@ def test_fence_works_through_hadoop_fs_uri(spark, tmp_path):
     # wiped checkpoint over the URI store still raises
     with _pt.raises(RuntimeError, match="not a replay"):
         sink(b, 1)
+
+
+def test_streaming_histogram_equals_batch(spark, tmp_path):
+    """histogram_maintenance_sink (the third versioned_state_sink
+    monoid instance): two micro-batches fold into the persisted
+    bucket-count state; the result must equal the batch value_histogram
+    shape over the union of all events (same width_bucket under/
+    overflow semantics), and a replayed batch must not double-count."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.streaming.sinks import (
+        histogram_maintenance_sink,
+        read_histogram,
+    )
+
+    state = str(tmp_path / "hstate")
+    sink = histogram_maintenance_sink(state, lo=0.0, hi=100.0, nbuckets=10)
+
+    rows1 = [
+        {"event_id": 1, "event_type": "view", "value": 5.0},
+        {"event_id": 2, "event_type": "view", "value": 55.0},
+        {"event_id": 3, "event_type": "click", "value": -3.0},  # underflow -> 0
+    ]
+    rows2 = [
+        {"event_id": 4, "event_type": "view", "value": 5.5},   # same bucket as ev 1
+        {"event_id": 5, "event_type": "click", "value": 250.0},  # overflow -> 11
+        {"event_id": 6, "event_type": "view", "value": 99.9},
+    ]
+    schema = "event_id long, event_type string, value double"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay: version fence must skip, not double-count
+
+    got = {
+        (r.event_type, r.bucket): r.ct for r in read_histogram(spark, state).collect()
+    }
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10)).cast("long")
+    expected = {
+        (r.event_type, r.bucket): r.ct
+        for r in b1.unionByName(b2)
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .collect()
+    }
+    assert got == expected
+    assert got[("click", 0)] == 1 and got[("click", 11)] == 1  # under/overflow buckets
+    assert got[("view", 1)] == 2  # merged across micro-batches
+
+
+def test_streaming_hll_dau_equals_batch(spark, tmp_path):
+    """hll_maintenance_sink (fourth monoid instance): per-day HLL
+    sketches folded across micro-batches must estimate exactly what
+    one batch sketch over the union estimates (sketch union is
+    deterministic for a fixed lg_config_k), users spanning both
+    batches must not double-count, and a replayed batch is fenced."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.streaming.sinks import (
+        hll_maintenance_sink,
+        read_active_users_hll,
+    )
+
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp"
+    rows1 = [
+        {"user_id": u, "ts": datetime(2024, 1, d, 10, 0, 0)}
+        for d in (1, 2)
+        for u in range(0, 40)
+    ]
+    rows2 = [
+        {"user_id": u, "ts": datetime(2024, 1, d, 15, 0, 0)}
+        for d in (2, 3)
+        for u in range(20, 60)  # overlaps rows1's users on day 2
+    ]
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    state = str(tmp_path / "hll")
+    sink = hll_maintenance_sink(state)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay: fenced
+
+    got = {
+        str(r.day): int(r.dau_approx)
+        for r in read_active_users_hll(spark, state).collect()
+    }
+    expected = {
+        str(r.day): int(r.dau)
+        for r in b1.unionByName(b2)
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("dau")
+        )
+        .collect()
+    }
+    assert got == expected and len(got) == 3
+    # sketches are near-exact at these cardinalities: day 2 saw users
+    # 0-59 across BOTH batches — union must not double-count overlap
+    assert got["2024-01-02 00:00:00"] == 60

@@ -532,6 +532,102 @@ def _new_batch_pcs(new_rows: DataFrame) -> list[int]:
     return [r["pc"] for r in new_rows.select("pc").distinct().collect()]
 
 
+def _store_base_dir(spark, state_dir: str) -> str | None:
+    """Newest COMMITTED compacted base (``base_v<k>``) of a
+    cell-partitioned delta store, or None. Older base versions may
+    coexist transiently (a compaction crash between the new base's
+    commit and the input deletes) — the newest one is a superset, so
+    readers take it and ignore the rest."""
+    bases = _fs_committed_ids(spark, state_dir, "base_v")
+    return os.path.join(state_dir, f"base_v{bases[-1]}") if bases else None
+
+
+def _store_scan_pruned(spark, state_dir: str, batch_id: int, pcs: Sequence[int]) -> DataFrame | None:
+    """The full partition-pruned store scan a trigger needs: compacted
+    base (if any) + committed ``batch=`` deltas, both restricted to the
+    new batch's pc set, excluding the batch's OWN delta dir (present
+    only on a heal-replay, where reading it back would anti-join the
+    whole batch away). Returns None for an empty store. During a
+    compaction crash window the base and not-yet-deleted deltas
+    OVERLAP; that is tolerated by construction — the pair join dedups
+    on (doc_a, doc_b) and the redelivery anti-join is set-semantics —
+    and the next compaction run cleans up."""
+    dirs = [
+        d
+        for d in _committed_batch_dirs(state_dir, spark, prefix="batch=")
+        if not d.endswith(f"batch={batch_id}")
+    ]
+    parts = []
+    if dirs:
+        parts.append(_read_store_pruned(spark, state_dir, dirs, pcs))
+    base = _store_base_dir(spark, state_dir)
+    if base is not None:
+        # the base is partitioned by pc alone — a plain read prunes on
+        # the same PartitionFilters
+        parts.append(spark.read.parquet(base).filter(F.col("pc").isin(list(pcs))))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_dedup_store(spark, state_dir: str, keep_last: int = 1) -> dict | None:
+    """Fold the committed ``batch=`` delta dirs (all but the newest
+    ``keep_last``) plus any existing base into ONE new compacted
+    ``base_v<k+1>`` — bounding the store's directory count for
+    infinite streams. Without compaction the per-trigger listing and
+    the single-relation file index grow O(#batches) forever; with a
+    periodic compaction (e.g. every N triggers, from the maintenance
+    job that also runs ``drop_transient``) the store is one
+    pc-partitioned base + a handful of recent deltas.
+
+    Crash-safe by ORDER, not by atomicity (the rollup sink's v_N
+    recipe): the new base is written and COMMITTED first; only then
+    are the old base and the folded deltas deleted. A crash in the
+    delete phase leaves overlap — rows present in both the new base
+    and leftover inputs — which every reader tolerates (see
+    ``_store_scan_pruned`` / ``read_near_dup_sigs``) and the next
+    compaction removes. Nothing is ever deleted before its replacement
+    is committed, so no crash point loses data.
+
+    ``keep_last >= 1`` is REQUIRED and enforced: the newest delta's
+    ``_FENCE`` is the replay receipt for the only batch Spark can
+    legitimately redeliver, and the incarnation guard keys off the
+    newest committed delta id — compacting it away would un-fence the
+    next replay. Returns {"base_version", "compacted_batches",
+    "rows"} or None when there is nothing to fold."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    ids = _fs_committed_ids(spark, state_dir, "batch=")
+    targets = ids[:-keep_last]
+    bases = _fs_committed_ids(spark, state_dir, "base_v")
+    if not targets and len(bases) <= 1:
+        return None
+    parts = []
+    if bases:
+        parts.append(spark.read.parquet(os.path.join(state_dir, f"base_v{bases[-1]}")))
+    if targets:
+        dirs = [os.path.join(state_dir, f"batch={i}") for i in targets]
+        parts.append(
+            spark.read.option("basePath", state_dir).parquet(*dirs).drop("batch")
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    new_v = (bases[-1] + 1) if bases else 0
+    out_dir = os.path.join(state_dir, f"base_v{new_v}")
+    # one file per pc dir (the delta writers' small-file rule)
+    allrows.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    for v in bases:
+        _fs_delete(spark, os.path.join(state_dir, f"base_v{v}"))
+    for i in targets:
+        _fs_delete(spark, os.path.join(state_dir, f"batch={i}"))
+    return {"base_version": new_v, "compacted_batches": len(targets), "rows": n}
+
+
 def near_dup_maintenance_sink(
     state_dir: str,
     pairs_dir: str,
@@ -569,6 +665,10 @@ def near_dup_maintenance_sink(
     rollup sink's v_N shape) would rewrite the corpus-scale signature
     table every trigger — at 100 TB the rewrite IS the job; partitioned
     deltas make each trigger O(batch + matching cells + candidates).
+    Delta-dir growth is bounded by periodic ``compact_dedup_store``
+    (base_v<k> + recent deltas; crash-safe by commit-before-delete
+    order), so the per-trigger listing does not grow O(#batches)
+    forever on an infinite stream.
 
     Redelivery of individual DOCS (same id arriving again in a LATER
     batch) is detected against the PRUNED read: an identical doc
@@ -630,24 +730,15 @@ def near_dup_maintenance_sink(
             n_store_parts=n_store_parts,
         ).persist()
         try:
-            # exclude the batch's OWN dir: present only on a heal-replay
-            # (committed-but-unfenced), where reading it back would
-            # anti-join the whole batch away
-            dirs = [
-                d
-                for d in _committed_batch_dirs(state_dir, spark, prefix="batch=")
-                if not d.endswith(f"batch={batch_id}")
-            ]
-            stored = None
+            # base + deltas, pruned to the batch's pc set, own dir
+            # excluded (heal-replay); persisted because it feeds both
+            # the redelivery anti-join and the pair join's seen side —
+            # unpersisted, each consumer would re-list and re-scan the
+            # store (2× the per-trigger read)
+            stored = _store_scan_pruned(spark, state_dir, batch_id, _new_batch_pcs(new_rows))
             kept = new_rows
-            if dirs:
-                # persist the pruned store for the trigger: it feeds both
-                # the redelivery anti-join and the pair join's seen side —
-                # unpersisted, each consumer would re-list and re-scan the
-                # store (2× the per-trigger read)
-                stored = _read_store_pruned(
-                    spark, state_dir, dirs, _new_batch_pcs(new_rows)
-                ).persist()
+            if stored is not None:
+                stored = stored.persist()
                 kept = new_rows.join(
                     stored.select("doc").distinct(), "doc", "left_anti"
                 )
@@ -741,20 +832,11 @@ def embedding_dedup_maintenance_sink(
             n_store_parts=n_store_parts,
         ).persist()
         try:
-            # exclude the batch's OWN dir (heal-replay; see minhash sink)
-            dirs = [
-                d
-                for d in _committed_batch_dirs(state_dir, spark, prefix="batch=")
-                if not d.endswith(f"batch={batch_id}")
-            ]
-            stored = None
+            # base + deltas, pruned, own dir excluded (see minhash sink)
+            stored = _store_scan_pruned(spark, state_dir, batch_id, _new_batch_pcs(new_rows))
             kept = new_rows
-            if dirs:
-                # persist: feeds both the anti-join and the pair join
-                # (see the minhash sink)
-                stored = _read_store_pruned(
-                    spark, state_dir, dirs, _new_batch_pcs(new_rows)
-                ).persist()
+            if stored is not None:
+                stored = stored.persist()
                 kept = new_rows.join(stored.select("id").distinct(), "id", "left_anti")
             kept = kept.persist()
             try:
@@ -787,19 +869,29 @@ def read_near_dup_pairs(spark, pairs_dir: str) -> DataFrame:
 
 
 def read_near_dup_sigs(spark, state_dir: str) -> DataFrame:
-    """The accumulated committed store, collapsed to ONE row per
-    document/vector: the cell-partitioned store replicates each doc
-    across its bands (minhash: one row per (doc, band)) or tables
-    (embedding: one row per (vector, table)), so the per-item view
-    keeps only the band-0 / table-0 representative — (doc, signature)
-    for a minhash store, (id, v) for a vector store. Feeds a batch
-    re-run or the next ingest's seen side."""
+    """The accumulated committed store (compacted base + deltas),
+    collapsed to ONE row per document/vector: the cell-partitioned
+    store replicates each doc across its bands (minhash: one row per
+    (doc, band)) or tables (embedding: one row per (vector, table)),
+    so the per-item view keeps only the band-0 / table-0
+    representative — (doc, signature) for a minhash store, (id, v) for
+    a vector store. ``dropDuplicates`` on the item id absorbs the
+    transient base/delta overlap of a compaction crash window. Feeds a
+    batch re-run or the next ingest's seen side."""
     dirs = _committed_batch_dirs(state_dir, spark, prefix="batch=")
-    if not dirs:
+    base = _store_base_dir(spark, state_dir)
+    parts = []
+    if dirs:
+        parts.append(spark.read.option("basePath", state_dir).parquet(*dirs).drop("batch"))
+    if base is not None:
+        parts.append(spark.read.parquet(base))
+    if not parts:
         raise FileNotFoundError(f"no committed signature batches under {state_dir}")
-    df = spark.read.option("basePath", state_dir).parquet(*dirs).drop("batch")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if "band" in df.columns:
-        return df.filter(F.col("band") == 0).select("doc", "signature")
+        return df.filter(F.col("band") == 0).select("doc", "signature").dropDuplicates(["doc"])
     if "t" in df.columns:
-        return df.filter(F.col("t") == 0).select("id", "v")
+        return df.filter(F.col("t") == 0).select("id", "v").dropDuplicates(["id"])
     return df  # pre-r8 flat store: already one row per item

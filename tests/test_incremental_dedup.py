@@ -448,3 +448,59 @@ def test_missing_fence_heals_by_reprocessing(spark, tmp_path):
     # fence present again: an identical replay now SKIPS (same receipts)
     sink(b1, 1)
     assert _sigset() == sigs_before
+
+
+def test_compacted_store_preserves_stream_semantics(spark, tmp_path):
+    """compact_dedup_store bounds the delta-store dir count for
+    infinite streams: after folding all-but-newest deltas into a
+    pc-partitioned base, (a) the per-item store view is unchanged,
+    (b) a replay of the newest (kept) batch still fences, (c) a
+    LATER batch still discovers pairs against docs that now live only
+    in the base, identical to what an uncompacted store discovers."""
+    import os as _os
+
+    from rt_bigdata_spark.streaming.sinks import (
+        _fs_committed_ids,
+        compact_dedup_store,
+        near_dup_maintenance_sink,
+        read_near_dup_pairs,
+        read_near_dup_sigs,
+    )
+
+    base_txt = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def run(root, compact):
+        state, pairs_dir = str(root / "sigs"), str(root / "pairs")
+        sink = near_dup_maintenance_sink(state, pairs_dir, threshold=0.3, n_store_parts=8)
+        batches = [
+            [(1, base_txt), (2, "completely different words about spark engines")],
+            [(10, "unrelated new content with novel tokens entirely"), (11, "more filler text rows")],
+            [(20, "yet another batch of documents to widen the store")],
+        ]
+        for i, rows in enumerate(batches):
+            sink(spark.createDataFrame(rows, "doc_id: long, text: string"), i)
+        if compact:
+            stats = compact_dedup_store(spark, state)
+            assert stats is not None and stats["compacted_batches"] == 2
+            # dirs bounded: one base + the kept newest delta
+            assert _fs_committed_ids(spark, state, "batch=") == [2]
+            assert _fs_committed_ids(spark, state, "base_v") == [0]
+            # replay of the kept newest batch still fences (receipt intact)
+            sink(spark.createDataFrame(batches[2], "doc_id: long, text: string"), 2)
+        # a LATER batch pairs against a doc (1) that is now base-only
+        sink(
+            spark.createDataFrame([(30, base_txt + " tail")], "doc_id: long, text: string"),
+            3,
+        )
+        sigs = {r.doc for r in read_near_dup_sigs(spark, state).collect()}
+        got_pairs = {
+            (r.doc_a, r.doc_b) for r in read_near_dup_pairs(spark, pairs_dir).collect()
+        }
+        return sigs, got_pairs
+
+    c = tmp_path / "c"; u = tmp_path / "u"
+    c.mkdir(); u.mkdir()
+    sigs_c, pairs_c = run(c, compact=True)
+    sigs_u, pairs_u = run(u, compact=False)
+    assert sigs_c == sigs_u == {1, 2, 10, 11, 20, 30}
+    assert pairs_c == pairs_u and (1, 30) in pairs_c  # base-only doc paired

@@ -512,6 +512,99 @@ def bpe_encode_counts(
     )
 
 
+def bpe_encode_tokens(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+) -> DataFrame:
+    """Full tokenizer application: per document, the MODEL-READY BPE
+    token-id sequence under the trained merge table — what a training
+    pipeline actually feeds the dataloader (``bpe_encode_counts`` gives
+    the budget NUMBER; this gives the tokens). Ids use the classic BPE
+    vocabulary layout: a single-char base symbol is its code point
+    (``ascii``), the symbol produced by merge step s (1-based) is
+    ``255 + s`` — so ids are stable across corpora for a fixed merge
+    table, exactly like a shipped tokenizer. When two merge steps
+    produce the same surface string via different parses (possible in
+    BPE), the LOWEST id wins deterministically on both engines.
+
+    Output: ``(doc_id, n_words, n_bpe_tokens, token_ids)`` with
+    ``token_ids`` the space-joined id sequence in document order.
+    Zero-token documents emit no row.
+
+    Scale shape: merges apply per token TYPE on the vocab frame with
+    the same chunked/checkpointed chain as ``bpe_encode_counts``
+    (depth capped at ``chunk``); symbol→id mapping is a broadcast join
+    of the EXPLODED vocab symbols against the O(n_merges) merge-id
+    frame (never a 2·n_merges-argument literal map — that would
+    recreate the expression-depth cliff the chunking removed); doc
+    order is restored by sorting per-token (position, ids) structs
+    inside the per-doc aggregate — one vocab-keyed join + one doc-keyed
+    agg, both max-cardinality keys, no skew."""
+    spark = df.sparkSession
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    doc_toks = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(toks).alias("tpos", "tok")
+    )
+    seq0 = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    vocab = doc_toks.select("tok").distinct().select("tok", seq0.alias("seq"))
+    for i in range(0, len(merges), chunk):
+        seq = F.col("seq")
+        for left, right in merges[i : i + chunk]:
+            seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+        vocab = vocab.select("tok", seq.alias("seq"))
+        if i + chunk < len(merges):
+            vocab = vocab.localCheckpoint(eager=False)
+
+    # duplicate surface forms across steps → lowest id, deterministic
+    sym_rows = {}
+    for s, (left, right) in enumerate(merges, start=1):
+        sym_rows.setdefault(left + right, 255 + s)
+    sym_ids = spark.createDataFrame(
+        sorted(sym_rows.items()), "sym: string, sid: long"
+    )
+    tok_syms = vocab.select(
+        "tok", F.posexplode(F.split(F.trim(F.col("seq")), "  ")).alias("spos", "sym")
+    )
+    tok_ids = (
+        tok_syms.join(F.broadcast(sym_ids), "sym", "left")
+        .select(
+            "tok",
+            "spos",
+            F.coalesce(F.col("sid"), F.ascii(F.col("sym")).cast("long")).alias("sid"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "sid"))), lambda x: x.sid
+            ).alias("ids")
+        )
+    )
+    return (
+        doc_toks.join(tok_ids, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "ids"))),
+                    lambda x: x.ids,
+                )
+            ).alias("_all_ids"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("_all_ids").cast("long").alias("n_bpe_tokens"),
+            F.array_join(F.transform("_all_ids", lambda x: x.cast("string")), " ").alias(
+                "token_ids"
+            ),
+        )
+    )
+
+
 def _winnow_fp_array(text_col: str, k: int, w: int):
     """Winnowing fingerprint array of a text column (shared kernel of
     winnow_fingerprints and winnow_match_pairs — the gram hashing and

@@ -1977,6 +1977,85 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer application (text_analysis.bpe_encode_tokens):
+    the trained merge table applied back to the corpus yielding the
+    MODEL-READY token-id sequence per document (classic id layout:
+    code point for base chars, 255+step for merged symbols) — the
+    terminal step of the curation pipeline, where documents become
+    dataloader input. token_ids is the space-joined sequence in
+    document order, so the DuckDB oracle hash-checks every id at every
+    position, not just counts."""
+    from rt_bigdata_spark.operators.text_analysis import bpe_encode_tokens, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
+    ]
+    return bpe_encode_tokens(docs, merges)
+
+
+def _bpe_encode_tokens_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """The _bpe_encode_oracle training chain, extended past symbol
+    COUNTS to the ids themselves: merge-step symbols map to 255+step
+    (lowest id wins on duplicate surface forms), base chars to their
+    code point; per-token id lists join back onto ordinality-indexed
+    doc tokens and flatten in document order."""
+    steps = []
+    for s in range(1, n_merges + 1):
+        prev = "v0" if s == 1 else f"v{s - 1}"
+        steps.append(f"""
+p{s} AS MATERIALIZED (
+  SELECT syms[i + 1] AS l, syms[i + 2] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(seq), '  ') AS syms, c FROM {prev}) t,
+       UNNEST(range(len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+b{s} AS MATERIALIZED (SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1),
+v{s} AS MATERIALIZED (
+  SELECT tok,
+         replace(seq,
+                 ' ' || (SELECT l FROM b{s}) || '  ' || (SELECT r FROM b{s}) || ' ',
+                 ' ' || (SELECT l FROM b{s}) || (SELECT r FROM b{s}) || ' ') AS seq, c
+  FROM {prev}
+)""")
+    mid_rows = "\nUNION ALL ".join(
+        f"SELECT (SELECT l FROM b{s}) || (SELECT r FROM b{s}) AS sym, {255 + s} AS sid"
+        for s in range(1, n_merges + 1)
+    )
+    return f"""
+WITH doc_raw AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS toks FROM documents),
+doc_toks AS (SELECT doc_id, UNNEST(toks) AS tok FROM doc_raw),
+vocab AS (SELECT tok, COUNT(*) AS c FROM doc_toks GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT tok, '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS seq, c FROM vocab
+),
+{",".join(steps)},
+mid AS (SELECT sym, MIN(sid) AS sid FROM ({mid_rows}) GROUP BY sym),
+tok_syms AS (
+  SELECT tok, i AS spos, syms[i + 1] AS sym
+  FROM (SELECT tok, string_split(trim(seq), '  ') AS syms FROM v{n_merges}) e,
+       UNNEST(range(len(syms))) AS u(i)
+),
+tok_ids AS (
+  SELECT tok, list(CAST(COALESCE(m.sid, ascii(sym)) AS BIGINT) ORDER BY spos) AS ids
+  FROM tok_syms LEFT JOIN mid m USING (sym) GROUP BY tok
+),
+doc_toks_o AS (
+  SELECT doc_id, i AS ord, toks[i + 1] AS tok
+  FROM doc_raw, UNNEST(range(len(toks))) AS u(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(ids)) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(flatten(list(ids ORDER BY ord)), ' ') AS token_ids
+FROM doc_toks_o JOIN tok_ids USING (tok)
+GROUP BY doc_id
+"""
+
+
 _WIN_K = 5
 _WIN_W = 4
 
@@ -2306,7 +2385,7 @@ for spec in [
     # corpus_profile, quality_gate, unigram_surprisal) yielded window
     # slots so these verify on their first round.
     QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=10),
-    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), priority=10),
+    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), priority=80),
     QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=10),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=10),
     QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=80),
@@ -2328,6 +2407,9 @@ for spec in [
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
     QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=10),
     QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), priority=10),
+    # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
+    # yields its slot; still CI-oracle-verified every run)
+    QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), priority=10),
     # round-5 seventh batch (edit-robust fingerprinting; with
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)

@@ -29,7 +29,10 @@ MUST_BE_IN_WINDOW = {
     # round-5 second batch (five more greens — text_quality,
     # ann_cosine_topk, corpus_profile, quality_gate, unigram_surprisal
     # — yielded their slots; all stay CI-oracle-verified):
-    "semantic_clusters", "semdedup", "bm25_search", "stratified_sample",
+    "semantic_clusters", "bm25_search", "stratified_sample",
+    # (semdedup — thrice-green r5-r7 — yielded its slot in r8 to
+    # bpe_encode_tokens, the full tokenizer application)
+    "bpe_encode_tokens",
     # round-5 third batch (is_new_correction, bounce_detection,
     # cdc_routing, doc_keywords yielded their slots):
     "event_funnel", "cohort_retention",

@@ -504,3 +504,40 @@ def test_compacted_store_preserves_stream_semantics(spark, tmp_path):
     sigs_u, pairs_u = run(u, compact=False)
     assert sigs_c == sigs_u == {1, 2, 10, 11, 20, 30}
     assert pairs_c == pairs_u and (1, 30) in pairs_c  # base-only doc paired
+
+
+def test_compaction_on_embedding_store(spark, tmp_path):
+    """compact_dedup_store is store-schema-agnostic: the vector store
+    (id, v, nrm, t, bkt, pc) compacts the same way — later batches
+    still pair against base-only vectors, and the per-item view is
+    unchanged."""
+    import pyspark.sql.functions as _F
+
+    from rt_bigdata_spark.streaming.sinks import (
+        _fs_committed_ids,
+        compact_dedup_store,
+        embedding_dedup_maintenance_sink,
+        read_near_dup_pairs,
+        read_near_dup_sigs,
+    )
+
+    def vecs(ids, base_angle):
+        return spark.createDataFrame(
+            [(i, [float(base_angle + 0.001 * (i % 2)), 1.0, 0.5, -0.25]) for i in ids],
+            "vec_id: long, embedding: array<double>",
+        )
+
+    state, pairs_dir = str(tmp_path / "v"), str(tmp_path / "p")
+    sink = embedding_dedup_maintenance_sink(state, pairs_dir, threshold=0.99, dim=4)
+    sink(vecs([1, 2], 1.0), 0)
+    sink(vecs([10, 11], 5.0), 1)
+    sink(vecs([20], 9.0), 2)
+    stats = compact_dedup_store(spark, state)
+    assert stats is not None and stats["compacted_batches"] == 2
+    assert _fs_committed_ids(spark, state, "batch=") == [2]
+    # a later near-identical vector pairs with id 1, which is base-only
+    sink(vecs([30], 1.0), 3)
+    ids = {r.id for r in read_near_dup_sigs(spark, state).collect()}
+    assert ids == {1, 2, 10, 11, 20, 30}
+    pairs = {(r.id_a, r.id_b) for r in read_near_dup_pairs(spark, pairs_dir).collect()}
+    assert (1, 30) in pairs

@@ -278,3 +278,58 @@ def test_bucketed_group_order_equals_naive_window(spark, rows, n_buckets, prune_
     got_p = {r.doc_id for r in pruned.filter(F.col("rnk") <= prune_rank).collect()}
     want_p = {d for d, (rk, _) in want.items() if rk <= prune_rank}
     assert got_p == want_p
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12), min_size=1, max_size=25
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_bpe_encode_tokens_matches_python_mirror(spark, words, n_merges):
+    """bpe_encode_tokens over arbitrary small-alphabet corpora and
+    trained merge tables must emit exactly the id sequence a pure-
+    Python greedy BPE (classic id layout: code point / 255+step,
+    lowest id on duplicate surface forms) produces — position by
+    position, across chunk boundaries (chunk=2 forces slicing even at
+    tiny n_merges)."""
+    from rt_bigdata_spark.operators.text_analysis import bpe_encode_tokens, bpe_merges
+
+    docs = [(i, " ".join(words[i::3])) for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_merges(df, n_merges=n_merges).orderBy("step").collect()
+    ]
+
+    sym_id: dict[str, int] = {}
+    for s, (left, right) in enumerate(merges, 1):
+        sym_id.setdefault(left + right, 255 + s)
+
+    def enc(tok: str) -> list[int]:
+        syms = list(tok)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return [sym_id.get(s2, ord(s2) if len(s2) == 1 else -1) for s2 in syms]
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.token_ids)
+        for r in bpe_encode_tokens(df, merges, chunk=2).collect()
+    }
+    expected = {}
+    for doc_id, text in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if toks:
+            ids = [i for w in toks for i in enc(w)]
+            assert -1 not in ids  # every multi-char symbol has a merge id
+            expected[doc_id] = (len(toks), len(ids), " ".join(map(str, ids)))
+    assert got == expected

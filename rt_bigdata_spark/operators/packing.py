@@ -175,6 +175,89 @@ def concat_pack(
     )
 
 
+def pack_token_sequences(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    seq_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "7",
+    chunk: int = 64,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The pipeline's terminal artifact, materialized: documents →
+    BPE token ids (``text_analysis._bpe_token_ids``) → concatenated in
+    deterministic md5(seed:id) order → cut into fixed-``seq_len``
+    training sequences, each emitted as ``(seq_id, n_tokens,
+    token_ids)`` with token_ids the space-joined id run. Where
+    ``concat_pack`` reports the per-DOC bookkeeping (which sequence
+    range a document occupies), this produces the SEQUENCES themselves
+    — what export_shards would write for the dataloader. The final
+    sequence is partial (n_tokens < seq_len); all others are exactly
+    seq_len.
+
+    Scale shape: document offsets come from the bucket-decomposed
+    kernel (``scale.bucketed_group_order`` cumsum — never a global
+    single-task sort); each document then explodes to one row per
+    sequence it touches (a doc spans ceil(n/L)+1 sequences at most, so
+    the explode is O(total_tokens / L) rows overall) carrying an
+    F.slice of its id array; sequences reassemble with ONE groupBy on
+    seq_id — max-cardinality key, and each group holds ≤ seq_len
+    pieces, so the per-group sort is bounded by L regardless of corpus
+    size. Deterministic end to end: same seed + merge table ⇒ the same
+    byte-identical sequences on any cluster (the resumable-dataloader
+    property ``global_shuffle`` documents, carried through to model
+    input)."""
+    from rt_bigdata_spark.operators.scale import bucketed_group_order
+    from rt_bigdata_spark.operators.text_analysis import _bpe_token_ids
+
+    ids_df = _bpe_token_ids(df, merges, text_col, id_col, chunk).select(
+        F.col(id_col),
+        F.col("_all_ids").alias("ids"),
+        F.size("_all_ids").cast("long").alias("n"),
+    )
+    pr = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    b = ids_df.filter(F.col("n") > 0).withColumn("_pr", pr)
+    ranked = bucketed_group_order(
+        b, "_pr", id_col, n_buckets=n_buckets, sum_col="n", cumsum_col="_cum"
+    )
+    off = F.col("_cum") - F.col("n")
+    spans = ranked.select(
+        "ids",
+        "n",
+        off.alias("_off"),
+        F.explode(
+            F.sequence(
+                F.floor(off / seq_len), F.floor((F.col("_cum") - 1) / seq_len)
+            )
+        ).alias("seq_id"),
+    )
+    start = F.greatest(F.lit(0), F.col("seq_id") * seq_len - F.col("_off"))
+    end = F.least(F.col("n"), (F.col("seq_id") + 1) * seq_len - F.col("_off"))
+    piece = F.slice(F.col("ids"), (start + 1).cast("int"), (end - start).cast("int"))
+    return (
+        spans.select(F.col("seq_id").cast("long").alias("seq_id"), "_off", piece.alias("_piece"))
+        .groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_off").alias("o"), F.col("_piece").alias("p")))
+                    ),
+                    lambda x: x.p,
+                )
+            ).alias("_ids")
+        )
+        .select(
+            "seq_id",
+            F.size("_ids").cast("long").alias("n_tokens"),
+            F.array_join(F.transform("_ids", lambda x: x.cast("string")), " ").alias(
+                "token_ids"
+            ),
+        )
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

@@ -543,6 +543,28 @@ def bpe_encode_tokens(
     order is restored by sorting per-token (position, ids) structs
     inside the per-doc aggregate — one vocab-keyed join + one doc-keyed
     agg, both max-cardinality keys, no skew."""
+    return _bpe_token_ids(df, merges, text_col, id_col, chunk).select(
+        id_col,
+        "n_words",
+        F.size("_all_ids").cast("long").alias("n_bpe_tokens"),
+        F.array_join(F.transform("_all_ids", lambda x: x.cast("string")), " ").alias(
+            "token_ids"
+        ),
+    )
+
+
+def _bpe_token_ids(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+) -> DataFrame:
+    """Shared tokenizer core: ``(id_col, n_words, _all_ids)`` with
+    ``_all_ids`` the document-order array of BPE token ids — consumed
+    by ``bpe_encode_tokens`` (display form) and
+    ``packing.pack_token_sequences`` (sequence assembly). See
+    ``bpe_encode_tokens`` for the id layout and scale shape."""
     spark = df.sparkSession
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     doc_toks = ensure_parallelism(df).select(
@@ -594,16 +616,7 @@ def bpe_encode_tokens(
                 )
             ).alias("_all_ids"),
         )
-        .select(
-            id_col,
-            "n_words",
-            F.size("_all_ids").cast("long").alias("n_bpe_tokens"),
-            F.array_join(F.transform("_all_ids", lambda x: x.cast("string")), " ").alias(
-                "token_ids"
-            ),
-        )
     )
-
 
 def _winnow_fp_array(text_col: str, k: int, w: int):
     """Winnowing fingerprint array of a text column (shared kernel of

@@ -2056,6 +2056,73 @@ GROUP BY doc_id
 """
 
 
+_PACK_SEQ_LEN = 128
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's terminal artifact, materialized and hash-checked
+    end to end (packing.pack_token_sequences): train the tokenizer,
+    tokenize every document, concatenate in deterministic md5 order
+    and cut into fixed-length training sequences — each output row IS
+    a model input sequence (seq_id, n_tokens, token_ids). The oracle
+    replays the whole chain in DuckDB (train → encode → order → pack),
+    so every id at every position of every sequence is verified."""
+    from rt_bigdata_spark.operators.packing import pack_token_sequences
+    from rt_bigdata_spark.operators.text_analysis import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
+    ]
+    return pack_token_sequences(docs, merges, seq_len=_PACK_SEQ_LEN)
+
+
+def _packed_sequences_oracle(
+    n_merges: int = _BPE_N_MERGES, seq_len: int = _PACK_SEQ_LEN, seed: str = "7"
+) -> str:
+    """_bpe_encode_tokens_oracle's chain extended through packing: the
+    per-doc id lists order by md5(seed:doc_id), a running-sum window
+    assigns offsets, each doc explodes to the sequence indices it
+    touches with the matching list slice, and sequences reassemble
+    with list(... ORDER BY off)."""
+    base = _bpe_encode_tokens_oracle(n_merges)
+    # reuse everything up to tok_ids/doc_toks_o; replace the final SELECT
+    # (the head's last CTE needs a comma before the appended ones)
+    head = base[: base.rindex("SELECT doc_id,")].rstrip() + ",\n"
+    return f"""{head}doc_ids AS (
+  SELECT doc_id, flatten(list(ids ORDER BY ord)) AS ids
+  FROM doc_toks_o JOIN tok_ids USING (tok) GROUP BY doc_id
+),
+ordered AS (
+  SELECT doc_id, ids, len(ids) AS n,
+         md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)) AS pr
+  FROM doc_ids WHERE len(ids) > 0
+),
+cums AS (
+  SELECT doc_id, ids, n,
+         SUM(n) OVER (ORDER BY pr, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ordered
+),
+spans AS (
+  SELECT ids, n, cum - n AS off, s AS seq_id
+  FROM cums,
+       UNNEST(range(CAST(FLOOR((cum - n) / {seq_len}) AS BIGINT),
+                    CAST(FLOOR((cum - 1) / {seq_len}) AS BIGINT) + 1)) AS u(s)
+),
+pieces AS (
+  SELECT seq_id, off,
+         ids[CAST(GREATEST(0, seq_id * {seq_len} - off) AS BIGINT) + 1 :
+             CAST(LEAST(n, (seq_id + 1) * {seq_len} - off) AS BIGINT)] AS piece
+  FROM spans
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(SUM(len(piece)) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(piece ORDER BY off)), ' ') AS token_ids
+FROM pieces GROUP BY seq_id
+"""
+
+
 _WIN_K = 5
 _WIN_W = 4
 
@@ -2371,7 +2438,7 @@ for spec in [
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=10),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=10),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=10),
-    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=10),
+    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
     QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), priority=10),
     # round-5 additions (training-order / packing bookkeeping); three
     # more multi-round greens (payment_wide, uv_dedup, log_split)
@@ -2410,6 +2477,9 @@ for spec in [
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
     QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), priority=10),
+    # round-8: the terminal packed-sequence artifact (filtered_ann —
+    # thrice-green r5-r7, indexed sibling stays in-window — yields its slot)
+    QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), priority=10),
     # round-5 seventh batch (edit-robust fingerprinting; with
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)

@@ -23,7 +23,10 @@ DRIVER_WINDOW = 50
 # tests/test_oracle_parity.py).
 MUST_BE_IN_WINDOW = {
     "repetition_stats", "pii_scrub", "contamination", "doc_chunks",
-    "token_budget", "filtered_ann", "filtered_ann_indexed",
+    "token_budget", "filtered_ann_indexed",
+    # (filtered_ann — thrice-green r5-r7, indexed sibling keeps the
+    # family in-window — yielded its slot in r8 to packed_sequences)
+    "packed_sequences",
     "concat_pack", "global_shuffle", "mix_schedule", "paragraph_dedup",
     "dim_history_merge",
     # round-5 second batch (five more greens — text_quality,

@@ -2479,7 +2479,7 @@ for spec in [
     QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), priority=10),
     # round-8: the terminal packed-sequence artifact (filtered_ann —
     # thrice-green r5-r7, indexed sibling stays in-window — yields its slot)
-    QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), priority=10),
+    QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), bench=True, priority=10),
     # round-5 seventh batch (edit-robust fingerprinting; with
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)

@@ -492,15 +492,7 @@ def bpe_encode_counts(
     """
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     doc_toks = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    seq0 = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
-    vocab = doc_toks.select("tok").distinct().select("tok", seq0.alias("seq"))
-    for i in range(0, len(merges), chunk):
-        seq = F.col("seq")
-        for left, right in merges[i : i + chunk]:
-            seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
-        vocab = vocab.select("tok", seq.alias("seq"))
-        if i + chunk < len(merges):  # last slice fuses into the join
-            vocab = vocab.localCheckpoint(eager=False)
+    vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
     enc = vocab.select("tok", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym"))
     return (
         doc_toks.join(enc, "tok")
@@ -510,6 +502,28 @@ def bpe_encode_counts(
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def _bpe_vocab_chain(
+    doc_toks: DataFrame, merges: "list[tuple[str, str]]", chunk: int
+) -> DataFrame:
+    """The ONE chunked merge-application chain (tok → final
+    double-space ``seq``) shared by ``bpe_encode_counts`` and
+    ``_bpe_token_ids`` — a single implementation so a future change to
+    the checkpoint cadence or a boundary condition cannot drift
+    between the two encoders (the ``stateful`` shared-kernel rule,
+    review finding r8). Last slice stays un-checkpointed so it fuses
+    into the caller's join."""
+    seq0 = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    vocab = doc_toks.select("tok").distinct().select("tok", seq0.alias("seq"))
+    for i in range(0, len(merges), chunk):
+        seq = F.col("seq")
+        for left, right in merges[i : i + chunk]:
+            seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+        vocab = vocab.select("tok", seq.alias("seq"))
+        if i + chunk < len(merges):
+            vocab = vocab.localCheckpoint(eager=False)
+    return vocab
 
 
 def bpe_encode_tokens(
@@ -570,15 +584,7 @@ def _bpe_token_ids(
     doc_toks = ensure_parallelism(df).select(
         F.col(id_col), F.posexplode(toks).alias("tpos", "tok")
     )
-    seq0 = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
-    vocab = doc_toks.select("tok").distinct().select("tok", seq0.alias("seq"))
-    for i in range(0, len(merges), chunk):
-        seq = F.col("seq")
-        for left, right in merges[i : i + chunk]:
-            seq = F.replace(seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
-        vocab = vocab.select("tok", seq.alias("seq"))
-        if i + chunk < len(merges):
-            vocab = vocab.localCheckpoint(eager=False)
+    vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
 
     # duplicate surface forms across steps → lowest id, deterministic
     sym_rows = {}

@@ -489,6 +489,127 @@ def _delta_fence_skips(spark, state_dir: str, batch_id: int, n_rows: int, what: 
     return False
 
 
+def _store_params_fence(spark, state_dir: str, params: dict) -> None:
+    """Persist-or-verify the store's derivation parameters (review
+    finding, r8): the cell-partitioned stores persist cells computed
+    with the WRITE-TIME parameters, so a restart with different
+    bands / n_store_parts / plane constants would silently prune every
+    stored row out of the trigger's scan (the r7 re-derive-per-trigger
+    design was immune — it re-celled with the current parameters). A
+    ``_PARAMS`` JSON marker is written on the store's first trigger
+    and verified on every later one; any mismatch RAISES instead of
+    silently missing all stored duplicates. Also rejects a pre-r8
+    flat ``b_<id>`` store outright (its rows carry no cells at all) —
+    run ``migrate_flat_dedup_store`` once or point at a fresh dir."""
+    import json
+
+    if _fs_committed_ids(spark, state_dir, "b_"):
+        raise RuntimeError(
+            f"{state_dir} holds a pre-r8 flat b_<id> signature store; its rows "
+            "carry no precomputed cells, so the cell-partitioned sink would "
+            "silently ignore them. Run migrate_flat_dedup_store(spark, "
+            "state_dir, ...) once with the ORIGINAL LSH parameters, or point "
+            "the query at a fresh state_dir"
+        )
+    path = os.path.join(state_dir, "_PARAMS")
+    existing = _fs_read_text(spark, path)
+    if existing is None:
+        _fs_write_text(spark, path, json.dumps(params, sort_keys=True))
+        return
+    stored = json.loads(existing)
+    if stored != params:
+        raise RuntimeError(
+            f"store at {state_dir} was written with parameters {stored} but the "
+            f"sink was configured with {params}: stored cells would never match "
+            "the new batch's cells, silently missing every stored duplicate. "
+            "Recreate the store (or migrate it) under the new parameters, or "
+            "restore the original configuration"
+        )
+
+
+def migrate_flat_dedup_store(
+    spark,
+    state_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    n_store_parts: int = 32,
+) -> dict:
+    """One-time migration of a pre-r8 flat ``b_<id>`` store (rows
+    (doc, signature) or (id, vector)) into the cell-partitioned
+    layout: re-band/re-cell ONCE with the given parameters into
+    ``base_v0``, write ``_PARAMS``, then delete the flat dirs —
+    commit-before-delete, same crash-safety order as compaction.
+    Parameters MUST be the ones the flat store was built with (the
+    signature length is checked for minhash; vector stores carry no
+    self-describing parameters, so the caller is trusted)."""
+    import json
+
+    from rt_bigdata_spark.operators.dedup import (
+        _band_width,
+        _banded,
+        _emb_lsh_cells,
+        _store_pc,
+    )
+
+    flat = _committed_batch_dirs(state_dir, spark, prefix="b_")
+    if not flat:
+        raise FileNotFoundError(f"no flat b_<id> store under {state_dir}")
+    rows = spark.read.parquet(*flat)
+    if "signature" in rows.columns:
+        r = _band_width(num_hashes, bands)
+        bad = rows.filter(F.size("signature") != num_hashes).count()
+        if bad:
+            raise RuntimeError(
+                f"{bad} stored signatures have length != num_hashes={num_hashes}: "
+                "wrong migration parameters"
+            )
+        out = _banded(rows.select("doc", "signature"), bands, r).withColumn(
+            "pc", _store_pc("band", "bucket", n_store_parts=n_store_parts)
+        )
+        params = {
+            "kind": "minhash",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "n_store_parts": n_store_parts,
+        }
+    else:
+        # flat vec rows carry the sink's configured (id_col, vec_col)
+        # names — infer by dtype (exactly one array column)
+        arr_cols = [c for c, t in rows.dtypes if t.startswith("array")]
+        if len(arr_cols) != 1 or len(rows.columns) != 2:
+            raise RuntimeError(
+                f"cannot infer (id, vector) columns from {rows.dtypes}"
+            )
+        vec_c = arr_cols[0]
+        id_c = next(c for c in rows.columns if c != vec_c)
+        cells = _emb_lsh_cells(
+            rows.select(F.col(id_c), F.col(vec_c)),
+            id_c, vec_c, num_planes, num_tables, dim, seed,
+        )
+        out = cells.select(
+            "id", "v", "nrm", F.col("cell.t").alias("t"), F.col("cell.bkt").alias("bkt")
+        ).withColumn("pc", _store_pc("t", "bkt", n_store_parts=n_store_parts))
+        params = {
+            "kind": "embedding",
+            "num_planes": num_planes,
+            "num_tables": num_tables,
+            "dim": dim,
+            "seed": seed,
+            "n_store_parts": n_store_parts,
+        }
+    out_dir = os.path.join(state_dir, "base_v0")
+    out.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    _fs_write_text(spark, os.path.join(state_dir, "_PARAMS"), json.dumps(params, sort_keys=True))
+    for d in flat:
+        _fs_delete(spark, d)
+    return {"migrated_rows": n, "params": params}
+
+
 def _committed_batch_dirs(base: str, spark=None, prefix: str = "b_") -> list[str]:
     """COMMITTED delta dirs under an append-only store, ascending by
     batch id (same _SUCCESS-marker rule as ``_rollup_versions``: a
@@ -504,24 +625,57 @@ def _committed_batch_dirs(base: str, spark=None, prefix: str = "b_") -> list[str
     return [os.path.join(base, f"{prefix}{i}") for i in _fs_committed_ids(spark, base, prefix)]
 
 
-def _read_store_pruned(spark, base: str, dirs: Sequence[str], pcs: Sequence[int]) -> DataFrame:
-    """Partition-pruned read of a cell-partitioned delta store: only
-    the ``pc=<id>`` partition directories matching the new batch's own
-    cell set are scanned (PartitionFilters on the parquet scan —
-    asserted in tests/test_incremental_dedup.py). This is what makes
-    per-trigger cost O(batch + matching cells) instead of O(corpus):
-    every committed ``batch=<id>`` dir is LISTED (metadata only), but
-    data is read solely from matching partitions. The k=v batch dir
-    naming exists precisely so that ``basePath`` turns ALL committed
-    dirs into ONE partitioned relation (batch, pc as partition
+def _read_deltas(
+    spark, state_dir: str, dirs: Sequence[str], pcs: "Sequence[int] | None" = None
+) -> "DataFrame | None":
+    """One partitioned-relation read over the given committed
+    ``batch=`` dirs, optionally pruned to a pc set: only matching
+    ``pc=<id>`` partition directories are scanned (PartitionFilters on
+    the parquet scan — asserted in tests/test_incremental_dedup.py).
+    This is what makes per-trigger cost O(batch + matching cells)
+    instead of O(corpus): every committed dir is LISTED (metadata
+    only), but data is read solely from matching partitions. The k=v
+    batch dir naming exists precisely so that ``basePath`` turns all
+    the dirs into ONE partitioned relation (batch, pc as partition
     columns) — a union of per-dir scans would re-plan O(#batches)
-    branches every trigger."""
-    return (
-        spark.read.option("basePath", base)
-        .parquet(*dirs)
-        .filter(F.col("pc").isin(list(pcs)))
-        .drop("batch")
-    )
+    branches every trigger. The SINGLE delta-read implementation:
+    trigger scans, the sig reader and compaction all call this, so
+    the store layout has one reader to change."""
+    if not dirs:
+        return None
+    df = spark.read.option("basePath", state_dir).parquet(*dirs)
+    if pcs is not None:
+        df = df.filter(F.col("pc").isin(list(pcs)))
+    return df.drop("batch")
+
+
+def _read_store_pruned(spark, base: str, dirs: Sequence[str], pcs: Sequence[int]) -> DataFrame:
+    """Pruned delta read (see ``_read_deltas``); kept as the named
+    entry point the partition-pruning plan test drives."""
+    return _read_deltas(spark, base, dirs, pcs)
+
+
+def _read_base(spark, state_dir: str, pcs: "Sequence[int] | None" = None) -> "DataFrame | None":
+    """The newest committed compacted base, optionally pc-pruned (the
+    base is partitioned by pc alone, so the same PartitionFilters
+    prune applies); None when no base exists."""
+    base = _store_base_dir(spark, state_dir)
+    if base is None:
+        return None
+    df = spark.read.parquet(base)
+    if pcs is not None:
+        df = df.filter(F.col("pc").isin(list(pcs)))
+    return df
+
+
+def _union_frames(*parts: "DataFrame | None") -> "DataFrame | None":
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _new_batch_pcs(new_rows: DataFrame) -> list[int]:
@@ -557,20 +711,9 @@ def _store_scan_pruned(spark, state_dir: str, batch_id: int, pcs: Sequence[int])
         for d in _committed_batch_dirs(state_dir, spark, prefix="batch=")
         if not d.endswith(f"batch={batch_id}")
     ]
-    parts = []
-    if dirs:
-        parts.append(_read_store_pruned(spark, state_dir, dirs, pcs))
-    base = _store_base_dir(spark, state_dir)
-    if base is not None:
-        # the base is partitioned by pc alone — a plain read prunes on
-        # the same PartitionFilters
-        parts.append(spark.read.parquet(base).filter(F.col("pc").isin(list(pcs))))
-    if not parts:
-        return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _union_frames(
+        _read_deltas(spark, state_dir, dirs, pcs), _read_base(spark, state_dir, pcs)
+    )
 
 
 def compact_dedup_store(spark, state_dir: str, keep_last: int = 1) -> dict | None:
@@ -605,17 +748,12 @@ def compact_dedup_store(spark, state_dir: str, keep_last: int = 1) -> dict | Non
     bases = _fs_committed_ids(spark, state_dir, "base_v")
     if not targets and len(bases) <= 1:
         return None
-    parts = []
-    if bases:
-        parts.append(spark.read.parquet(os.path.join(state_dir, f"base_v{bases[-1]}")))
-    if targets:
-        dirs = [os.path.join(state_dir, f"batch={i}") for i in targets]
-        parts.append(
-            spark.read.option("basePath", state_dir).parquet(*dirs).drop("batch")
-        )
-    allrows = parts[0]
-    for p in parts[1:]:
-        allrows = allrows.unionByName(p)
+    allrows = _union_frames(
+        _read_deltas(
+            spark, state_dir, [os.path.join(state_dir, f"batch={i}") for i in targets]
+        ),
+        _read_base(spark, state_dir),
+    )
     new_v = (bases[-1] + 1) if bases else 0
     out_dir = os.path.join(state_dir, f"base_v{new_v}")
     # one file per pc dir (the delta writers' small-file rule)
@@ -674,11 +812,15 @@ def near_dup_maintenance_sink(
     batch) is detected against the PRUNED read: an identical doc
     re-bands into identical buckets, so every one of its store rows is
     visible in the pruned partitions and the anti-join drops it. An id
-    re-ingested with CHANGED text lands in different buckets and is
-    treated as a fresh document — ids are immutable documents in this
-    model (the same contract ``incremental_minhash_lsh`` documents);
-    pipelines that update docs in place must delete the id's store
-    rows first.
+    re-ingested with CHANGED text is OUT OF CONTRACT — ids are
+    immutable documents in this model (the same contract
+    ``incremental_minhash_lsh`` documents). What actually happens is
+    partition-dependent (review finding, r8): the anti-join drops the
+    new version whenever ANY of the id's old store rows fall inside
+    the batch's scanned pc partitions (the common case), and otherwise
+    admits it, leaving two conflicting cell sets under one id.
+    Pipelines that update documents in place must delete the id's
+    store rows first.
 
     Replay protocol — receipt-fenced like the rollup sink (r6 ADVICE):
     a committed ``state_dir/b_<id>`` is the batch's receipt and the
@@ -715,11 +857,22 @@ def near_dup_maintenance_sink(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _store_params_fence(
+            spark,
+            state_dir,
+            {"kind": "minhash", "num_hashes": num_hashes, "bands": bands,
+             "n_store_parts": n_store_parts},
+        )
         n_rows = batch_df.count()
-        if n_rows == 0:
-            return
         if _delta_fence_skips(spark, state_dir, batch_id, n_rows, "signature store"):
             return  # identity receipt: this batch's docs are in the store
+        if n_rows == 0:
+            # nothing to store (an empty batch= dir would poison later
+            # multi-dir schema inference) — but only AFTER the fence and
+            # incarnation guards ran: an empty first batch of a wiped
+            # checkpoint must still raise, not silently pass (review
+            # finding, r8)
+            return
         new_rows = minhash_store_rows(
             batch_df,
             text_col=text_col,
@@ -805,9 +958,10 @@ def embedding_dedup_maintenance_sink(
     _FENCE fingerprints and incarnation guard as the minhash sink
     (``_delta_fence_skips``). Doc-level redelivery detection is
     against the pruned read (an identical vector re-cells identically,
-    so all its store rows are visible; a changed vector under a reused
-    id is a fresh document — ids are immutable). Readers:
-    ``read_near_dup_pairs`` / ``read_near_dup_sigs``.
+    so all its store rows are visible). A CHANGED vector under a
+    reused id is out of contract — ids are immutable; see the minhash
+    sink for the partition-dependent behavior that actually results.
+    Readers: ``read_near_dup_pairs`` / ``read_near_dup_sigs``.
     """
     from rt_bigdata_spark.operators.dedup import (
         embedding_pairs_from_cells,
@@ -816,11 +970,17 @@ def embedding_dedup_maintenance_sink(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _store_params_fence(
+            spark,
+            state_dir,
+            {"kind": "embedding", "num_planes": num_planes, "num_tables": num_tables,
+             "dim": dim, "seed": seed, "n_store_parts": n_store_parts},
+        )
         n_rows = batch_df.count()
-        if n_rows == 0:
-            return
         if _delta_fence_skips(spark, state_dir, batch_id, n_rows, "vector store"):
             return
+        if n_rows == 0:
+            return  # after the guards — see the minhash sink
         new_rows = embedding_store_rows(
             batch_df,
             id_col=id_col,
@@ -878,20 +1038,21 @@ def read_near_dup_sigs(spark, state_dir: str) -> DataFrame:
     a vector store. ``dropDuplicates`` on the item id absorbs the
     transient base/delta overlap of a compaction crash window. Feeds a
     batch re-run or the next ingest's seen side."""
-    dirs = _committed_batch_dirs(state_dir, spark, prefix="batch=")
-    base = _store_base_dir(spark, state_dir)
-    parts = []
-    if dirs:
-        parts.append(spark.read.option("basePath", state_dir).parquet(*dirs).drop("batch"))
-    if base is not None:
-        parts.append(spark.read.parquet(base))
-    if not parts:
-        raise FileNotFoundError(f"no committed signature batches under {state_dir}")
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    df = _union_frames(
+        _read_deltas(
+            spark, state_dir, _committed_batch_dirs(state_dir, spark, prefix="batch=")
+        ),
+        _read_base(spark, state_dir),
+    )
+    if df is None:
+        # pre-r8 flat b_<id> store (pre-migration reads): already one
+        # row per item
+        flat = _committed_batch_dirs(state_dir, spark, prefix="b_")
+        if not flat:
+            raise FileNotFoundError(f"no committed signature batches under {state_dir}")
+        return spark.read.parquet(*flat)
     if "band" in df.columns:
         return df.filter(F.col("band") == 0).select("doc", "signature").dropDuplicates(["doc"])
     if "t" in df.columns:
         return df.filter(F.col("t") == 0).select("id", "v").dropDuplicates(["id"])
-    return df  # pre-r8 flat store: already one row per item
+    return df

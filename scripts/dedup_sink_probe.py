@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=24_000)
     ap.add_argument("--batches", type=int, default=12)
     args = ap.parse_args()
+    if args.batches < 4:
+        # _ratio needs batches 2-4 for its early median — fail BEFORE
+        # minutes of sink work, not after (review finding, r8)
+        ap.error("--batches must be >= 4 (the late/early ratio needs them)")
 
     spark = get_spark("dedup-sink-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -541,3 +541,69 @@ def test_compaction_on_embedding_store(spark, tmp_path):
     assert ids == {1, 2, 10, 11, 20, 30}
     pairs = {(r.id_a, r.id_b) for r in read_near_dup_pairs(spark, pairs_dir).collect()}
     assert (1, 30) in pairs
+
+
+def test_store_params_fence_and_flat_migration(spark, tmp_path):
+    """Review findings, r8: (a) the cell-partitioned store persists
+    WRITE-TIME cells, so restarting a sink with different LSH/store
+    parameters must RAISE (it would silently prune every stored row
+    out of the trigger scan), (b) a pre-r8 flat b_<id> store must be
+    rejected, and migrate_flat_dedup_store must re-cell it once into a
+    base the upgraded sink then pairs against, (c) an empty batch no
+    longer bypasses the incarnation guard."""
+    import os as _os
+
+    import pytest as _pt
+
+    from rt_bigdata_spark.operators.dedup import minhash_signatures
+    from rt_bigdata_spark.streaming.sinks import (
+        migrate_flat_dedup_store,
+        near_dup_maintenance_sink,
+        read_near_dup_pairs,
+        read_near_dup_sigs,
+    )
+
+    base_txt = "the quick brown fox jumps over the lazy dog again and again today"
+    b0 = spark.createDataFrame(
+        [(1, base_txt), (2, "completely different words about spark engines")],
+        "doc_id: long, text: string",
+    )
+
+    # (a) parameter mismatch raises instead of silently missing dups
+    state = str(tmp_path / "s1")
+    near_dup_maintenance_sink(state, str(tmp_path / "p1"), threshold=0.3)(b0, 0)
+    with _pt.raises(RuntimeError, match="parameters"):
+        near_dup_maintenance_sink(
+            state, str(tmp_path / "p1"), threshold=0.3, n_store_parts=8
+        )(b0, 1)
+    with _pt.raises(RuntimeError, match="parameters"):
+        near_dup_maintenance_sink(state, str(tmp_path / "p1"), bands=4)(b0, 1)
+
+    # (c) an EMPTY batch colliding with a committed id must still raise
+    # the wiped-checkpoint guard (previously returned silently before
+    # any guard ran)
+    empty = spark.createDataFrame([], "doc_id: long, text: string")
+    sink = near_dup_maintenance_sink(state, str(tmp_path / "p1"), threshold=0.3)
+    with _pt.raises(RuntimeError, match="not a replay"):
+        sink(empty, 0)
+
+    # (b) flat legacy store: rejected by the sink, migrated, then used
+    flat_state = str(tmp_path / "s2")
+    sigs = minhash_signatures(b0, "text", "doc_id", 32)
+    sigs.write.parquet(_os.path.join(flat_state, "b_0"))
+    with _pt.raises(RuntimeError, match="pre-r8 flat"):
+        near_dup_maintenance_sink(flat_state, str(tmp_path / "p2"), threshold=0.3)(
+            b0, 1
+        )
+    # pre-migration reads still see the flat rows
+    assert read_near_dup_sigs(spark, flat_state).count() == 2
+    res = migrate_flat_dedup_store(spark, flat_state)
+    assert res["params"]["kind"] == "minhash"
+    sink2 = near_dup_maintenance_sink(flat_state, str(tmp_path / "p2"), threshold=0.3)
+    sink2(
+        spark.createDataFrame([(30, base_txt + " tail")], "doc_id: long, text: string"),
+        1,
+    )
+    assert {r.doc for r in read_near_dup_sigs(spark, flat_state).collect()} == {1, 2, 30}
+    got = {(r.doc_a, r.doc_b) for r in read_near_dup_pairs(spark, str(tmp_path / "p2")).collect()}
+    assert (1, 30) in got  # migrated base rows pair with new docs

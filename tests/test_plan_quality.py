@@ -386,9 +386,19 @@ def test_bounded_windows_carry_literal_partition_key(spark):
                 continue
             args = m.group(1)
             # empty partition spec <=> the spec starts directly with an
-            # ordering expression (ASC/DESC before any comma-separated
-            # partition cols)
-            first = args.split(",")[0]
+            # ordering expression (ASC/DESC in the FIRST TOP-LEVEL
+            # argument — a naive comma split would let an unpartitioned
+            # window whose first ORDER key is a multi-arg function call
+            # like round(x, 2) escape the ban; review finding, r8)
+            depth, first = 0, args
+            for i, ch in enumerate(args):
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    first = args[:i]
+                    break
             if " ASC" in first or " DESC" in first:
                 offenders.append(f"{name}: {ln.strip()[:120]}")
     assert not offenders, offenders

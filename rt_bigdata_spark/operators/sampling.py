@@ -221,3 +221,59 @@ def mix_schedule(
         F.col("src_rank").cast("long").alias("src_rank"),
         (F.col("src_rank") / weight).alias("sched_key"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Temperature-based source interleaving: ``mix_schedule`` whose
+    weights are DERIVED from the source sizes instead of hand-picked —
+    ``w_s = n_s^alpha``, the standard temperature-sampling rule for
+    multi-source / multilingual corpora (alpha = 1 reproduces natural
+    proportions, alpha = 0 gives uniform source rotation, alpha = 0.5
+    the usual compromise that up-samples small sources without letting
+    them dominate; cf. the exponent-smoothed sampling of mC4/XLM-R and
+    UniMax-style capped variants). ``sched_key = src_rank / n_s^alpha``
+    — stride scheduling with the derived weight; the weight is used
+    UN-normalized, which leaves the interleave order identical (the
+    schedule is scale-invariant in the weights) and keeps the value
+    engine-portable: no cross-source sum of doubles whose fold order
+    an oracle would have to reproduce.
+
+    Determinism: for the default alpha = 0.5 the weight is
+    ``sqrt(n_s)`` — IEEE sqrt is correctly rounded in every engine, so
+    the keys replay bit-identically (the registered query pins this).
+    Other alphas go through ``pow``, whose last-ulp rounding is
+    libm-specific — fine operationally, not hash-oracle-exact
+    (documented trade; keep oracle-checked paths on 0.5).
+
+    Scale shape: the per-source counts are O(sources) rows broadcast
+    back; the rank rides the same bucket-decomposed kernel as
+    ``mix_schedule`` — nothing new shuffles.
+    """
+    from rt_bigdata_spark.operators.scale import bucketed_group_order, ensure_parallelism
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    scored = ensure_parallelism(df).select(
+        F.col(id_col), F.col(group_col), F.md5(txt).alias("_pr")
+    )
+    ranked = bucketed_group_order(
+        scored, "_pr", id_col, group_col=group_col, n_buckets=n_buckets, rank_col="src_rank"
+    ).select(id_col, group_col, "src_rank")
+    nd = F.col("_n").cast("double")
+    weight = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    return (
+        ranked.join(F.broadcast(counts), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col("src_rank").cast("long").alias("src_rank"),
+            (F.col("src_rank") / weight).alias("sched_key"),
+        )
+    )

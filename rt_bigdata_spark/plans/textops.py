@@ -2391,6 +2391,259 @@ FROM documents
 """
 
 
+# --- ANN recall audit (round 8) -------------------------------------
+#
+# The approximate-index accuracy audit in the corpus_profile_approx /
+# active_users_hll mold: run the EXACT brute-force top-k next to both
+# approximate indexes (hyperplane-LSH single-probe, IVF n_probe=4) and
+# report per-query hit counts and recall@k — the number an operator
+# actually consults before trading the exact scan for an index at
+# 100 TB. All three sides are deterministic functions (fixed planes /
+# first-n centroids), so recall itself is hash-oracle-exact.
+
+_RECALL_K = 10
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
+    lsh = hyperplane_lsh_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
+    ivf = ivf_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
+    lsh_hits = (
+        exact.join(lsh, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_lh"))
+    )
+    ivf_hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_ih"))
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    lh = F.coalesce(F.col("_lh"), F.lit(0))
+    ih = F.coalesce(F.col("_ih"), F.lit(0))
+    return (
+        base.join(lsh_hits, "query_id", "left")
+        .join(ivf_hits, "query_id", "left")
+        .select(
+            "query_id",
+            lh.cast("long").alias("lsh_hits"),
+            ih.cast("long").alias("ivf_hits"),
+            (lh / F.lit(float(_RECALL_K))).alias("lsh_recall"),
+            (ih / F.lit(float(_RECALL_K))).alias("ivf_recall"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the three already-green ANN oracles as derived tables
+    (each is a full WITH…SELECT — legal as a parenthesized subquery),
+    so the recall arithmetic is the ONLY new oracle surface."""
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_ORACLE_ANN}) tex),
+lshq AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_oracle(k=_RECALL_K)}) tls),
+ivfq AS (SELECT query_id, neighbor_id FROM ({_ann_ivf_oracle(k=_RECALL_K)}) tiv),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+hl AS (
+  SELECT e.query_id, COUNT(*) AS h FROM exact e
+  JOIN lshq l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  GROUP BY e.query_id
+),
+hi AS (
+  SELECT e.query_id, COUNT(*) AS h FROM exact e
+  JOIN ivfq i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(hl.h, 0) AS BIGINT) AS lsh_hits,
+       CAST(COALESCE(hi.h, 0) AS BIGINT) AS ivf_hits,
+       COALESCE(hl.h, 0) / {float(_RECALL_K)!r} AS lsh_recall,
+       COALESCE(hi.h, 0) / {float(_RECALL_K)!r} AS ivf_recall
+FROM q
+LEFT JOIN hl ON q.query_id = hl.query_id
+LEFT JOIN hi ON q.query_id = hi.query_id
+"""
+
+
+# --- Temperature-based source mixing (round 8) ----------------------
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mix_schedule with size-derived weights w_s = sqrt(n_s)
+    (temperature alpha = 0.5 — the mC4/XLM-R smoothing exponent).
+    alpha is pinned to 0.5 in the registered query because IEEE sqrt
+    is correctly rounded in every engine; general alphas go through
+    libm pow and are operational-only (sampling.temperature_mix
+    docstring)."""
+    from rt_bigdata_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(load_table(spark, sf_dir, "documents"), alpha=0.5)
+
+
+_ORACLE_TEMPERATURE_MIX = """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY md5(COALESCE(text, '')), doc_id) AS BIGINT) AS src_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.src_rank,
+       r.src_rank / sqrt(CAST(c.n AS DOUBLE)) AS sched_key
+FROM ranked r JOIN counts c ON r.source = c.source
+"""
+
+
+# --- Product quantization (round 8, operators/quantization.py) ------
+#
+# The oracle re-derives the m per-subspace L2 codebooks IN SQL: per
+# subspace, first-ks seeding + unrolled Lloyd CTEs on the slice
+# v[a:b] — the plain-L2 sibling of the spherical _kmeans_ctes above
+# (assignment key ‖c‖² − 2·x·c ASC instead of dot DESC, means NOT
+# normalized). Same integer-grid component quantization, same
+# first-minimum tie rule.
+
+_PQ_M = 4
+_PQ_KS = 4
+_PQ_ITERS = 2
+_PQ_DIM = 64
+_PQ_QUANT = "1048576.0"  # 2^20, matches quantization.QUANT
+
+
+def _pq_ctes(m: int = _PQ_M, ks: int = _PQ_KS, iters: int = _PQ_ITERS, dim: int = _PQ_DIM) -> str:
+    """CTE chain per subspace j: ``s{j}`` slice, ``c{j}_0`` seed
+    codebook, ``a{j}_t``/``m{j}_t``/``mv{j}_t``/``c{j}_{t+1}`` Lloyd
+    rounds, ``a{j}_fin`` final assignment — plus the shared ``e``."""
+    dsub = dim // m
+    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for j in range(m):
+        a, b = j * dsub + 1, (j + 1) * dsub
+        parts.append(f"s{j} AS (SELECT vec_id, v[{a}:{b}] AS sv FROM e)")
+        parts.append(
+            f"""c{j}_0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, sv AS cv
+  FROM (SELECT vec_id, sv FROM s{j} ORDER BY vec_id LIMIT {ks})
+)"""
+        )
+
+        def assign(name: str, cent: str) -> str:
+            return f"""{name} AS (
+  SELECT vec_id, sv, cell FROM (
+    SELECT s.vec_id, s.sv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY (list_inner_product(c.cv, c.cv)
+                                        - 2 * list_inner_product(s.sv, c.cv)) ASC,
+                                       c.cell ASC) AS rn
+    FROM s{j} s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+        for t in range(iters):
+            parts.append(assign(f"a{j}_{t}", f"c{j}_{t}"))
+            parts.append(
+                f"""m{j}_{t} AS (
+  SELECT cell, g.i AS dimn,
+         (CAST(SUM(CAST(floor(sv[g.i] * {_PQ_QUANT}) AS BIGINT)) AS DOUBLE) / {_PQ_QUANT})
+           / COUNT(*) AS mn
+  FROM a{j}_{t} CROSS JOIN generate_series(1, {dsub}) AS g(i)
+  GROUP BY cell, g.i
+)"""
+            )
+            parts.append(
+                f"mv{j}_{t} AS (SELECT cell, list(mn ORDER BY dimn) AS mv FROM m{j}_{t} GROUP BY cell)"
+            )
+            parts.append(
+                f"""c{j}_{t + 1} AS (
+  SELECT c.cell, COALESCE(r.mv, c.cv) AS cv
+  FROM c{j}_{t} c LEFT JOIN mv{j}_{t} r ON c.cell = r.cell
+)"""
+            )
+        parts.append(assign(f"a{j}_fin", f"c{j}_{iters}"))
+    return ",\n".join(parts)
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from rt_bigdata_spark.operators.quantization import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, pq_train(emb, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS, dim=_PQ_DIM)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks and emit every vector's m codes — the
+    compressed store (quantization.pq_encode): 64 float32 components
+    collapse to m=4 small codes per vector."""
+    from rt_bigdata_spark.operators.quantization import pq_encode
+
+    emb, books = _pq_books(spark, sf_dir)
+    return pq_encode(emb, books)
+
+
+def _pq_codes_oracle() -> str:
+    unions = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, cell AS code FROM a{j}_fin" for j in range(_PQ_M)
+    )
+    return f"""
+WITH {_pq_ctes()}
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+FROM ({unions}) u
+"""
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 per query over the PQ-compressed corpus
+    (quantization.pq_adc_topk): candidates contribute only their m
+    codes; distances are exact query-to-assigned-centroid sums in
+    fixed subspace order."""
+    from rt_bigdata_spark.operators.quantization import pq_adc_topk
+
+    emb, books = _pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(emb, queries, books, k=10)
+
+
+def _pq_ann_oracle(k: int = 10) -> str:
+    dsub = _PQ_DIM // _PQ_M
+    joins = "\n  ".join(
+        f"JOIN c{j}_{_PQ_ITERS} b{j} ON b{j}.cell = n.c{j}" for j in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"a{j}.cell AS c{j}" for j in range(_PQ_M))
+    code_joins = "\n  ".join(
+        f"JOIN a{j}_fin a{j} ON a0.vec_id = a{j}.vec_id" for j in range(1, _PQ_M)
+    )
+
+    def term(j: int) -> str:
+        a, b = j * dsub + 1, (j + 1) * dsub
+        qj = f"q.qv[{a}:{b}]"
+        return (
+            f"((list_inner_product({qj}, {qj}) + list_inner_product(b{j}.cv, b{j}.cv))"
+            f" - 2 * list_inner_product({qj}, b{j}.cv))"
+        )
+
+    dist = " + ".join(term(j) for j in range(_PQ_M))
+    return f"""
+WITH {_pq_ctes()},
+codes AS (
+  SELECT a0.vec_id AS neighbor_id, {code_cols}
+  FROM a0_fin a0
+  {code_joins}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         ROUND({dist}, 9) AS dist
+  FROM codes n CROSS JOIN q
+  {joins}
+  WHERE n.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dist, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
+
+
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
@@ -2409,7 +2662,8 @@ for spec in [
     # ann_ivf_topk: twice-green (r4, r5) — yielded its slot to the r6
     # bpe_merges loop (still oracle-verified every CI run)
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=80),
-    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx")),
+    # (six greens r1-r7; yielded its slot in r8's second batch)
+    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), priority=80),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
     # first oracle-backed rows (r6): hex-chain kernel + hex frame bytes
     # made both SQL-expressible after five rounds of rows-only checks
@@ -2483,7 +2737,8 @@ for spec in [
     # round-5 seventh batch (edit-robust fingerprinting; with
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)
-    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), priority=10),
+    # (thrice-green r5-r7; yielded its slot in r8's second batch)
+    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), priority=80),
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
     QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=10),
@@ -2505,5 +2760,16 @@ for spec in [
     # round-6 first batch: the 100 TB token-budget shape (same oracle as
     # the exact form — subset-equivalence by the prefix property)
     QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=10),
+    # round-8 second batch: four multi-round greens yield their slots
+    # (embedding_dedup — six greens r1-r7, LSH sibling stays in-window;
+    # winnow_fingerprint — thrice-green r5-r7; warehouse's active_users
+    # — thrice-green, HLL audit keeps the family; point_in_time_join —
+    # thrice-green, dim_history/merge keep the SCD family). In: the
+    # approximate-index recall audit, temperature sampling, and the
+    # PQ-compressed vector store + its ADC search.
+    QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(), ("similarity", "approx", "audit"), priority=10),
+    QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=10),
+    QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=10),
+    QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=10),
 ]:
     register(spec)

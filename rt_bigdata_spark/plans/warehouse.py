@@ -2280,7 +2280,9 @@ for spec in [
     QuerySpec("salted_enrichment", q_salted_enrichment, _ORACLE_SALTED_ENRICHMENT, ("join", "scale", "skew"), priority=10),
     # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
     # green r1-r4 — yields its slot)
-    QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=10),
+    # (thrice-green r5-r7; yielded its slot in r8's second batch —
+    # dim_history / dim_history_merge keep the SCD family in-window)
+    QuerySpec("point_in_time_join", q_point_in_time, _ORACLE_POINT_IN_TIME, ("join", "scd", "temporal"), priority=80),
     # round-5 tenth batch (statistical outliers; ngram_jaccard — green
     # r1-r4, unchanged — yields its slot so the re-shaped
     # embedding_dedup keeps its place)
@@ -2289,7 +2291,10 @@ for spec in [
     # — green r4 — yields its slot)
     QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=10),
     # (customer_max_order — green r4 — yields its slot)
-    QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=10),
+    # (thrice-green r5-r7; yielded its slot in r8's second batch — the
+    # HLL audit, which hash-checks the exact columns too, keeps the
+    # family in-window)
+    QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=80),
     QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), bench=True, priority=10),
 ]:
     register(spec)

@@ -196,6 +196,10 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "contrastive_samples",  # broadcast query set (vec_id < 5) vs corpus
         "bigram_surprisal",  # broadcast 1-row context-vocab size V
         "key_skew",  # broadcast 1-row totals (sum, n_keys) onto the top-N rows
+        "ann_recall",  # broadcast query set (vec_id < 5) — the exact arm
+        # inside the recall audit is ann_cosine_topk's own shape
+        "pq_ann_topk",  # broadcast query set (vec_id < 5) vs ONE scan of
+        # the m-codes-per-row compressed corpus (O(n·queries), k bounded)
     }
     offenders = [
         n for n, pl in plans.items()

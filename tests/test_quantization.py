@@ -1,0 +1,170 @@
+"""Product quantization (operators/quantization.py) + temperature mix
++ ANN recall-audit properties. Oracle parity for the four registered
+queries runs in test_oracle_parity.py; these tests pin the operator
+CONTRACTS the oracle can't see: partition-layout independence of
+training, the exact-ADC relationship, the probe-everything=exact
+recall identity, and temperature_mix ≡ mix_schedule under derived
+weights."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _emb(spark, n=200):
+    from rt_bigdata_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < n)
+
+
+def test_pq_train_is_partition_layout_independent(spark):
+    """The integer-grid component sums make the codebooks independent
+    of physical layout — same guarantee clustering.kmeans_lloyd
+    documents, here for the L2 (un-normalized) variant."""
+    from rt_bigdata_spark.operators.quantization import pq_train
+
+    emb = _emb(spark)
+    b1 = pq_train(emb.repartition(13), m=4, ks=4, iters=2)
+    b2 = pq_train(emb.coalesce(1), m=4, ks=4, iters=2)
+    assert b1 == b2  # bit-identical floats, not approx
+
+
+def test_pq_codes_shape_and_range(spark):
+    from rt_bigdata_spark.operators.quantization import pq_encode, pq_train
+
+    emb = _emb(spark)
+    books = pq_train(emb, m=4, ks=4, iters=2)
+    codes = pq_encode(emb, books)
+    n = emb.count()
+    assert codes.count() == 4 * n
+    stats = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi"),
+        F.countDistinct("sub").alias("subs"),
+    ).first()
+    assert stats["lo"] >= 1 and stats["hi"] <= 4 and stats["subs"] == 4
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """ADC distance = sum over subspaces of ‖q_j − c_{assigned}‖² —
+    recompute in plain python for one query and assert the operator's
+    distances match to the rounding the operator applies."""
+    from rt_bigdata_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _emb(spark, n=60)
+    books = pq_train(emb, m=4, ks=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 1)
+    got = {
+        r["neighbor_id"]: r["dist"]
+        for r in pq_adc_topk(emb, queries, books, k=5).collect()
+    }
+    codes = {
+        (r["vec_id"], r["sub"]): r["code"] for r in pq_encode(emb, books).collect()
+    }
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = {r["vec_id"]: r for r in emb.collect()}
+    for nid, dist in got.items():
+        expect = 0.0
+        for j in range(4):
+            qj = qv[j * 16 : (j + 1) * 16]
+            c = books[j][codes[(nid, j)] - 1]
+            expect += (
+                sum(x * x for x in qj) + sum(x * x for x in c)
+                - 2 * sum(a * b for a, b in zip(qj, c))
+            )
+        assert dist == pytest.approx(expect, abs=2e-9), (nid, dist, expect)
+        assert nid in rows and nid != 0
+
+
+def test_pq_planted_near_duplicate_lands_in_minimal_adc_group(spark):
+    """A vector nearly identical to the query codes identically in
+    every subspace, so its ADC distance equals the query's own
+    quantization error — the MINIMAL possible distance. ADC cannot
+    rank candidates WITHIN one code cell (that's the PQ trade: rerank
+    the short list against true vectors when intra-cell order
+    matters), so the assertion is membership in the minimal-distance
+    tie group, not rank 1."""
+    from rt_bigdata_spark.operators.quantization import pq_adc_topk, pq_train
+
+    emb = _emb(spark, n=100)
+    near = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-6)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(near)
+    books = pq_train(emb, m=4, ks=4, iters=2)  # train without the plant
+    queries = emb.filter(F.col("vec_id") < 1)
+    top = pq_adc_topk(corpus, queries, books, k=101).collect()
+    best = min(r["dist"] for r in top)
+    plant = next(r for r in top if r["neighbor_id"] == 100000)
+    assert plant["dist"] == best
+
+
+def test_ivf_probe_all_cells_equals_brute_force_recall_one(spark):
+    """Recall identity anchoring the audit: probing EVERY cell makes
+    IVF exhaustive, so its top-k is exactly the brute-force top-k
+    (same score, same tie rule) and recall@k is 1.0 per query."""
+    from rt_bigdata_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=8)
+    allprobe = ivf_topk(emb, queries, k=8, n_centroids=8, n_probe=8)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, allprobe.collect()))
+
+
+def test_ann_recall_audit_values_are_recalls(spark):
+    from rt_bigdata_spark.plans.textops import q_ann_recall
+
+    rows = q_ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["lsh_hits"] <= 10 and 0 <= r["ivf_hits"] <= 10
+        assert r["lsh_recall"] == r["lsh_hits"] / 10.0
+        assert r["ivf_recall"] == r["ivf_hits"] / 10.0
+
+
+def test_temperature_mix_equals_mix_schedule_with_sqrt_weights(spark):
+    """temperature_mix(alpha=0.5) must equal mix_schedule fed the
+    explicit weights sqrt(n_s): python math.sqrt and the engine's
+    F.sqrt are both IEEE-correctly-rounded, so sched keys match
+    bit-for-bit."""
+    from rt_bigdata_spark.operators.sampling import mix_schedule, temperature_mix
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    via_mix = mix_schedule(docs, {s: math.sqrt(n) for s, n in counts.items()})
+    via_temp = temperature_mix(docs, alpha=0.5)
+    assert sorted(map(tuple, via_mix.collect())) == sorted(map(tuple, via_temp.collect()))
+
+
+def test_temperature_mix_horizon_ratio(spark):
+    """Stride property with derived weights: at any schedule horizon a
+    source with 4× the docs of another appears ~sqrt(4) = 2× as often
+    (temperature damps, doesn't erase, size differences)."""
+    from rt_bigdata_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big", f"doc {i} text") for i in range(400)] + [
+        (1000 + i, "small", f"other {i} words") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    sched = (
+        temperature_mix(df, alpha=0.5)
+        .orderBy("sched_key", "source", "src_rank")
+        .limit(150)
+        .collect()
+    )
+    n_big = sum(1 for r in sched if r["source"] == "big")
+    n_small = len(sched) - n_big
+    # ideal 2:1 at every horizon; allow slack for boundary effects
+    assert 1.5 <= n_big / max(n_small, 1) <= 2.5, (n_big, n_small)

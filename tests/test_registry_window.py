@@ -51,10 +51,10 @@ MUST_BE_IN_WINDOW = {
     # subsumes) yielded its slot to the train->encode round trip
     # round-5 seventh batch (visitor_stats, province_stats — green
     # r1-r4 — yielded their slots):
-    "winnow_fingerprint",
+    # (winnow_fingerprint — thrice-green r5-r7 — yielded in r8.2)
     # round-5 eighth batch (pricing_summary — green r1-r4 — yielded
     # its slot):
-    "point_in_time_join",
+    # (point_in_time_join — thrice-green r5-r7 — yielded in r8.2)
     # (cluster_split — green r1-r4 — yielded its slot to this one):
     "contrastive_samples",
     # round-5 ninth batch (dup_clusters — green r1-r4 — yielded its slot):
@@ -71,11 +71,11 @@ MUST_BE_IN_WINDOW = {
     "events_rollup_daily",
     # round-5 thirteenth batch (customer_quartiles, customer_max_order —
     # green r4 — yielded their slots):
-    "active_users",  # r7: winnow_pairs (twice-green; winnow_fingerprint
-    # keeps the family in-window) yielded its slot to media_resize
+    # (active_users — thrice-green r5-r7 — yielded in r8.2; r7 note:
+    # winnow_pairs yielded its slot to media_resize)
     "dim_history",
     "embedding_dedup_lsh",
-    "embedding_dedup",
+    # (embedding_dedup — six greens r1-r7 — yielded in r8.2)
     # round-6 batch: the two red-r5 rows re-verify with their fixed
     # oracles, embedding_dedup re-verifies non-vacuously, the four
     # forever-rows-only specs get their first hash rows, and the 100 TB
@@ -109,6 +109,16 @@ MUST_BE_IN_WINDOW = {
     "salted_enrichment",
     "value_histogram", "event_pivot", "order_priority",
     "province_stats_sql",
+    # round-8 second batch: four multi-round greens yielded their
+    # slots (embedding_dedup — six greens r1-r7, embedding_dedup_lsh
+    # keeps the family; winnow_fingerprint — thrice-green r5-r7;
+    # active_users — thrice-green, active_users_hll hash-checks the
+    # exact columns too; point_in_time_join — thrice-green,
+    # dim_history/dim_history_merge keep the SCD family; all stay
+    # CI-oracle-verified every run). In: the approximate-index recall
+    # audit, temperature sampling, and the PQ-compressed vector store
+    # + its ADC search.
+    "ann_recall", "temperature_mix", "pq_codes", "pq_ann_topk",
 }
 
 

@@ -897,18 +897,31 @@ def near_dup_maintenance_sink(
                 )
             kept = kept.persist()
             try:
-                pairs = minhash_pairs_from_banded(
-                    kept, stored, num_hashes=num_hashes, threshold=threshold
-                )
-                pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
-                # repartition on the partition column: ONE file per pc dir
-                # per batch instead of one per (task, pc) — the store's
-                # per-trigger listing cost is #batches × n_store_parts
-                # files, and small-file blowup is what would make it grow
-                # super-linearly
-                kept.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(
-                    os.path.join(state_dir, f"batch={batch_id}")
-                )
+                if kept.isEmpty():
+                    # every doc in this batch is a cross-batch
+                    # redelivery: committing the empty delta would
+                    # write a batch= dir with NO data files (partitioned
+                    # writes of zero rows emit no schema footer), which
+                    # poisons any later read where it is the only
+                    # surviving delta (e.g. after compaction keeps it as
+                    # the newest) — found by the streaming-IVF
+                    # equivalence test, fixed in all three delta sinks.
+                    # The fence below is still written: it is the
+                    # batch's replay receipt.
+                    pass
+                else:
+                    pairs = minhash_pairs_from_banded(
+                        kept, stored, num_hashes=num_hashes, threshold=threshold
+                    )
+                    pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
+                    # repartition on the partition column: ONE file per pc dir
+                    # per batch instead of one per (task, pc) — the store's
+                    # per-trigger listing cost is #batches × n_store_parts
+                    # files, and small-file blowup is what would make it grow
+                    # super-linearly
+                    kept.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(
+                        os.path.join(state_dir, f"batch={batch_id}")
+                    )
             finally:
                 kept.unpersist()
                 if stored is not None:
@@ -1000,12 +1013,15 @@ def embedding_dedup_maintenance_sink(
                 kept = new_rows.join(stored.select("id").distinct(), "id", "left_anti")
             kept = kept.persist()
             try:
-                pairs = embedding_pairs_from_cells(kept, stored, threshold=threshold)
-                pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
-                # one file per pc dir per batch (see the minhash sink)
-                kept.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(
-                    os.path.join(state_dir, f"batch={batch_id}")
-                )
+                if not kept.isEmpty():  # see the minhash sink's
+                    # empty-delta rationale: an all-redelivered batch
+                    # must not commit a schema-less batch= dir
+                    pairs = embedding_pairs_from_cells(kept, stored, threshold=threshold)
+                    pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
+                    # one file per pc dir per batch (see the minhash sink)
+                    kept.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(
+                        os.path.join(state_dir, f"batch={batch_id}")
+                    )
             finally:
                 kept.unpersist()
                 if stored is not None:
@@ -1056,3 +1072,145 @@ def read_near_dup_sigs(spark, state_dir: str) -> DataFrame:
     if "t" in df.columns:
         return df.filter(F.col("t") == 0).select("id", "v").dropDuplicates(["id"])
     return df
+
+
+def _centroid_fingerprint(centroids: "list[list[float]]") -> str:
+    """md5 of the repr-serialized centroid model — repr round-trips
+    IEEE doubles exactly, so the SAME model always fingerprints the
+    same and any component change (retrain, different k) changes it."""
+    import hashlib
+
+    return hashlib.md5(repr([[repr(x) for x in c] for c in centroids]).encode()).hexdigest()
+
+
+def ivf_index_maintenance_sink(
+    state_dir: str,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming IVF index maintenance: each micro-batch of
+    ``(id, vector)`` rows is assigned to its nearest centroid cell
+    map-side (``similarity._assign_cells`` — the broadcast-literal
+    model, no shuffle) and appended to the SAME cell-partitioned
+    delta-store layout the dedup sinks use, with ``pc = cell``
+    directly (cells are already bounded by n_centroids, so no md5
+    down-hash is needed and probes prune to EXACTLY their cells, not
+    hash buckets). The streaming twin of ``similarity.build_ivf_index``
+    — the index stays queryable between triggers via
+    ``ivf_topk_streamed`` with the same partition-pruned probe cost
+    (~n_probe/n_centroids of the files), and per-trigger maintenance
+    cost is O(batch): the store is only read for the redelivery
+    anti-join, pruned to the batch's own cells.
+
+    The centroid model is part of the store's identity: assignments
+    are write-time, so probing with a DIFFERENT model would silently
+    miss stored vectors — the params fence pins an md5 fingerprint of
+    the model (repr-exact) and raises on mismatch, same contract as
+    the LSH sinks. Retraining centroids means rebuilding the index
+    (as it does for every IVF system).
+
+    Replay/crash protocol: identical to the dedup sinks —
+    ``_delta_fence_skips`` row-count receipts + incarnation guard,
+    commit-then-fence, ``compact_dedup_store`` bounds dir growth
+    (the reader absorbs the compaction crash window by
+    ``dropDuplicates`` on the id). Ids are immutable vectors; updating
+    a vector in place requires deleting its store rows first.
+    """
+    from rt_bigdata_spark.operators.similarity import _assign_cells
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _store_params_fence(
+            spark,
+            state_dir,
+            {"kind": "ivf", "n_centroids": len(centroids),
+             "model_md5": _centroid_fingerprint(centroids)},
+        )
+        n_rows = batch_df.count()
+        if _delta_fence_skips(spark, state_dir, batch_id, n_rows, "IVF index store"):
+            return
+        if n_rows == 0:
+            return  # after the guards — see near_dup_maintenance_sink
+        new_rows = (
+            _assign_cells(batch_df, centroids, id_col, vec_col)
+            .withColumn("pc", F.col("cell").cast("int"))
+            .drop("cell")
+            .persist()
+        )
+        try:
+            stored = _store_scan_pruned(
+                spark, state_dir, batch_id, _new_batch_pcs(new_rows)
+            )
+            kept = new_rows
+            if stored is not None:
+                kept = new_rows.join(
+                    stored.select("neighbor_id").distinct(), "neighbor_id", "left_anti"
+                )
+            if not kept.isEmpty():  # see the minhash sink's
+                # empty-delta rationale: an all-redelivered batch must
+                # not commit a schema-less batch= dir
+                # one file per cell dir per batch (the delta writers'
+                # small-file rule)
+                kept.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(
+                    os.path.join(state_dir, f"batch={batch_id}")
+                )
+        finally:
+            new_rows.unpersist()
+        _fs_write_text(spark, _delta_fence_path(state_dir, batch_id), str(n_rows))
+
+    return fn
+
+
+def ivf_topk_streamed(
+    spark,
+    state_dir: str,
+    queries: DataFrame,
+    centroids: "list[list[float]]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the streaming-maintained IVF index: the query batch's
+    probed cells prune the store read to matching ``pc=<cell>``
+    partitions (PartitionFilters — asserted in
+    tests/test_streaming_ivf.py), then cell-local candidates score
+    against the broadcast query set exactly like
+    ``similarity.ivf_topk_indexed`` on a batch-built index. The model
+    fingerprint is verified against the store's _PARAMS before
+    probing — a mismatched model raises instead of silently returning
+    partial results."""
+    import json
+
+    from rt_bigdata_spark.operators.similarity import _probe_queries, _topk_scored
+
+    stored_params = _fs_read_text(spark, os.path.join(state_dir, "_PARAMS"))
+    if stored_params is not None:
+        got = json.loads(stored_params).get("model_md5")
+        want = _centroid_fingerprint(centroids)
+        if got != want:
+            raise RuntimeError(
+                f"IVF store at {state_dir} was built with model {got} but the "
+                f"probe was given model {want}: stored assignments would not "
+                "match — rebuild the index or probe with the original model"
+            )
+    q = _probe_queries(queries, centroids, id_col, vec_col, n_probe)
+    q_rows = q.collect()  # tiny: <= queries x n_probe (see ivf_topk_indexed)
+    probed = sorted({int(r["cell"]) for r in q_rows})
+    q_local = spark.createDataFrame(q_rows, q.schema)
+    c = _union_frames(
+        _read_deltas(
+            spark,
+            state_dir,
+            _committed_batch_dirs(state_dir, spark, prefix="batch="),
+            probed,
+        ),
+        _read_base(spark, state_dir, probed),
+    )
+    if c is None:
+        raise FileNotFoundError(f"no committed IVF batches under {state_dir}")
+    # absorb the compaction crash window (base/delta overlap) + rename
+    # the partition column back to the cell key _topk_scored joins on
+    c = c.dropDuplicates(["neighbor_id"]).withColumn("cell", F.col("pc").cast("long"))
+    return _topk_scored(c, q_local, k)

@@ -607,3 +607,38 @@ def test_store_params_fence_and_flat_migration(spark, tmp_path):
     assert {r.doc for r in read_near_dup_sigs(spark, flat_state).collect()} == {1, 2, 30}
     got = {(r.doc_a, r.doc_b) for r in read_near_dup_pairs(spark, str(tmp_path / "p2")).collect()}
     assert (1, 30) in got  # migrated base rows pair with new docs
+
+
+def test_all_redelivered_batch_commits_no_empty_delta(spark, tmp_path):
+    """A NEW batch id containing ONLY docs already in the store keeps
+    nothing after the anti-join; committing that empty delta would
+    write a batch= dir with no schema footer, which breaks any later
+    read where it is the only surviving delta (compaction keeps the
+    newest) — found by the streaming-IVF equivalence test, fixed in
+    all three delta sinks: skip the data commit, keep the fence
+    receipt."""
+    import os as _os
+
+    from rt_bigdata_spark.streaming.sinks import (
+        compact_dedup_store,
+        near_dup_maintenance_sink,
+        read_near_dup_sigs,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different words about spark engines here")],
+        "doc_id: long, text: string",
+    )
+    state = str(tmp_path / "s")
+    sink = near_dup_maintenance_sink(state, str(tmp_path / "p"), threshold=0.3)
+    sink(b0, 0)
+    sink(b0.filter("doc_id = 1"), 1)  # all-redelivered batch
+    # no batch=1 data dir was committed, but its fence receipt exists
+    assert not _os.path.exists(_os.path.join(state, "batch=1", "_SUCCESS"))
+    assert _os.path.exists(_os.path.join(state, "batch=1", "_FENCE"))
+    # compaction (which keeps the NEWEST delta) + reads stay healthy
+    compact_dedup_store(spark, state, keep_last=1)
+    assert {r.doc for r in read_near_dup_sigs(spark, state).collect()} == {1, 2}
+    # and the replay of the empty-kept batch is fence-skipped
+    sink(b0.filter("doc_id = 1"), 1)

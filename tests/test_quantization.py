@@ -251,3 +251,43 @@ def test_ivfpq_planted_near_duplicate_minimal_group(spark, tmp_path):
     best = min(r["dist"] for r in top)
     plant = next(r for r in top if r["neighbor_id"] == 100000)
     assert plant["dist"] == best
+
+
+def test_ivfpq_rerank_improves_on_adc_and_converges(spark, tmp_path):
+    """Two-stage retrieval contract: (a) exact re-rank of the ADC
+    shortlist matches brute force restricted to the probed cells when
+    the shortlist covers them (convergence), and (b) rerank recall@k
+    vs brute force is >= raw ADC recall@k (re-ranking can only fix
+    intra-cell order, never lose a candidate it was given)."""
+    from rt_bigdata_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+    from rt_bigdata_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_centroids=8, m=4, ks=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3)
+    k = 8
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(spark, path, queries, k=k, n_probe=8).collect()
+    }
+    rr = ivfpq_rerank_topk(
+        spark, path, emb, queries, k=k, shortlist=1000, n_probe=8
+    )
+    rr_set = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+
+    # (a) probing ALL cells with an exhaustive shortlist = brute force
+    # (including scores and tie ranks)
+    want = brute_force_topk(emb, queries, k=k)
+    assert sorted(map(tuple, rr.collect())) == sorted(map(tuple, want.collect()))
+    # (b) recall ordering
+    assert len(rr_set & exact) >= len(adc & exact)

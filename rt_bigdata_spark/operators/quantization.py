@@ -125,19 +125,26 @@ def pq_train(
     dsub = dim // m
     corpus = ensure_parallelism(corpus)
     books = _seed_codebooks(corpus, id_col, vec_col, m, ks, dsub)
+    # slice each subvector ONCE into a named column: higher-order array
+    # expressions are interpreted (no codegen CSE), so inlining
+    # _sub_slice twice per subspace (assign arg + sv payload) would
+    # re-run the cast+slice per use
+    sliced = corpus.select(
+        *[_sub_slice(F.col(vec_col), j, dsub).alias(f"_s{j}") for j in range(m)]
+    )
     for _ in range(iters):
         per_sub = F.array(
             *[
                 F.struct(
                     F.lit(j).alias("sub"),
-                    _assign_code(_sub_slice(F.col(vec_col), j, dsub), books[j]).alias("cell"),
-                    _sub_slice(F.col(vec_col), j, dsub).alias("sv"),
+                    _assign_code(F.col(f"_s{j}"), books[j]).alias("cell"),
+                    F.col(f"_s{j}").alias("sv"),
                 )
                 for j in range(m)
             ]
         )
         sums = (
-            corpus.select(F.explode(per_sub).alias("a"))
+            sliced.select(F.explode(per_sub).alias("a"))
             .select("a.sub", "a.cell", F.posexplode("a.sv").alias("pos", "x"))
             .groupBy("sub", "cell", "pos")
             .agg(
@@ -220,9 +227,12 @@ def pq_adc_topk(
             for j in range(m)
         ],
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q = query_adc_cols(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec", m, dsub,
+    )
     scored = c.join(F.broadcast(q), c["neighbor_id"] != q["query_id"])
-    dist = adc_distance(F.col("qvec"), [F.col(f"_c{j}") for j in range(m)], codebooks)
+    dist = adc_distance([F.col(f"_c{j}") for j in range(m)], codebooks)
     scored = scored.withColumn("dist", F.round(dist, 9))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (
@@ -232,26 +242,45 @@ def pq_adc_topk(
     )
 
 
+def query_adc_cols(q: DataFrame, qvec_col: str, m: int, dsub: int) -> DataFrame:
+    """Pre-project the query-constant halves of the ADC terms onto the
+    (tiny, pre-broadcast) query frame: ``_q{j}`` = subvector slice,
+    ``_qq{j}`` = its self-dot. Array expressions are interpreted (no
+    codegen CSE), so computing these inside the scoring expression
+    would re-slice and re-dot the query vector PER JOINED ROW — ~3
+    array passes per subspace per candidate for values that only
+    depend on the query. Values are bit-identical (same expressions,
+    same inputs), so oracle hash-equality is untouched."""
+    cols = list(q.columns)
+    for j in range(m):
+        qs = F.slice(F.transform(F.col(qvec_col), lambda x: x.cast("double")), j * dsub + 1, dsub)
+        cols.append(qs.alias(f"_q{j}"))
+    out = q.select(*cols)
+    return out.select(
+        *out.columns, *[dot(F.col(f"_q{j}"), F.col(f"_q{j}")).alias(f"_qq{j}") for j in range(m)]
+    )
+
+
 def adc_distance(
-    qvec: Column, code_cols: "list[Column]", codebooks: "list[list[list[float]]]"
+    code_cols: "list[Column]", codebooks: "list[list[list[float]]]"
 ) -> Column:
-    """ADC distance of query (sub)vector ``qvec`` to a candidate that
-    carries one 1-based code column per subspace: the fixed
-    left-to-right sum over subspaces of ``(q_j·q_j + c·c) − 2·q_j·c``
-    with c the candidate's assigned centroid. Shared by the flat-PQ
-    and IVF-PQ scorers so the operand order (and therefore any oracle
-    mirror) cannot drift between them."""
+    """ADC distance of a query (whose ``_q{j}`` slice / ``_qq{j}``
+    self-dot columns come pre-projected by ``query_adc_cols``) to a
+    candidate that carries one 1-based code column per subspace: the
+    fixed left-to-right sum over subspaces of
+    ``(q_j·q_j + c·c) − 2·q_j·c`` with c the candidate's assigned
+    centroid. Shared by the flat-PQ and IVF-PQ scorers so the operand
+    order (and therefore any oracle mirror) cannot drift between
+    them."""
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
     dist: "Column | None" = None
     for j in range(m):
-        qs = F.slice(F.transform(qvec, lambda x: x.cast("double")), j * dsub + 1, dsub)
         cents = F.array(*[F.array(*[F.lit(x) for x in cc]) for cc in codebooks[j]])
         ccs = F.array(*[F.lit(_sqnorm(cc)) for cc in codebooks[j]])
         sel = F.element_at(cents, code_cols[j].cast("int"))
-        term = (dot(qs, qs) + F.element_at(ccs, code_cols[j].cast("int"))) - F.lit(
+        term = (F.col(f"_qq{j}") + F.element_at(ccs, code_cols[j].cast("int"))) - F.lit(
             2.0
-        ) * dot(qs, sel)
+        ) * dot(F.col(f"_q{j}"), sel)
         dist = term if dist is None else dist + term
     return dist
 
@@ -383,11 +412,12 @@ def ivfpq_topk(
     q_local = q_local.withColumn(
         "qres", F.zip_with(qd, F.element_at(cents, F.col("cell").cast("int")), lambda x, c: x - c)
     )
+    q_local = query_adc_cols(q_local, "qres", m, len(books[0][0]))
     cand = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
     scored = cand.join(F.broadcast(q_local), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    dist = adc_distance(F.col("qres"), [F.col(f"c{j}") for j in range(m)], books)
+    dist = adc_distance([F.col(f"c{j}") for j in range(m)], books)
     scored = scored.withColumn("dist", F.round(dist, 9))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (

@@ -17,7 +17,9 @@ evidence first so each stage shrinks the next stage's input:
    which copy survives)                      — minhash_lsh_pairs /
    connected_components_two_phase / cluster_representatives
 8. per-source token budget (1 window)        — token_budget_sample
-9. optional publish: deterministic shards + manifest — export_shards
+9. training order: temperature-weighted source interleave
+   (counts agg + the bucketed rank kernel)   — temperature_mix
+10. optional publish: deterministic shards + manifest — export_shards
 
 Every stage returns a DataFrame and the composition stays lazy,
 letting Catalyst fuse the map-side stages into the scan exactly as
@@ -45,6 +47,7 @@ from rt_bigdata_spark.operators.graph import (
     connected_components_two_phase,
 )
 from rt_bigdata_spark.operators.packing import export_shards, token_budget_sample
+from rt_bigdata_spark.operators.sampling import temperature_mix
 from rt_bigdata_spark.operators.text_analysis import (
     linear_quality_score,
     quality_features,
@@ -60,6 +63,7 @@ def curate_training_corpus(
     probe_ids_below: int = 0,
     near_dup_threshold: float = 0.5,
     budget_tokens: int | None = None,
+    mix_alpha: float | None = None,
     export_path: str | None = None,
     n_shards: int = 4,
 ) -> dict[str, DataFrame]:
@@ -169,7 +173,17 @@ def curate_training_corpus(
 
     out["kept"] = dedup_ok
 
-    # 9. publish
+    # 9. training order: the epoch consumption schedule for the kept
+    # set — temperature-weighted stride interleave over the SURVIVING
+    # per-source populations (weights derive from post-curation counts,
+    # not raw ones: curation shifts the mix, and the schedule should
+    # reflect what will actually be trained on). Consumers sort on
+    # (sched_key, source, src_rank); the table is additive — it never
+    # filters the corpus.
+    if mix_alpha is not None:
+        out["order"] = temperature_mix(dedup_ok, alpha=mix_alpha)
+
+    # 10. publish
     if export_path is not None:
         out["manifest"] = export_shards(dedup_ok, export_path, n_shards=n_shards)
     return out

@@ -133,3 +133,31 @@ def test_budget_stage_caps_per_source(spark, corpus):
         assert len(rows) <= 2, (src, rows)
         for r in rows:
             assert budget_rows[r.doc_id].cum_tokens - budget_rows[r.doc_id].n_tokens < 30
+
+
+def test_order_stage_schedules_kept_set(spark, corpus):
+    """Stage 9 (mix_alpha): the order table covers exactly the kept
+    ids, weights derive from the POST-curation per-source counts, and
+    it never filters the corpus (additive)."""
+    import math
+
+    from rt_bigdata_spark.operators.text_analysis import lcg_classifier_weights
+
+    weights = [abs(w) + 0.001 for w in lcg_classifier_weights(16, seed=3)]
+    out = curate_training_corpus(
+        corpus,
+        weights,
+        min_tokens=5,
+        margin_threshold=0.0,
+        probe_ids_below=5,
+        mix_alpha=0.5,
+    )
+    kept = {r.doc_id for r in out["kept"].collect()}
+    order = out["order"].collect()
+    assert {r.doc_id for r in order} == kept  # additive, complete
+    # sched_key = src_rank / sqrt(n_source) on SURVIVING counts
+    n_by_source = {}
+    for r in out["kept"].collect():
+        n_by_source[r.source] = n_by_source.get(r.source, 0) + 1
+    for r in order:
+        assert r.sched_key == r.src_rank / math.sqrt(n_by_source[r.source])

@@ -45,6 +45,9 @@ FLAGSHIPS = {
     "substring_dedup": "overlapping-window substring dedup: window hashes array_distinct-ed map-side BEFORE exploding (no distinct shuffle); shared-hash marking is a COUNT window over the whash partitioning, so the corpus is scanned and tokenized ONCE (the aggregate-then-join-back form reads it twice); two md5-keyed exchanges total.",
     "user_sessions": "gap sessionization + per-session summary on ONE user-key Exchange: the (user, session_idx) groupBy extends the window's partitioning so Catalyst adds no second shuffle.",
     "event_anomalies": "z-score outliers: DECIMAL-exact moment sums reduce to an O(groups) aggregate broadcast back onto the rows (BroadcastHashJoin) — no window sort over raw data, no float partial-sum drift.",
+    "pq_ann_topk": "ADC over the PQ-compressed corpus: candidates reduce to m code columns map-side (codebooks are literal arrays — broadcast model), the 5-row query set broadcasts with its slice/self-dot halves PRE-projected, and the only Exchange is the per-query top-k window; the original vectors never cross the wire.",
+    "ivfpq_topk": "IVF-PQ probe: the index scan partition-prunes to the probed coarse cells (PartitionFilters) and reads m-byte residual codes; per-(query, cell) residuals come pre-computed on the broadcast side; one top-k Exchange total.",
+    "temperature_mix": "size-derived stride schedule: per-source counts reduce to an O(sources) aggregate broadcast back; the rank rides the bucket-decomposed kernel (every windowspecdefinition carries the _bkt key), so a dominant source sorts in ~n/256-row tasks.",
 }
 
 

@@ -2405,64 +2405,82 @@ _RECALL_K = 10
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of ALL FOUR approximate indexes against the exact
+    cosine scan: hyperplane-LSH (single probe), IVF (n_probe=4), flat
+    PQ (ADC over codes — L2 estimator vs cosine truth, the honest
+    what-do-I-lose number for the compressed store), and IVF-PQ
+    (pruned cells + residual codes). Every arm is deterministic, so
+    recall itself is hash-oracle-exact."""
+    from rt_bigdata_spark.operators.quantization import ivfpq_topk, pq_adc_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
-    lsh = hyperplane_lsh_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
-    ivf = ivf_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
-    lsh_hits = (
-        exact.join(lsh, ["query_id", "neighbor_id"], "semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("_lh"))
-    )
-    ivf_hits = (
-        exact.join(ivf, ["query_id", "neighbor_id"], "semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("_ih"))
-    )
-    base = queries.select(F.col("vec_id").alias("query_id"))
-    lh = F.coalesce(F.col("_lh"), F.lit(0))
-    ih = F.coalesce(F.col("_ih"), F.lit(0))
-    return (
-        base.join(lsh_hits, "query_id", "left")
-        .join(ivf_hits, "query_id", "left")
-        .select(
-            "query_id",
-            lh.cast("long").alias("lsh_hits"),
-            ih.cast("long").alias("ivf_hits"),
-            (lh / F.lit(float(_RECALL_K))).alias("lsh_recall"),
-            (ih / F.lit(float(_RECALL_K))).alias("ivf_recall"),
+    _, books = _pq_books(spark, sf_dir)
+    arms = {
+        "lsh": hyperplane_lsh_topk(emb, queries, k=_RECALL_K),
+        "ivf": ivf_topk(emb, queries, k=_RECALL_K),
+        "pq": pq_adc_topk(emb, queries, books, k=_RECALL_K),
+        "ivfpq": ivfpq_topk(
+            spark, _ivfpq_index_for(spark, sf_dir), queries,
+            k=_RECALL_K, n_probe=_IVFPQ_PROBE,
+        ),
+    }
+    out = queries.select(F.col("vec_id").alias("query_id"))
+    cols = ["query_id"]
+    for name, arm in arms.items():
+        hits = (
+            exact.join(
+                arm.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(f"_h_{name}"))
         )
-    )
+        out = out.join(hits, "query_id", "left")
+        h = F.coalesce(F.col(f"_h_{name}"), F.lit(0))
+        cols.append(h.cast("long").alias(f"{name}_hits"))
+        cols.append((h / F.lit(float(_RECALL_K))).alias(f"{name}_recall"))
+    return out.select(*cols)
 
 
 def _ann_recall_oracle() -> str:
-    """Composes the three already-green ANN oracles as derived tables
+    """Composes the five already-green ANN oracles as derived tables
     (each is a full WITH…SELECT — legal as a parenthesized subquery),
     so the recall arithmetic is the ONLY new oracle surface."""
+    arms = {
+        "lsh": _ann_lsh_oracle(k=_RECALL_K),
+        "ivf": _ann_ivf_oracle(k=_RECALL_K),
+        "pq": _pq_ann_oracle(k=_RECALL_K),
+        "ivfpq": _ivfpq_oracle(k=_RECALL_K),
+    }
+    arm_ctes = ",\n".join(
+        f"{n}q AS (SELECT query_id, neighbor_id FROM ({sql}) t_{n})" for n, sql in arms.items()
+    )
+    hit_ctes = ",\n".join(
+        f"""h_{n} AS (
+  SELECT e.query_id, COUNT(*) AS h FROM exact e
+  JOIN {n}q a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)"""
+        for n in arms
+    )
+    sel = ",\n       ".join(
+        f"CAST(COALESCE(h_{n}.h, 0) AS BIGINT) AS {n}_hits,\n       "
+        f"COALESCE(h_{n}.h, 0) / {float(_RECALL_K)!r} AS {n}_recall"
+        for n in arms
+    )
+    joins = "\n".join(f"LEFT JOIN h_{n} ON q.query_id = h_{n}.query_id" for n in arms)
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({_ORACLE_ANN}) tex),
-lshq AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_oracle(k=_RECALL_K)}) tls),
-ivfq AS (SELECT query_id, neighbor_id FROM ({_ann_ivf_oracle(k=_RECALL_K)}) tiv),
+{arm_ctes},
 q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
-hl AS (
-  SELECT e.query_id, COUNT(*) AS h FROM exact e
-  JOIN lshq l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-  GROUP BY e.query_id
-),
-hi AS (
-  SELECT e.query_id, COUNT(*) AS h FROM exact e
-  JOIN ivfq i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-  GROUP BY e.query_id
-)
+{hit_ctes}
 SELECT q.query_id,
-       CAST(COALESCE(hl.h, 0) AS BIGINT) AS lsh_hits,
-       CAST(COALESCE(hi.h, 0) AS BIGINT) AS ivf_hits,
-       COALESCE(hl.h, 0) / {float(_RECALL_K)!r} AS lsh_recall,
-       COALESCE(hi.h, 0) / {float(_RECALL_K)!r} AS ivf_recall
+       {sel}
 FROM q
-LEFT JOIN hl ON q.query_id = hl.query_id
-LEFT JOIN hi ON q.query_id = hi.query_id
+{joins}
 """
 
 

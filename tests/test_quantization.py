@@ -128,9 +128,9 @@ def test_ann_recall_audit_values_are_recalls(spark):
     rows = q_ann_recall(spark, SF_DIR).collect()
     assert len(rows) == 5
     for r in rows:
-        assert 0 <= r["lsh_hits"] <= 10 and 0 <= r["ivf_hits"] <= 10
-        assert r["lsh_recall"] == r["lsh_hits"] / 10.0
-        assert r["ivf_recall"] == r["ivf_hits"] / 10.0
+        for arm in ("lsh", "ivf", "pq", "ivfpq"):
+            assert 0 <= r[f"{arm}_hits"] <= 10
+            assert r[f"{arm}_recall"] == r[f"{arm}_hits"] / 10.0
 
 
 def test_temperature_mix_equals_mix_schedule_with_sqrt_weights(spark):

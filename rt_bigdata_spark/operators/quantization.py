@@ -469,3 +469,103 @@ def ivfpq_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace quantization-error audit: mean squared
+    reconstruction error ``avg ‖x_j − c_j(code(x_j))‖²`` for each
+    subspace j — the compression-quality number an operator consults
+    BEFORE trusting ADC rankings from a compressed 100 TB store (a
+    subspace whose MSE dwarfs the others dominates every ADC distance
+    and should get more centroids or a re-split).
+
+    One corpus scan, zero shuffles beyond a ks·0-group global agg:
+    each row's m per-subspace errors are map-side column expressions
+    (assigned centroid fetched from the broadcast codebook literals by
+    code), summed in ONE agg row (2m+1 partial-agg columns), then the
+    constant-size row unpivots to m output rows. Per-row error uses
+    the ADC operand order ``(x·x + c·c) − 2·x·c`` and the mean uses
+    the module's quantized-integer-sum discipline (floor(err·2^20)
+    longs — exact, order- and partition-independent, replayed
+    bit-identically by the DuckDB oracle)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # slice + assign ONCE into named columns (the pq_train discipline:
+    # higher-order array exprs are interpreted, no codegen CSE)
+    sliced = ensure_parallelism(corpus).select(
+        *[_sub_slice(F.col(vec_col), j, dsub).alias(f"_s{j}") for j in range(m)]
+    )
+    coded = sliced.select(
+        *[F.col(f"_s{j}") for j in range(m)],
+        *[
+            _assign_code(F.col(f"_s{j}"), codebooks[j]).cast("int").alias(f"_c{j}")
+            for j in range(m)
+        ],
+    )
+
+    def err(j: int) -> Column:
+        sv = F.col(f"_s{j}")
+        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[j]])
+        norms = F.array(*[F.lit(_sqnorm(c)) for c in codebooks[j]])
+        cv = F.element_at(cents, F.col(f"_c{j}"))
+        cn = F.element_at(norms, F.col(f"_c{j}"))
+        return (dot(sv, sv) + cn) - F.lit(2.0) * dot(sv, cv)
+
+    agg = coded.agg(
+        *[
+            F.sum(F.floor(err(j) * F.lit(QUANT)).cast("long")).alias(f"_s{j}")
+            for j in range(m)
+        ],
+        F.count(F.lit(1)).alias("_n"),
+    )
+    subs = F.array(
+        *[
+            F.struct(F.lit(j).cast("long").alias("sub"), F.col(f"_s{j}").alias("s"))
+            for j in range(m)
+        ]
+    )
+    return agg.select(F.explode(subs).alias("a"), "_n").select(
+        F.col("a.sub").alias("sub"),
+        F.col("_n").cast("long").alias("n_vecs"),
+        F.round(F.col("a.s").cast("double") / F.lit(QUANT) / F.col("_n"), 9).alias("mse"),
+    )
+
+
+def ivfpq_cell_stats(spark, index_path: str) -> DataFrame:
+    """Occupancy/skew profile of a built IVF-PQ index — the vector-store
+    analog of the key-skew diagnostic (operators/scale.py): per coarse
+    cell, how many vectors it holds, its share of the corpus, and its
+    skew vs the uniform expectation. The number that tells an operator
+    whether n_probe-pruned queries actually prune (a cell holding 40%
+    of a 100 TB corpus makes every probe that touches it a near-full
+    scan — re-train with more centroids or split the hot cell).
+
+    Cost shape: ONE scan of the index's code rows reading only the
+    partition column (the parquet footers, effectively), one ≤
+    n_centroids-group agg, and a broadcast 1-row totals join."""
+    counts = (
+        spark.read.parquet(index_path)
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    tot = counts.agg(
+        F.sum("n_vecs").alias("t"), F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.col("n_vecs").cast("double") / F.col("t").cast("double"), 9).alias("share"),
+            "n_cells",
+            F.round(
+                F.col("n_vecs").cast("double")
+                / (F.col("t").cast("double") / F.col("n_cells").cast("double")),
+                6,
+            ).alias("skew_x"),
+        )
+    )

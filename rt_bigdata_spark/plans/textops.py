@@ -2740,7 +2740,146 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(k: int = 10) -> str:
+_IVFPQ_SHORTLIST = 50
+
+
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shaped two-stage retrieval
+    (quantization.ivfpq_rerank_topk): ADC over the compressed index
+    shortlists 50 candidates per query, then ONLY those candidates'
+    true vectors are fetched and exactly cosine re-ranked to the final
+    top-10 — at 100 TB the corpus is touched per-query only at
+    queries × shortlist rows. recall(rerank) ≥ recall(raw ADC) is
+    guaranteed (any exact-top-k member inside the shortlist ranks
+    top-k by true sim within it) and asserted per-query in
+    tests/test_quantization.py."""
+    from rt_bigdata_spark.operators.quantization import ivfpq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_rerank_topk(
+        spark,
+        _ivfpq_index_for(spark, sf_dir),
+        emb,
+        queries,
+        k=10,
+        shortlist=_IVFPQ_SHORTLIST,
+        n_probe=_IVFPQ_PROBE,
+    )
+
+
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality audit (quantization.pq_distortion):
+    per-subspace mean squared reconstruction error of the flat-PQ
+    codes — the number that says how much ADC rankings can be trusted
+    before the store replaces true vectors at 100 TB. One scan, one
+    constant-size global agg; the mean uses the module's
+    quantized-integer-sum discipline so it is hash-oracle-exact."""
+    from rt_bigdata_spark.operators.quantization import pq_distortion
+
+    emb, books = _pq_books(spark, sf_dir)
+    return pq_distortion(emb, books)
+
+
+def _pq_distortion_oracle() -> str:
+    unions = "\n  UNION ALL ".join(
+        f"""SELECT {j} AS sub,
+       SUM(CAST(floor(((list_inner_product(a.sv, a.sv) + list_inner_product(b.cv, b.cv))
+                       - 2 * list_inner_product(a.sv, b.cv)) * {_PQ_QUANT}) AS BIGINT)) AS s,
+       COUNT(*) AS n
+  FROM a{j}_fin a JOIN c{j}_{_PQ_ITERS} b ON a.cell = b.cell"""
+        for j in range(_PQ_M)
+    )
+    return f"""
+WITH {_pq_ctes()},
+sums AS (
+  {unions}
+)
+SELECT CAST(sub AS BIGINT) AS sub, CAST(n AS BIGINT) AS n_vecs,
+       ROUND(CAST(s AS DOUBLE) / {_PQ_QUANT} / n, 9) AS mse
+FROM sums
+"""
+
+
+def q_ivfpq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-occupancy skew audit (quantization.ivfpq_cell_stats): per
+    coarse cell of the built IVF-PQ index, vector count, corpus share,
+    and skew vs uniform — the vector-store analog of key_skew, and the
+    number that decides whether n_probe pruning actually prunes."""
+    from rt_bigdata_spark.operators.quantization import ivfpq_cell_stats
+
+    return ivfpq_cell_stats(spark, _ivfpq_index_for(spark, sf_dir))
+
+
+def _ivfpq_cell_stats_oracle() -> str:
+    return f"""
+WITH {_ivfpq_coarse_ctes()},
+counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cassign GROUP BY cell),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_cells FROM counts)
+SELECT CAST(c.cell AS BIGINT) AS cell, c.n_vecs,
+       ROUND(CAST(c.n_vecs AS DOUBLE) / CAST(t.t AS DOUBLE), 9) AS share,
+       t.n_cells,
+       ROUND(CAST(c.n_vecs AS DOUBLE) / (CAST(t.t AS DOUBLE) / CAST(t.n_cells AS DOUBLE)), 6) AS skew_x
+FROM counts c CROSS JOIN tot t
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: the size distribution of the near-dup
+    clusters (how much of the corpus is duplicated, and in how big
+    clumps) — the one-line summary a curation run reports before
+    deciding dedup thresholds. Composes the proven CC labeling with a
+    two-level count; output is O(distinct sizes) rows."""
+    sizes = (
+        _cluster_labels(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+    )
+
+
+_ORACLE_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+{_CC_CTES},
+csizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM clusters GROUP BY cluster)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size
+"""
+
+
+def _ivfpq_coarse_ctes() -> str:
+    """The coarse layer alone — ``e`` (double-cast corpus), ``ccent``
+    (first-n spherical centroids), ``cassign`` (per-vector nearest
+    cell). Shared by the full scored body below and the cell-occupancy
+    diagnostic oracle (_ivfpq_cell_stats_oracle), so the assignment
+    semantics cannot drift between the probe and its skew audit."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ccent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVFPQ_NC})
+),
+cassign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN ccent c
+  ) WHERE rn = 1
+)"""
+
+
+def _ivfpq_scored_ctes() -> str:
+    """The WITH-body through ``scored`` (per-(query, probed-candidate)
+    ADC distances) — shared verbatim by the ADC-only oracle
+    (_ivfpq_oracle) and the two-stage re-rank oracle
+    (_ivfpq_rerank_oracle), so the re-rank oracle's only new surface
+    is the shortlist cut + exact-cosine re-rank."""
     dsub = _PQ_DIM // _PQ_M
     code_cols = ", ".join(f"a{j}.cell AS c{j}" for j in range(_PQ_M))
     code_joins = "\n  ".join(
@@ -2760,20 +2899,7 @@ def _ivfpq_oracle(k: int = 10) -> str:
 
     dist = " + ".join(term(j) for j in range(_PQ_M))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ccent AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
-         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVFPQ_NC})
-),
-cassign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
-    FROM e CROSS JOIN ccent c
-  ) WHERE rn = 1
-),
+WITH {_ivfpq_coarse_ctes()},
 res AS (
   SELECT a.vec_id,
          list_transform(range(1, {_PQ_DIM + 1}), i -> a.v[i] - c.cv[i]) AS v,
@@ -2803,10 +2929,44 @@ scored AS (
   FROM codes n JOIN probe p ON n.ccell = p.cell
   {book_joins}
   WHERE n.neighbor_id <> p.query_id
-)
+)"""
+
+
+def _ivfpq_oracle(k: int = 10) -> str:
+    return f"""
+{_ivfpq_scored_ctes()}
 SELECT query_id, neighbor_id, dist, CAST(rk AS BIGINT) AS rk
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rk
       FROM scored)
+WHERE rk <= {k}
+"""
+
+
+def _ivfpq_rerank_oracle(k: int = 10, shortlist: int = 50) -> str:
+    """Two-stage retrieval oracle: the proven ADC ``scored`` CTEs cut
+    to a ``shortlist`` per query (same dist/tiebreak ordering as
+    _ivfpq_oracle), then ONLY those ids are exact-cosine re-ranked
+    against the true vectors — the same sim expression as the green
+    brute-force oracle (_ORACLE_ANN)."""
+    return f"""
+{_ivfpq_scored_ctes()},
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS srk
+        FROM scored)
+  WHERE srk <= {shortlist}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_inner_product(q.v, c.v)
+               / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 9) AS sim
+  FROM short s
+  JOIN e c ON c.vec_id = s.neighbor_id
+  JOIN e q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM rerank)
 WHERE rk <= {k}
 """
 
@@ -2944,5 +3104,9 @@ for spec in [
     # media_dedup composes it and stays in-window) yields its slot to
     # the IVF-PQ compressed-index probe.
     QuerySpec("ivfpq_topk", q_ivfpq_topk, _ivfpq_oracle(), ("similarity", "quantization", "index"), priority=10),
+    QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), priority=10),
+    QuerySpec("pq_distortion", q_pq_distortion, _pq_distortion_oracle(), ("quantization", "profiling"), priority=10),
+    QuerySpec("ivfpq_cell_stats", q_ivfpq_cell_stats, _ivfpq_cell_stats_oracle(), ("quantization", "profiling", "index"), priority=10),
+    QuerySpec("dup_cluster_sizes", q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES, ("dedup", "profiling", "iterative"), priority=10),
 ]:
     register(spec)

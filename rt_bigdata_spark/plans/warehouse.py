@@ -1964,9 +1964,12 @@ def q_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     user key over 16 (key, salt) sub-keys: the dim side replicates
     16× (explode of a literal range — the SMALL side by construction),
     the fact side salts randomly, and the inner join result is
-    salt-INDEPENDENT, so the oracle is the plain join. Aggregates are
-    decimal-exact (value summed as DECIMAL(18,6)) so the hash compare
-    is order-insensitive-safe. Plan-asserted in
+    salt-INDEPENDENT, so the oracle is the plain join. The sum stays
+    decimal-exact (value summed as DECIMAL(18,6)); the OUTPUT follows
+    the module's decimal→double final-projection convention
+    (``_money_out`` docstring above) — the r8 driver row was hash-red
+    solely because this cast was skipped (pandas saw object-Decimal vs
+    float64 for provably identical values). Plan-asserted in
     tests/test_plan_quality.py::test_salted_enrichment_plan_shape:
     the salt explode feeds the join and both keys join together."""
     from rt_bigdata_spark.operators.scale import salted_join
@@ -1983,6 +1986,7 @@ def q_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
         )
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
     )
 
 
@@ -1990,7 +1994,7 @@ _ORACLE_SALTED_ENRICHMENT = """
 SELECT c.c_mktsegment AS mktsegment, e.event_type,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
-       SUM(CAST(e.value AS DECIMAL(18,6))) AS sum_value
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
@@ -2254,11 +2258,16 @@ for spec in [
     QuerySpec("dim_history_merge", q_dim_history_merge, _ORACLE_SCD2, ("scd", "incremental"), priority=10),
     QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=80),
     QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=80),
-    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=40),
-    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=40),
-    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=40),
+    # r9 rotation: the four specs pulled back at p40 in r8 got their
+    # second green (r04 + r08) and yield their slots — priority=80,
+    # still oracle-verified every CI run — to the r9 first-timers
+    # (ivfpq_rerank_topk, pq_distortion, ivfpq_cell_stats,
+    # dup_cluster_sizes).
+    QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=80),
+    QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=80),
+    QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
     QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), priority=10),
-    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=40),
+    QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=80),
     # round-5 third batch (behavior analytics): four multi-round greens
     # (is_new_correction, bounce_detection, cdc_routing, doc_keywords)

@@ -66,37 +66,80 @@ def test_oracle_parity(spark, duck, sf_dir, spec):
         diff_d = [r for r in d_set if r not in s_set][:5]
         raise AssertionError(f"{spec.name}: value mismatch\n spark-only: {diff_s}\n duck-only: {diff_d}")
 
-    _assert_integer_dtypes_survive_pandas(spec, sdf, duck)
+    _assert_dtype_kinds_survive_pandas(spec.name, sdf.schema, s_rows, s_cols, duck.execute(spec.oracle).df())
 
 
-def _assert_integer_dtypes_survive_pandas(spec, sdf, duck) -> None:
-    """The correctness driver hashes the DuckDB side through pandas
-    (``.df()``), not ``fetchall()``. An uncast SUM of BIGINT is HUGEINT
-    in DuckDB, which pandas materializes as float64 (223.0) while Spark
-    emits int64 (223) — the values then hash differently even though the
-    Python-tuple comparison above sees them as equal (the r5
-    token_budget / paragraph_dedup failure, HUGEINT cousin of the r4
-    datetime overflow). Every oracle must CAST integer aggregates so the
-    pandas round-trip keeps an integer dtype. Null-bearing columns are
-    exempt: pandas promotes them to float on BOTH sides, so they hash
-    consistently."""
-    import pandas as pd
+def _assert_dtype_kinds_survive_pandas(name, spark_schema, s_rows, s_cols, ddf) -> None:
+    """The correctness driver hashes BOTH sides through pandas, not
+    ``fetchall()`` tuples — so values that compare equal above can
+    still hash differently when the two frames materialize different
+    pandas dtype KINDS. Three shipped incidents of this class: r4
+    (datetime out of datetime64[ns] range), r5 (DuckDB HUGEINT →
+    float64 vs Spark int64), r8 (Spark decimal sum → object-Decimal vs
+    DuckDB DECIMAL sum → float64). The r5 fix guarded integers only;
+    this is the full guard (r8 verdict item 2): every column of every
+    oracle-backed spec must land in the same pandas dtype kind on both
+    sides (modulo the driver-green-proven equivalences in
+    testing.KIND_EQUIVALENT). Spark's kind is predicted from the
+    schema + observed nulls (testing.spark_pandas_kind — no second
+    Spark execution); DuckDB's is classified from the actual ``.df()``
+    frame the driver hashes. In particular a decimal output column on
+    the Spark side ALWAYS fails here (DuckDB decimals are float64 in
+    pandas) — apply the decimal→double final-projection convention
+    (plans/warehouse.py:37-60) on both sides."""
+    from rt_bigdata_spark.testing import (
+        duckdb_pandas_kind,
+        kinds_hash_compatible,
+        spark_pandas_kind,
+    )
 
-    ddf = duck.execute(spec.oracle).df()
-    int_spark = {
-        f.name.lower()
-        for f in sdf.schema.fields
-        if f.dataType.typeName() in ("long", "integer", "short", "byte")
+    null_cols = {
+        c for i, c in enumerate(s_cols) if any(r[i] is None for r in s_rows)
+    }
+    spark_kinds = {
+        f.name.lower(): spark_pandas_kind(f, f.name.lower() in null_cols)
+        for f in spark_schema.fields
     }
     for col in ddf.columns:
-        if col.lower() not in int_spark or ddf[col].isna().any():
+        sk = spark_kinds[col.lower()]
+        dk = duckdb_pandas_kind(ddf[col])
+        # A null-bearing integral column is float64 on the Spark side
+        # (predicted) and float64 on the DuckDB side too — but DuckDB
+        # may also keep masked int dtypes in some versions; accept
+        # int/float in either order when the column carries nulls.
+        if col.lower() in null_cols and {sk, dk} <= {"int", "float"}:
             continue
-        assert pd.api.types.is_integer_dtype(ddf[col].dtype), (
-            f"{spec.name}: oracle column {col!r} is {ddf[col].dtype} via the "
-            "pandas path but Spark emits an integer type — wrap the SQL "
-            "expression in CAST(... AS BIGINT) or the driver's value hash "
-            "will mismatch (DuckDB HUGEINT→float64 promotion)"
+        assert kinds_hash_compatible(sk, dk), (
+            f"{name}: column {col!r} lands as pandas kind {sk!r} from Spark "
+            f"but {dk!r} from the DuckDB oracle — equal values will hash "
+            "differently in the driver (the r4/r5/r8 dtype class). Cast the "
+            "output representation to the same kind on BOTH sides (e.g. "
+            "decimal → CAST(... AS DOUBLE), integer aggs → CAST(... AS BIGINT))."
         )
+
+
+def test_dtype_guard_catches_uncast_decimal(spark, duck, sf_dir):
+    """Regression fixture for the guard itself (r8 verdict item 2
+    'done' criterion): a deliberately un-cast decimal aggregate — the
+    exact shape that shipped hash-red as salted_enrichment in r8 —
+    must FAIL the dtype-kind guard even though its values match the
+    oracle exactly."""
+    import pyspark.sql.functions as F
+
+    sdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+    )
+    oracle = (
+        "SELECT event_type, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value "
+        "FROM events GROUP BY 1"
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = [c.lower() for c in sdf.columns]
+    ddf = duck.execute(oracle).df()
+    with pytest.raises(AssertionError, match="dtype class"):
+        _assert_dtype_kinds_survive_pandas("uncast_decimal_fixture", sdf.schema, s_rows, s_cols, ddf)
 
 
 def test_every_spec_is_oracle_backed():

@@ -133,6 +133,43 @@ def test_ann_recall_audit_values_are_recalls(spark):
             assert r[f"{arm}_recall"] == r[f"{arm}_hits"] / 10.0
 
 
+def test_registered_rerank_recall_dominates_adc_per_query(spark):
+    """r8 verdict item 3's audit assertion, at the REGISTERED spec
+    settings (shortlist=50, n_probe=4, k=10): per query,
+    recall(ivfpq_rerank_topk) >= recall(ivfpq_topk). Guaranteed by
+    construction — any exact-top-k member inside the ADC shortlist
+    ranks top-k by true sim within it (at most k−1 corpus items beat
+    it anywhere) — so a failure means the two stages stopped sharing
+    the same probe/shortlist universe."""
+    from rt_bigdata_spark.operators.similarity import brute_force_topk
+    from rt_bigdata_spark.plans.textops import (
+        _RECALL_K,
+        q_ivfpq_rerank_topk,
+        q_ivfpq_topk,
+    )
+    from rt_bigdata_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=_RECALL_K).collect()
+    }
+
+    def hits_by_query(df):
+        got = {}
+        for r in df.collect():
+            key = (r["query_id"], r["neighbor_id"])
+            got[r["query_id"]] = got.get(r["query_id"], 0) + (key in exact)
+        return got
+
+    adc = hits_by_query(q_ivfpq_topk(spark, SF_DIR))
+    rr = hits_by_query(q_ivfpq_rerank_topk(spark, SF_DIR))
+    assert set(rr) == set(adc)
+    for q in adc:
+        assert rr[q] >= adc[q], f"query {q}: rerank recall {rr[q]} < ADC {adc[q]}"
+
+
 def test_temperature_mix_equals_mix_schedule_with_sqrt_weights(spark):
     """temperature_mix(alpha=0.5) must equal mix_schedule fed the
     explicit weights sqrt(n_s): python math.sqrt and the engine's

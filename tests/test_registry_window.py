@@ -108,8 +108,9 @@ MUST_BE_IN_WINDOW = {
     # remaining once-green parked specs pulled back for their second
     # green (priority=40).
     "salted_enrichment",
-    "value_histogram", "event_pivot", "order_priority",
-    "province_stats_sql",
+    # (value_histogram, event_pivot, order_priority, province_stats_sql
+    # — pulled back at p40 in r8, got their second green r04+r08,
+    # yielded in r9; still CI-oracle-verified every run)
     # round-8 second batch: four multi-round greens yielded their
     # slots (embedding_dedup — six greens r1-r7, embedding_dedup_lsh
     # keeps the family; winnow_fingerprint — thrice-green r5-r7;
@@ -123,6 +124,13 @@ MUST_BE_IN_WINDOW = {
     # round-8 third batch: the IVF-PQ compressed-index probe
     # (media_embedding yielded).
     "ivfpq_topk",
+    # round-9 batch: the four r8 p40 pull-backs yielded after their
+    # second green. In: the production-shaped two-stage retrieval
+    # (verdict r8 item 3) and three operational-audit diagnostics —
+    # PQ reconstruction error, IVF-PQ cell-occupancy skew, and the
+    # near-dup cluster-size profile.
+    "ivfpq_rerank_topk", "pq_distortion", "ivfpq_cell_stats",
+    "dup_cluster_sizes",
 }
 
 

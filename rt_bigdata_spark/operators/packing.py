@@ -175,6 +175,28 @@ def concat_pack(
     )
 
 
+def _sequence_spans(ranked: DataFrame, seq_len: int) -> DataFrame:
+    """The pack explode, isolated so its ROW BOUND is testable: each
+    ranked doc (ids, n, _cum) emits one row per training sequence it
+    touches — ``floor((cum−1)/L) − floor((cum−n)/L) + 1 ≤ n/L + 1``
+    rows — so the frame holds at most ``total_tokens/L + n_docs``
+    rows overall, NEVER quadratic in anything
+    (tests/test_packing.py pins the bound; a future edit that
+    accidentally sequences over token positions instead of sequence
+    ids would blow it immediately)."""
+    off = F.col("_cum") - F.col("n")
+    return ranked.select(
+        "ids",
+        "n",
+        off.alias("_off"),
+        F.explode(
+            F.sequence(
+                F.floor(off / seq_len), F.floor((F.col("_cum") - 1) / seq_len)
+            )
+        ).alias("seq_id"),
+    )
+
+
 def pack_token_sequences(
     df: DataFrame,
     merges: "list[tuple[str, str]]",
@@ -221,17 +243,7 @@ def pack_token_sequences(
     ranked = bucketed_group_order(
         b, "_pr", id_col, n_buckets=n_buckets, sum_col="n", cumsum_col="_cum"
     )
-    off = F.col("_cum") - F.col("n")
-    spans = ranked.select(
-        "ids",
-        "n",
-        off.alias("_off"),
-        F.explode(
-            F.sequence(
-                F.floor(off / seq_len), F.floor((F.col("_cum") - 1) / seq_len)
-            )
-        ).alias("seq_id"),
-    )
+    spans = _sequence_spans(ranked, seq_len)
     start = F.greatest(F.lit(0), F.col("seq_id") * seq_len - F.col("_off"))
     end = F.least(F.col("n"), (F.col("seq_id") + 1) * seq_len - F.col("_off"))
     piece = F.slice(F.col("ids"), (start + 1).cast("int"), (end - start).cast("int"))

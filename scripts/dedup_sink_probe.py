@@ -55,13 +55,53 @@ def _ratio(batch_times: list[float]) -> float:
     return round(late / early, 2)
 
 
+def _drive(spark, sink_fn, state_dir: str, feed) -> dict:
+    """Run the batch loop and time each trigger, DETECTING inline
+    compactions (r9: the sinks compact inside the trigger, so a
+    compaction batch's wall time is trigger work + an O(store) fold).
+    The flatness claim is about the TRIGGER work, so the headline
+    ratio excludes compaction batches (their cost is the amortized
+    store-maintenance term, reported separately as n_compactions —
+    LSM discipline: compaction is inherently O(store), paid once per
+    cadence, never per trigger)."""
+    import time as _t
+
+    from rt_bigdata_spark.streaming.sinks import _fs_committed_ids
+
+    times, compacted = [], []
+    t0 = _t.time()
+    for b, batch in feed:
+        before = len(_fs_committed_ids(spark, state_dir, "batch="))
+        bt = _t.time()
+        sink_fn(batch, b)
+        times.append(_t.time() - bt)
+        after = len(_fs_committed_ids(spark, state_dir, "batch="))
+        compacted.append(after < before + 1)  # dirs shrank → compaction ran
+    clean = [t for t, c in zip(times, compacted) if not c]
+    out = {
+        "sec": round(_t.time() - t0, 2),
+        "first_batch_s": round(times[0], 2),
+        "last_batch_s": round(times[-1], 2),
+        "late_early_ratio": _ratio(clean) if len(clean) >= 6 else None,
+        "late_early_ratio_incl_compaction": _ratio(times),
+        "n_compactions": sum(compacted),
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=24_000)
     ap.add_argument("--batches", type=int, default=12)
-    ap.add_argument("--compact-every", type=int, default=4,
-                    help="fold the IVF store's deltas into a base every N "
-                    "batches (0 = never); the dedup sinks run uncompacted")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="compact_every passed to ALL THREE sinks (their "
+                    "BUILT-IN inline cadence since r9 — no external "
+                    "maintenance call); default None = the sinks' own "
+                    "default (8); 0 = never")
+    ap.add_argument("--cadence-sweep", action="store_true",
+                    help="additionally re-run the IVF phase at cadences "
+                    "2/4/8/never and report the late/early ratio per "
+                    "cadence (the compaction operating table)")
     args = ap.parse_args()
     if args.batches < 4:
         # _ratio needs batches 2-4 for its early median — fail BEFORE
@@ -92,19 +132,12 @@ def main() -> None:
 
     state = os.path.join(work, "sigs")
     pairs = os.path.join(work, "pairs")
-    sink = near_dup_maintenance_sink(state, pairs, threshold=0.3)
-    batch_times = []
-    t0 = time.time()
-    for b in range(args.batches):
-        bt = time.time()
-        sink(docs.filter((F.col("doc_id") % args.batches) == b), b)
-        batch_times.append(time.time() - bt)
-    out["minhash"] = {
-        "sec": round(time.time() - t0, 2),
-        "first_batch_s": round(batch_times[0], 2),
-        "last_batch_s": round(batch_times[-1], 2),
-        "late_early_ratio": _ratio(batch_times),
-    }
+    sink_kw = {} if args.compact_every is None else {"compact_every": args.compact_every}
+    sink = near_dup_maintenance_sink(state, pairs, threshold=0.3, **sink_kw)
+    out["minhash"] = _drive(
+        spark, sink, state,
+        ((b, docs.filter((F.col("doc_id") % args.batches) == b)) for b in range(args.batches)),
+    )
 
     # synthetic unit-ish vectors, dim 16, deterministic
     dim = 16
@@ -123,19 +156,11 @@ def main() -> None:
 
     state2 = os.path.join(work, "vecs")
     pairs2 = os.path.join(work, "vpairs")
-    sink2 = embedding_dedup_maintenance_sink(state2, pairs2, threshold=0.9, dim=dim)
-    batch_times = []
-    t0 = time.time()
-    for b in range(args.batches):
-        bt = time.time()
-        sink2(vecs.filter((F.col("vec_id") % args.batches) == b), b)
-        batch_times.append(time.time() - bt)
-    out["embedding"] = {
-        "sec": round(time.time() - t0, 2),
-        "first_batch_s": round(batch_times[0], 2),
-        "last_batch_s": round(batch_times[-1], 2),
-        "late_early_ratio": _ratio(batch_times),
-    }
+    sink2 = embedding_dedup_maintenance_sink(state2, pairs2, threshold=0.9, dim=dim, **sink_kw)
+    out["embedding"] = _drive(
+        spark, sink2, state2,
+        ((b, vecs.filter((F.col("vec_id") % args.batches) == b)) for b in range(args.batches)),
+    )
 
     # streaming IVF index maintenance (r8.2): same flatness claim —
     # per-trigger cost is assignment (map-side) + redelivery anti-join
@@ -144,31 +169,35 @@ def main() -> None:
     from rt_bigdata_spark.operators.similarity import _ivf_centroids
     from rt_bigdata_spark.streaming.sinks import ivf_index_maintenance_sink
 
-    from rt_bigdata_spark.streaming.sinks import compact_dedup_store
-
     cents = _ivf_centroids(vecs, "vec_id", "embedding", 16)
-    state3 = os.path.join(work, "ivf")
-    sink3 = ivf_index_maintenance_sink(state3, cents)
-    batch_times = []
-    t0 = time.time()
-    for b in range(args.batches):
-        bt = time.time()
-        sink3(vecs.filter((F.col("vec_id") % args.batches) == b), b)
-        batch_times.append(time.time() - bt)
+
+    def run_ivf(tag: str, **kw) -> dict:
         # the IVF sink's per-batch data work is tiny (map-side assign +
         # small anti-join), so the O(#batches) dir-listing residual the
         # dedup sinks amortize under their hashing cost is RELATIVELY
-        # visible here; compaction mid-run is the production cadence
-        # and what the flatness claim is conditioned on
-        if args.compact_every and (b + 1) % args.compact_every == 0:
-            compact_dedup_store(spark, state3)
-    out["ivf_index"] = {
-        "sec": round(time.time() - t0, 2),
-        "first_batch_s": round(batch_times[0], 2),
-        "last_batch_s": round(batch_times[-1], 2),
-        "late_early_ratio": _ratio(batch_times),
-        "compact_every": args.compact_every,
-    }
+        # visible here; the sink's BUILT-IN compaction cadence (r9 —
+        # previously this probe had to call compact_dedup_store itself)
+        # is what the flatness claim is conditioned on
+        state3 = os.path.join(work, f"ivf_{tag}")
+        sink3 = ivf_index_maintenance_sink(state3, cents, **kw)
+        r = _drive(
+            spark, sink3, state3,
+            ((b, vecs.filter((F.col("vec_id") % args.batches) == b)) for b in range(args.batches)),
+        )
+        r["compact_every"] = kw.get("compact_every", "default(8)")
+        return r
+
+    out["ivf_index"] = run_ivf("main", **sink_kw)
+
+    if args.cadence_sweep:
+        # the operating table: how the flatness ratio responds to the
+        # compaction knob (0 = never, i.e. O(#batches) listing growth)
+        out["ivf_cadence_sweep"] = {
+            str(c): {k: v for k, v in run_ivf(f"sweep{c}", compact_every=c).items()
+                     if k in ("late_early_ratio", "late_early_ratio_incl_compaction",
+                              "n_compactions", "sec")}
+            for c in (2, 4, 8, 0)
+        }
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

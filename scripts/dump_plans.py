@@ -47,6 +47,10 @@ FLAGSHIPS = {
     "event_anomalies": "z-score outliers: DECIMAL-exact moment sums reduce to an O(groups) aggregate broadcast back onto the rows (BroadcastHashJoin) — no window sort over raw data, no float partial-sum drift.",
     "pq_ann_topk": "ADC over the PQ-compressed corpus: candidates reduce to m code columns map-side (codebooks are literal arrays — broadcast model), the 5-row query set broadcasts with its slice/self-dot halves PRE-projected, and the only Exchange is the per-query top-k window; the original vectors never cross the wire.",
     "ivfpq_topk": "IVF-PQ probe: the index scan partition-prunes to the probed coarse cells (PartitionFilters) and reads m-byte residual codes; per-(query, cell) residuals come pre-computed on the broadcast side; one top-k Exchange total.",
+    "ivfpq_rerank_topk": "two-stage retrieval: stage 1 is the ivfpq_topk plan cut to the shortlist; stage 2 fetches ONLY the shortlist ids' true vectors (corpus join restricted to queries×shortlist rows) with the 5-row query side broadcast, then one per-query top-k window — the corpus is never scanned for scoring.",
+    "pq_distortion": "one corpus scan → ONE constant-size global HashAggregate (2m+1 partial-agg columns; codebooks and norms are literal arrays); the m output rows come from unpivoting the single agg row — no shuffle of data rows at all beyond the global-agg exchange of one row per task.",
+    "ivfpq_cell_stats": "index occupancy audit: one scan of the code rows reading effectively the partition column, a ≤n_centroids-group HashAggregate, and the 1-row totals frame joined back via BroadcastNestedLoopJoin on a literal-true condition (1×n rows — constant work).",
+    "dup_cluster_sizes": "two-level count over the CC labeling: the label groupBy reuses the clustering's final exchange; the size histogram is an O(distinct sizes) second agg — output-bounded, no new corpus-scale shuffle.",
     "temperature_mix": "size-derived stride schedule: per-source counts reduce to an O(sources) aggregate broadcast back; the rank rides the bucket-decomposed kernel (every windowspecdefinition carries the _bkt key), so a dominant source sorts in ~n/256-row tasks.",
 }
 

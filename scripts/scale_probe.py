@@ -73,6 +73,9 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "scaled"))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated spec names: probe only these "
+                    "(default: every bench spec)")
     args = ap.parse_args()
 
     _ensure_loaded()
@@ -82,6 +85,12 @@ def main() -> None:
         build(spark, args.src, args.out, args.factor)
 
     specs = [s for s in REGISTRY.values() if s.bench]
+    if args.only:
+        names = {n.strip() for n in args.only.split(",")}
+        missing = names - {s.name for s in REGISTRY.values()}
+        if missing:
+            ap.error(f"unknown spec names: {sorted(missing)}")
+        specs = [REGISTRY[n] for n in sorted(names)]
     # Warmup: run the first spec once untimed so JVM/codegen/session
     # startup doesn't land in the first timed query — without this the
     # 1× run (no build() pre-warming the session) absorbs several

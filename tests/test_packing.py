@@ -243,3 +243,50 @@ def test_concat_pack_null_group_rows_survive(spark):
     assert {r.doc_id for r in out} == {0, 1, 2}
     null_stream = sorted((r for r in out if r.source is None), key=lambda r: r.first_seq)
     assert sum(r.n_tokens for r in null_stream) == 7  # both NULL docs, one stream
+
+
+def test_sequence_spans_row_bound_is_pinned(spark):
+    """r8 verdict item 6: pack_token_sequences is the most expensive
+    headline query, and its explode is the part a careless edit could
+    silently quadratic (e.g. sequencing over token POSITIONS instead
+    of sequence ids). Pin the documented bound on the isolated explode
+    (packing._sequence_spans): per doc exactly
+    floor((cum-1)/L) - floor((cum-n)/L) + 1 rows <= n/L + 1, so
+    <= total_tokens/L + n_docs overall — exercised over adversarial
+    sizes (1 token, L-1, L, L+1, multi-L, huge)."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.packing import _sequence_spans
+
+    L = 128
+    sizes = [1, 2, 64, L - 1, L, L + 1, 5 * L, 37 * L + 13, 3, L]
+    rows, cum = [], 0
+    for i, n in enumerate(sizes):
+        cum += n
+        rows.append((list(range(n)), n, cum))
+    ranked = spark.createDataFrame(rows, "ids: array<int>, n: long, _cum: long")
+    spans = _sequence_spans(ranked, L)
+    total = sum(sizes)
+    got = spans.count()
+    assert got <= total / L + len(sizes), (got, total / L + len(sizes))
+    # exact closed form per doc, not just the bound
+    expected = 0
+    cum = 0
+    for n in sizes:
+        off = cum
+        cum += n
+        expected += (cum - 1) // L - off // L + 1
+    assert got == expected
+    # and the spans tile the token stream exactly: per seq_id the
+    # piece lengths sum to L (last sequence partial)
+    start = F.greatest(F.lit(0), F.col("seq_id") * L - F.col("_off"))
+    end = F.least(F.col("n"), (F.col("seq_id") + 1) * L - F.col("_off"))
+    per_seq = (
+        spans.select("seq_id", (end - start).alias("plen"))
+        .groupBy("seq_id")
+        .agg(F.sum("plen").alias("tok"))
+        .collect()
+    )
+    last = max(r.seq_id for r in per_seq)
+    for r in per_seq:
+        assert r.tok == (L if r.seq_id < last else total - last * L)

@@ -3104,7 +3104,7 @@ for spec in [
     # media_dedup composes it and stays in-window) yields its slot to
     # the IVF-PQ compressed-index probe.
     QuerySpec("ivfpq_topk", q_ivfpq_topk, _ivfpq_oracle(), ("similarity", "quantization", "index"), priority=10),
-    QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), priority=10),
+    QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), bench=True, priority=10),
     QuerySpec("pq_distortion", q_pq_distortion, _pq_distortion_oracle(), ("quantization", "profiling"), priority=10),
     QuerySpec("ivfpq_cell_stats", q_ivfpq_cell_stats, _ivfpq_cell_stats_oracle(), ("quantization", "profiling", "index"), priority=10),
     QuerySpec("dup_cluster_sizes", q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES, ("dedup", "profiling", "iterative"), priority=10),

@@ -810,7 +810,44 @@ def compact_dedup_store(spark, state_dir: str, keep_last: int = 1) -> dict | Non
         _fs_delete(spark, os.path.join(state_dir, f"base_v{v}"))
     for i in targets:
         _fs_delete(spark, os.path.join(state_dir, f"batch={i}"))
+    # fence-only receipt dirs (all-redelivered batches commit no data,
+    # only a _FENCE) accumulate one per empty-kept batch; those OLDER
+    # than the newest committed delta are dead weight — Spark can only
+    # redeliver the newest batch, and a wiped checkpoint colliding with
+    # an older id raises the incarnation guard (batch_id < newest
+    # committed) with or without the receipt. The newest-or-later
+    # fence-only dirs are kept: they may BE the legitimately
+    # redeliverable batch.
+    remaining = _fs_committed_ids(spark, state_dir, "batch=")
+    if remaining:
+        for i in _fence_only_ids(spark, state_dir):
+            if i < remaining[-1]:
+                _fs_delete(spark, os.path.join(state_dir, f"batch={i}"))
     return {"base_version": new_v, "compacted_batches": len(targets), "rows": n}
+
+
+def _fence_only_ids(spark, state_dir: str) -> list[int]:
+    """``batch=<id>`` dirs holding a _FENCE but no _SUCCESS — the
+    receipts of all-redelivered batches (see the empty-kept path in
+    the sinks), ascending."""
+    fs, path = _hfs(spark, state_dir)
+    if not fs.exists(path):
+        return []
+    jvm = spark._jvm
+    ids = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        tail = name[len("batch="):]
+        if (
+            name.startswith("batch=")
+            and tail.isdigit()
+            and not fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_FENCE"))
+        ):
+            ids.append(int(tail))
+    return sorted(ids)
 
 
 def _maybe_compact(spark, state_dir: str, compact_every: "int | None") -> None:

@@ -751,3 +751,44 @@ def test_migration_rerun_after_partial_delete_keeps_all_rows(spark, tmp_path):
     minhash_signatures(extra, "text", "doc_id", 32).write.parquet(_os.path.join(state, "b_2"))
     with _pt.raises(RuntimeError, match="parameters"):
         migrate_flat_dedup_store(spark, state, bands=4)
+
+
+def test_compaction_cleans_stale_fence_only_receipts(spark, tmp_path):
+    """Fence-only receipt dirs (all-redelivered batches) accumulate one
+    per empty-kept batch; compaction removes those OLDER than the
+    newest committed delta (Spark can only redeliver the newest batch,
+    and older colliding ids raise the incarnation guard regardless) —
+    while a fence-only dir that IS the newest survives, since it may be
+    the legitimately redeliverable batch."""
+    import os as _os
+
+    from rt_bigdata_spark.streaming.sinks import (
+        compact_dedup_store,
+        near_dup_maintenance_sink,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different words about spark engines here")],
+        "doc_id: long, text: string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "a third unrelated document with its own words")],
+        "doc_id: long, text: string",
+    )
+    state = str(tmp_path / "s")
+    sink = near_dup_maintenance_sink(state, str(tmp_path / "p"), threshold=0.3,
+                                     compact_every=None)
+    sink(b0, 0)
+    sink(b0.filter("doc_id = 1"), 1)  # all-redelivered → fence-only dir
+    sink(b2, 2)
+    assert _os.path.exists(_os.path.join(state, "batch=1", "_FENCE"))
+    compact_dedup_store(spark, state, keep_last=1)
+    # stale receipt (1 < newest committed 2) cleaned
+    assert not _os.path.exists(_os.path.join(state, "batch=1"))
+    # a NEWEST fence-only receipt survives compaction
+    sink(b2, 3)  # all-redelivered again → fence-only batch=3
+    compact_dedup_store(spark, state, keep_last=1)
+    assert _os.path.exists(_os.path.join(state, "batch=3", "_FENCE"))
+    # and still skips its replay
+    sink(b2, 3)

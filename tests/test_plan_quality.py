@@ -200,6 +200,8 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         # inside the recall audit is ann_cosine_topk's own shape
         "pq_ann_topk",  # broadcast query set (vec_id < 5) vs ONE scan of
         # the m-codes-per-row compressed corpus (O(n·queries), k bounded)
+        "ivfpq_cell_stats",  # broadcast 1-row totals (t, n_cells) onto
+        # the ≤n_centroids occupancy rows — the key_skew shape
     }
     offenders = [
         n for n, pl in plans.items()
@@ -406,3 +408,40 @@ def test_bounded_windows_carry_literal_partition_key(spark):
             if " ASC" in first or " DESC" in first:
                 offenders.append(f"{name}: {ln.strip()[:120]}")
     assert not offenders, offenders
+
+
+def test_pq_distortion_is_joinless_constant_agg(plans):
+    """pq_distortion's plan must be ONE corpus scan into a global
+    (keyless) HashAggregate whose single row unpivots via Generate —
+    no Join anywhere (codebooks/norms are literals), and no per-row
+    Python. A Join or a grouped shuffle here would mean the audit
+    stopped being the free by-product it is designed to be."""
+    p = plans["pq_distortion"]
+    assert "Join" not in p, p
+    assert "Generate" in p, p  # the m-row unpivot of the 1-row agg
+    assert "HashAggregate" in p, p
+
+
+def test_ivfpq_cell_stats_reads_only_partition_metadata(plans):
+    """The occupancy audit counts rows per partition directory — its
+    scan must read ZERO data columns (ReadSchema: struct<>; `cell` is
+    the partition column, served from directory names), and the 1-row
+    totals frame must come back via a broadcast, not a shuffle."""
+    p = plans["ivfpq_cell_stats"]
+    assert "ReadSchema: struct<>" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_ivfpq_rerank_stage2_is_pruned_and_broadcast(plans):
+    """Two-stage retrieval: stage 1's index scan stays partition-pruned
+    to the probed cells (PartitionFilters carries a cell filter), and
+    stage 2's true-vector fetch joins via broadcast (the shortlist and
+    query sides are tiny by construction) — a shuffle join or an
+    unpruned index scan would re-introduce the corpus-wide read the
+    two-stage design exists to avoid."""
+    import re as _re
+
+    p = plans["ivfpq_rerank_topk"]
+    assert _re.search(r"PartitionFilters: \[[^\]]*cell(#\d+)? IN", p), p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

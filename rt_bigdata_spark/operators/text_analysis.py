@@ -319,12 +319,21 @@ def linear_quality_score(
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("margin_sum")
     )
+    # UNROUNDED final division (r9): the exact-decimal margin_sum
+    # converts to the correctly-rounded nearest double on BOTH engines
+    # (Spark BigDecimal.doubleValue; DuckDB double(m)/1000.0 — one
+    # correctly-rounded IEEE step each), and a further IEEE division by
+    # the same n_tokens is then bit-identical. ROUND(x, 6) was the one
+    # non-portable step: a margin landing EXACTLY on a half-way point
+    # (e.g. 3.141/48 = 0.0654375) rounds up under Spark's HALF_UP on
+    # the decimal expansion but down under DuckDB's round-of-the-double
+    # — invisible at sf0.01, caught by the r9 sf0.1 oracle sweep.
     margin = F.col("margin_sum").cast("double") / F.col("n_tokens")
     return per_doc.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.round(margin, 6).alias("quality_margin"),
-        (F.round(margin, 6) >= F.lit(threshold)).alias("keep"),
+        margin.alias("quality_margin"),
+        (margin >= F.lit(threshold)).alias("keep"),
     )
 
 

@@ -1766,7 +1766,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_classifier_oracle(dim: int = _QC_DIM, seed: int = _QC_SEED, tau: float = _QC_TAU) -> str:
     """DuckDB twin: same LCG weight list inlined as a DECIMAL(9,3)
     literal (exact — margin SUM is order-independent on both sides),
-    same md5 bucket, one double division per doc at the end."""
+    same md5 bucket, one double division per doc at the end —
+    UNROUNDED (r9): the exact decimal converts to the same nearest
+    double on both engines and the shared-n division is then
+    bit-identical, while ROUND(x, 6) diverged on exact half-way
+    margins (3.141/48) between Spark's HALF_UP and DuckDB's
+    round-of-the-double. Found by the sf0.1 oracle sweep."""
     from rt_bigdata_spark.operators.text_analysis import lcg_classifier_weights
 
     weights = lcg_classifier_weights(dim, seed)
@@ -1784,8 +1789,8 @@ per_doc AS (
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       ROUND(CAST(margin_sum AS DOUBLE) / n_tokens, 6) AS quality_margin,
-       ROUND(CAST(margin_sum AS DOUBLE) / n_tokens, 6) >= {tau!r} AS keep
+       CAST(margin_sum AS DOUBLE) / n_tokens AS quality_margin,
+       CAST(margin_sum AS DOUBLE) / n_tokens >= {tau!r} AS keep
 FROM per_doc
 """
 

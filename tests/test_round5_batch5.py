@@ -63,11 +63,15 @@ def test_linear_quality_score_matches_python_mirror(spark):
     assert set(out) == {1, 2, 3}
     for doc_id, text in docs[:3]:
         toks = _py_tokens(text)
-        margin = sum(weights[_py_bucket(t, dim)] for t in toks) / len(toks)
+        # exact mirror of the engine's arithmetic (r9, unrounded
+        # output): decimal(9,3)-exact sum → correctly-rounded double →
+        # one IEEE division — bit-identical, no approx needed
+        msum = sum(Decimal(f"{weights[_py_bucket(t, dim)]:.3f}") for t in toks)
+        margin = float(msum) / len(toks)
         row = out[doc_id]
         assert row.n_tokens == len(toks)
-        assert row.quality_margin == pytest.approx(round(margin, 6), abs=1e-9)
-        assert row.keep == (round(margin, 6) >= 0.0)
+        assert row.quality_margin == margin
+        assert row.keep == (margin >= 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -288,8 +288,8 @@ def zscore_outliers(
     var = F.col("s2").cast("double") / F.col("n") - mu * mu
     stats = moments.select(
         *keys,
-        F.round(mu, 6).alias("mu"),
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("sigma"),
+        mu.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
     )
     joined = df.join(F.broadcast(stats), list(keys))
     # zero-variance guard, explicit on BOTH engines: Spark's x/0.0 is
@@ -298,7 +298,7 @@ def zscore_outliers(
     # the division bare diverges cross-engine exactly on degenerate
     # groups. A single-member/constant group has no outliers by
     # definition: z is NULL, the flag false.
-    z = F.when(F.col("sigma") > 0, F.round((v - F.col("mu")) / F.col("sigma"), 6))
+    z = F.when(F.col("sigma") > 0, (v - F.col("mu")) / F.col("sigma"))
     return joined.select(
         F.col(id_col),
         *keys,

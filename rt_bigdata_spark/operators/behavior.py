@@ -292,7 +292,7 @@ def active_users(
             F.col("day"),
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
 

@@ -54,7 +54,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     tokc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("ct"))
     tstats = tokc.groupBy(id_col).agg(
         F.sum("ct").cast("long").alias("n_tokens"),
-        F.round(F.max("ct").cast("double") / F.sum("ct"), 6).alias("top_token_frac"),
+        (F.max("ct").cast("double") / F.sum("ct")).alias("top_token_frac"),
     )
     tl = df.select(ident, tokenize(F.col(text_col)).alias("t")).filter(F.size("t") >= 2)
     bigram = tl.select(
@@ -68,8 +68,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     bgc = bigram.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("ct"))
     bstats = bgc.groupBy(id_col).agg(
-        F.round(F.max("ct").cast("double") / F.sum("ct"), 6).alias("top_bigram_frac"),
-        F.round(F.lit(1) - F.count(F.lit(1)).cast("double") / F.sum("ct"), 6).alias(
+        (F.max("ct").cast("double") / F.sum("ct")).alias("top_bigram_frac"),
+        (F.lit(1) - F.count(F.lit(1)).cast("double") / F.sum("ct")).alias(
             "dup_bigram_frac"
         ),
     )

@@ -1033,7 +1033,7 @@ def substring_dup_stats(
             F.col(id_col),
             F.col("n_windows"),
             F.col("n_shared"),
-            F.round(frac, 6).alias("dup_fraction"),
-            (F.round(frac, 6) > F.lit(max_dup_fraction)).alias("drop"),
+            frac.alias("dup_fraction"),
+            (frac > F.lit(max_dup_fraction)).alias("drop"),
         )
     )

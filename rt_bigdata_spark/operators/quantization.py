@@ -560,12 +560,11 @@ def ivfpq_cell_stats(spark, index_path: str) -> DataFrame:
         .select(
             "cell",
             F.col("n_vecs").cast("long").alias("n_vecs"),
-            F.round(F.col("n_vecs").cast("double") / F.col("t").cast("double"), 9).alias("share"),
+            (F.col("n_vecs").cast("double") / F.col("t").cast("double")).alias("share"),
             "n_cells",
-            F.round(
+            (
                 F.col("n_vecs").cast("double")
-                / (F.col("t").cast("double") / F.col("n_cells").cast("double")),
-                6,
+                / (F.col("t").cast("double") / F.col("n_cells").cast("double"))
             ).alias("skew_x"),
         )
     )

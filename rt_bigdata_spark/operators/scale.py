@@ -197,14 +197,13 @@ def key_skew_profile(df: "DataFrame", key_col: str, top_n: int = 20) -> "DataFra
             F.row_number().over(w).cast("long").alias("rank"),
             "key",
             "n_rows",
-            F.round(F.col("n_rows").cast("double") / F.col("_tot").cast("double"), 9).alias(
+            (F.col("n_rows").cast("double") / F.col("_tot").cast("double")).alias(
                 "share"
             ),
             F.col("n_keys").cast("long").alias("n_keys"),
-            F.round(
+            (
                 F.col("n_rows").cast("double")
-                / (F.col("_tot").cast("double") / F.col("n_keys").cast("double")),
-                6,
+                / (F.col("_tot").cast("double") / F.col("n_keys").cast("double"))
             ).alias("skew_x"),
         )
     )

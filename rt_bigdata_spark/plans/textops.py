@@ -81,8 +81,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(docs).select(
         "doc_id",
         "n_tokens",
-        F.round("avg_token_len", 6).alias("avg_token_len"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "avg_token_len",
+        "stopword_ratio",
     )
 
 
@@ -90,8 +90,8 @@ _ORACLE_QUALITY = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
-       ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS avg_token_len,
-       ROUND(CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t), 6) AS stopword_ratio
+       CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_token_len,
+       CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t) AS stopword_ratio
 FROM toks
 """
 
@@ -615,7 +615,7 @@ def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = F.size(t)
         swr = stopword_hit_count(t, LANG_STOPWORDS["en"]).cast("double") / n
         keep = (lang_vote(t, LANG_STOPWORDS) == F.lit("en")) & (n >= 20) & (swr >= 0.02)
-        return F.struct(n.cast("long").alias("n_tokens"), F.round(swr, 6).alias("swr"), keep.alias("keep"))
+        return F.struct(n.cast("long").alias("n_tokens"), swr.alias("swr"), keep.alias("keep"))
 
     kept = docs.withColumn("r", tok_bound(tokenize(F.col("text")), per_doc)).filter(F.col("r.keep"))
     best = F.min(
@@ -642,7 +642,7 @@ f AS (
          len(list_filter(t, x -> x IN ('的','是','在','了','和'))) AS h_zh
   FROM toks
 )
-SELECT md5(text) AS sig, doc_id, n_tokens, ROUND(swr, 6) AS stopword_ratio
+SELECT md5(text) AS sig, doc_id, n_tokens, swr AS stopword_ratio
 FROM f
 WHERE h_en > 0 AND h_en = greatest(h_en, h_fr, h_es, h_de, h_zh)
   AND n_tokens >= 20 AND swr >= 0.02
@@ -805,7 +805,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.avg("n_chars").alias("avg_chars"),
         F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
         F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
@@ -816,7 +816,7 @@ _ORACLE_PROFILE = """
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       ROUND(AVG(n_chars), 6) AS avg_chars,
+       AVG(n_chars) AS avg_chars,
        ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
        COUNT(DISTINCT lang) AS n_langs
@@ -846,7 +846,7 @@ def q_corpus_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     agged = docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.avg("n_chars").alias("avg_chars"),
         F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
         F.approx_count_distinct("lang").cast("long").alias("n_langs_approx"),
@@ -877,7 +877,7 @@ _ORACLE_PROFILE_APPROX = """
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       ROUND(AVG(n_chars), 6) AS avg_chars,
+       AVG(n_chars) AS avg_chars,
        TRUE AS p50_within_tol,
        TRUE AS p95_within_tol,
        COUNT(DISTINCT lang) AS n_langs,
@@ -929,20 +929,20 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
     return (
-        docs.withColumn("len_pct", F.round(F.percent_rank().over(w), 6))
+        docs.withColumn("len_pct", F.percent_rank().over(w))
         .filter(F.col("len_pct") >= 0.5)
         .select("doc_id", "source", "n_chars", "len_pct")
     )
 
 
 _ORACLE_QUALITY_GATE = """
-SELECT doc_id, source, n_chars, ROUND(len_pct, 6) AS len_pct
+SELECT doc_id, source, n_chars, len_pct
 FROM (
   SELECT doc_id, source, n_chars,
          percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC) AS len_pct
   FROM documents
 )
-WHERE ROUND(len_pct, 6) >= 0.5
+WHERE len_pct >= 0.5
 """
 
 
@@ -1142,7 +1142,7 @@ WITH toks AS (SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tok FROM documents),
 tokc AS (SELECT doc_id, tok, COUNT(*) AS ct FROM toks GROUP BY 1, 2),
 tstats AS (
   SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens,
-         ROUND(CAST(MAX(ct) AS DOUBLE) / SUM(ct), 6) AS top_token_frac
+         CAST(MAX(ct) AS DOUBLE) / SUM(ct) AS top_token_frac
   FROM tokc GROUP BY doc_id
 ),
 tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
@@ -1154,8 +1154,8 @@ bg AS (
 bgc AS (SELECT doc_id, bg, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
 bstats AS (
   SELECT doc_id,
-         ROUND(CAST(MAX(ct) AS DOUBLE) / SUM(ct), 6) AS top_bigram_frac,
-         ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(ct), 6) AS dup_bigram_frac
+         CAST(MAX(ct) AS DOUBLE) / SUM(ct) AS top_bigram_frac,
+         1 - CAST(COUNT(*) AS DOUBLE) / SUM(ct) AS dup_bigram_frac
   FROM bgc GROUP BY doc_id
 )
 SELECT t.doc_id, t.n_tokens, t.top_token_frac, b.top_bigram_frac, b.dup_bigram_frac
@@ -1839,8 +1839,8 @@ per_doc AS (
   FROM marked GROUP BY doc_id
 )
 SELECT doc_id, n_windows, n_shared,
-       ROUND(CAST(n_shared AS DOUBLE) / n_windows, 6) AS dup_fraction,
-       ROUND(CAST(n_shared AS DOUBLE) / n_windows, 6) > {_SSD_MAXFRAC!r} AS drop
+       CAST(n_shared AS DOUBLE) / n_windows AS dup_fraction,
+       CAST(n_shared AS DOUBLE) / n_windows > {_SSD_MAXFRAC!r} AS drop
 FROM per_doc
 """
 
@@ -2822,9 +2822,9 @@ WITH {_ivfpq_coarse_ctes()},
 counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cassign GROUP BY cell),
 tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_cells FROM counts)
 SELECT CAST(c.cell AS BIGINT) AS cell, c.n_vecs,
-       ROUND(CAST(c.n_vecs AS DOUBLE) / CAST(t.t AS DOUBLE), 9) AS share,
+       CAST(c.n_vecs AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
        t.n_cells,
-       ROUND(CAST(c.n_vecs AS DOUBLE) / (CAST(t.t AS DOUBLE) / CAST(t.n_cells AS DOUBLE)), 6) AS skew_x
+       CAST(c.n_vecs AS DOUBLE) / (CAST(t.t AS DOUBLE) / CAST(t.n_cells AS DOUBLE)) AS skew_x
 FROM counts c CROSS JOIN tot t
 """
 

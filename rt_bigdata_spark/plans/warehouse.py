@@ -1948,9 +1948,9 @@ tot AS (SELECT SUM(n_rows) AS t, CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
 top AS (SELECT * FROM counts ORDER BY n_rows DESC, key NULLS FIRST LIMIT 20)
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key NULLS FIRST) AS BIGINT) AS rank,
        key, n_rows,
-       ROUND(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share,
+       CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE) AS share,
        n_keys,
-       ROUND(CAST(n_rows AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_x
+       CAST(n_rows AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_x
 FROM top CROSS JOIN tot
 """
 
@@ -2083,15 +2083,15 @@ WITH m AS (
 ),
 stats AS (
   SELECT event_type,
-         ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mu,
-         ROUND(sqrt(greatest(CAST(s2 AS DOUBLE) / n
-                             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)), 6) AS sigma
+         CAST(s1 AS DOUBLE) / n AS mu,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sigma
   FROM m
 )
 SELECT e.event_id, e.event_type, e.value, s.mu, s.sigma,
-       CASE WHEN s.sigma > 0 THEN ROUND((e.value - s.mu) / s.sigma, 6) END AS zscore,
+       CASE WHEN s.sigma > 0 THEN (e.value - s.mu) / s.sigma END AS zscore,
        COALESCE(abs(CASE WHEN s.sigma > 0
-                         THEN ROUND((e.value - s.mu) / s.sigma, 6) END) > {_Z_THRESHOLD!r},
+                         THEN (e.value - s.mu) / s.sigma END) > {_Z_THRESHOLD!r},
                 FALSE) AS is_outlier
 FROM events e JOIN stats s USING (event_type)
 """
@@ -2217,7 +2217,7 @@ wau AS (
   GROUP BY win_end
 )
 SELECT CAST(d.day AS TIMESTAMP) AS day, dau, wau,
-       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+       CAST(dau AS DOUBLE) / wau AS stickiness
 FROM dau d JOIN wau w ON d.day = w.win_end
 """
 

@@ -17,13 +17,24 @@ reports first/last batch seconds and the late/early ratio over the
 middle batches (first batch excluded — it has no store to read and
 pays JVM warmup).
 
+Since r9 the sinks compact INLINE on their own ``compact_every``
+cadence, so the probe detects compaction batches (committed-dir count
+shrank) and reports the trigger-work ratio EXCLUDING them next to the
+spike-inclusive ratio — compaction is O(store) once per cadence (LSM
+discipline), a different cost class from the per-trigger work whose
+flatness this probe certifies. ``--cadence-sweep`` adds the IVF-sink
+operating table across cadences 2/4/8/never.
+
 Usage:
     python scripts/dedup_sink_probe.py [--docs 24000] [--batches 12]
+                                       [--compact-every N] [--cadence-sweep]
 Prints ONE JSON line:
   {"docs": N, "batches": B,
    "minhash": {"sec": s, "first_batch_s": f, "last_batch_s": l,
-                "late_early_ratio": r},
-   "embedding": {...}}
+               "late_early_ratio": r, "late_early_ratio_incl_compaction": ri,
+               "n_compactions": c},
+   "embedding": {...}, "ivf_index": {...},
+   "ivf_cadence_sweep": {...}}   # with --cadence-sweep
 """
 
 from __future__ import annotations

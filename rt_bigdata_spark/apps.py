@@ -23,6 +23,7 @@ Layer map (reference file → builder):
 - ProductStatsApp.scala:34-293 → product_stats_app
 - ProvinceStatsSqlApp.scala:16-88 → province_stats_app
 - KeywordStatsApp.scala:16-93  → keyword_stats_app
+- KeywordStats4ProductApp.scala:15-83 → keyword_stats_4product_app
 
 One deliberate reshaping: the reference forwards raw nested JSON
 strings between layers and re-parses at every hop. Here DWD emits
@@ -303,4 +304,43 @@ def keyword_stats_app(page: DataFrame, window: str = "10 seconds") -> DataFrame:
         duration=window,
         keys=["keyword"],
         aggs=[F.count(F.lit(1)).alias("ct")],
+    )
+
+
+def keyword_stats_4product_app(product_stats: DataFrame) -> DataFrame:
+    """KeywordStats4ProductApp (KeywordStats4ProductApp.scala:15-83):
+    the one reference job built from TWO chained lateral joins — each
+    product-stats row is exploded by the tokenizer UDTF over
+    ``spu_name`` (U1, ik_analyze) AND by the C2R unpivot UDTF over its
+    (click_ct, cart_ct, order_ct) counts (U2, keywordProductC2R), the
+    cross of the two laterals yielding one row per (keyword, non-zero
+    source). No aggregation happens in the reference job — the
+    ClickHouse table aggregates on read — so none happens here.
+
+    ``product_stats`` needs ``spu_name``, ``click_ct``, ``cart_ct``,
+    ``order_ct``; any other columns (stt/edt window bounds) are carried
+    through unchanged, mirroring the reference's select list.
+
+    Spark-first shape: both "UDTFs" are pure column expressions —
+    ``explode(tokenize(...))`` and a ``stack`` — so the whole double
+    lateral stays inside one whole-stage-codegen projection; no Python
+    runs per row and the explode multiplies rows AFTER any upstream
+    aggregation shrank them.
+    """
+    from rt_bigdata_spark.functions.text_fns import tokenize, unpivot_counts
+
+    carry = [c for c in product_stats.columns
+             if c not in ("spu_name", "click_ct", "cart_ct", "order_ct")]
+    words = product_stats.select(
+        F.explode(tokenize(F.col("spu_name"))).alias("keyword"),
+        "click_ct", "cart_ct", "order_ct", *carry,
+    )
+    return (
+        words.select(
+            "keyword",
+            unpivot_counts([("click_ct", "CLICK"), ("cart_ct", "CART"), ("order_ct", "ORDER")]),
+            *carry,
+        )
+        .filter(F.col("ct") > 0)
+        .select("keyword", F.col("ct").cast("long").alias("ct"), "source", *carry)
     )

@@ -268,6 +268,18 @@ def zscore_outliers(
     never a window over the raw data (a window would sort every row
     within group for two scalars).
 
+    Cross-engine envelope (r9 ADVICE): the unrounded outputs are
+    bit-identical to DuckDB only while Σv²'s DECIMAL(38,4) unscaled
+    value fits int64 (Σv² ≤ ~9.2e14) — both engines then share the
+    (double)unscaled/10⁴ fast path. Beyond it, Spark's
+    correctly-rounded BigDecimal slow path can differ by 1 ulp from
+    DuckDB's int128→double. Measured headroom ~9.2e6× the sf0.1
+    corpus (SCALE.md); guarded by
+    tests/test_properties.py::test_zscore_moment_sums_stay_in_decimal64_compact_range.
+    If a deployment's per-group Σv² can exceed the bound, switch the
+    moments to the floor(x·2²⁰) quantized-long-sum discipline used by
+    clustering/quantization.
+
     NULL-key exclusion (ADVICE r5, same convention as the behavior
     operators): rows whose group key is NULL have no population to
     score against — the equi-join back onto the moments table drops

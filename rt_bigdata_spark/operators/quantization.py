@@ -531,7 +531,12 @@ def pq_distortion(
     return agg.select(F.explode(subs).alias("a"), "_n").select(
         F.col("a.sub").alias("sub"),
         F.col("_n").cast("long").alias("n_vecs"),
-        F.round(F.col("a.s").cast("double") / F.lit(QUANT) / F.col("_n"), 9).alias("mse"),
+        # Unrounded on purpose (standing decision, commit 3c8e7af): s is an
+        # exact quantized-integer sum, /QUANT is exact power-of-two scaling,
+        # /n is ONE shared IEEE division — both engines compute the same
+        # bits, and a ROUND here can land on a half-way digit at some SF
+        # (the quality_classifier failure mode).
+        (F.col("a.s").cast("double") / F.lit(QUANT) / F.col("_n")).alias("mse"),
     )
 
 

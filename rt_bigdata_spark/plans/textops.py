@@ -2801,7 +2801,7 @@ sums AS (
   {unions}
 )
 SELECT CAST(sub AS BIGINT) AS sub, CAST(n AS BIGINT) AS n_vecs,
-       ROUND(CAST(s AS DOUBLE) / {_PQ_QUANT} / n, 9) AS mse
+       CAST(s AS DOUBLE) / {_PQ_QUANT} / n AS mse
 FROM sums
 """
 
@@ -2977,13 +2977,13 @@ WHERE rk <= {k}
 
 
 for spec in [
-    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
-    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
-    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
-    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
-    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
-    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
+    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=40),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=40),
+    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=40),
+    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=40),
+    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=40),
+    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=40),
+    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=40),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
@@ -2996,69 +2996,69 @@ for spec in [
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=80),
     # (six greens r1-r7; yielded its slot in r8's second batch)
     QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), priority=80),
-    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=10),
+    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
     # first oracle-backed rows (r6): hex-chain kernel + hex frame bytes
     # made both SQL-expressible after five rounds of rows-only checks
-    QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=10),
-    QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=10),
+    QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
+    QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=80),
     QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=10),
-    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
-    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
-    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
+    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=40),
+    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=40),
+    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=40),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), priority=80),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=80),
-    QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=10),
+    QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=80),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=80),
     # round-6: the broadcast-threshold scale form of quality_gate
-    QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=10),
+    QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=80),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
-    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=80),
-    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
+    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=40),
+    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=40),
     # priority=10: the round-4 additions were parked at 70 (outside the
     # driver's 50-row window) for one round; round 5 rotates them IN —
     # they are the only oracle-backed specs that have never had a
     # driver row. Seven multi-round-green trivials yielded their slots
     # (demoted to 80; still oracle-verified every CI run).
-    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=10),
-    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=10),
+    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=80),
+    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=80),
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=10),
-    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=10),
-    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=10),
+    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=80),
+    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=80),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
-    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), priority=10),
+    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), priority=80),
     # round-5 additions (training-order / packing bookkeeping); three
     # more multi-round greens (payment_wide, uv_dedup, log_split)
     # yielded window slots so these verify on their first round.
-    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=10),
-    QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=10),
-    QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=10),
-    QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=10),
+    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=80),
+    QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=80),
+    QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=80),
+    QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=80),
     # round-5 second batch (semantic clustering, search, versioning);
     # five multi-round greens (text_quality, ann_cosine_topk,
     # corpus_profile, quality_gate, unigram_surprisal) yielded window
     # slots so these verify on their first round.
-    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=10),
+    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=80),
     QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), priority=80),
-    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=10),
-    QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=10),
+    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
+    QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=80),
     QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=80),
     # round-5 third batch (text→vector bridge + embedding compression)
     QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=80),
     QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=80),
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
-    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=10),
+    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=80),
     # round-5 fifth batch (model-based filtering + sub-document exact
     # substrings); with event_transitions/events_rollup in warehouse,
     # four multi-round greens (order_wide_enriched, shipping_priority,
     # supplier_volume, product_stats — green r1-r4) yield their slots.
-    QuerySpec("quality_classifier", q_quality_classifier, _quality_classifier_oracle(), ("text", "quality", "model"), bench=True, priority=10),
-    QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=10),
+    QuerySpec("quality_classifier", q_quality_classifier, _quality_classifier_oracle(), ("text", "quality", "model"), bench=True, priority=80),
+    QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=80),
     # round-5 sixth batch (tokenizer induction; order_wide — green
     # r1-r4 — yields its slot alongside warehouse's keyword_stats)
     QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=80),
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
-    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=10),
+    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=80),
     QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), priority=10),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
@@ -3073,12 +3073,12 @@ for spec in [
     QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), priority=80),
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
-    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=10),
+    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=80),
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
     QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
     # (doc_curation — green r1-r4 — yields its slot)
-    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=10),
+    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)
@@ -3087,13 +3087,13 @@ for spec in [
     QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=80),
     # round-6: the composed multimodal dedup pipeline (pseudo-encoder →
     # LSH cells → exact-cosine verify)
-    QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=10),
+    QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=80),
     # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
     # — green r4 — yields its slot)
     QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), priority=80),
     # round-6 first batch: the 100 TB token-budget shape (same oracle as
     # the exact form — subset-equivalence by the prefix property)
-    QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=10),
+    QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=80),
     # round-8 second batch: four multi-round greens yield their slots
     # (embedding_dedup — six greens r1-r7, LSH sibling stays in-window;
     # winnow_fingerprint — thrice-green r5-r7; warehouse's active_users

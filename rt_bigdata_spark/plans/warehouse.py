@@ -401,6 +401,71 @@ SELECT user_id, CAST(order_ct AS BIGINT) AS ct, 'ORDER' AS source FROM counts WH
 
 
 # ---------------------------------------------------------------------------
+# keyword_stats_4product — the composed double-lateral job
+# (KeywordStats4ProductApp.scala:15-83): per-sku behavior counts join a
+# product name, then the tokenizer UDTF (U1) and the C2R unpivot UDTF
+# (U2) explode each row into (keyword, non-zero source) pairs. The
+# driver query aggregates the flat lateral output per (keyword, source)
+# — unique rows for the hash compare; the flat reference shape itself
+# is exercised by tests/test_apps.py.
+# ---------------------------------------------------------------------------
+
+
+def q_keyword_stats_4product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rt_bigdata_spark.apps import keyword_stats_4product_app
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "sku_id", F.get_json_object("props", "$.k").cast("long")
+    )
+    counts = ev.groupBy("sku_id").agg(
+        conditional_sum(F.col("event_type") == "click", F.lit(1), F.lit(0)).alias("click_ct"),
+        conditional_sum(F.col("event_type") == "view", F.lit(1), F.lit(0)).alias("cart_ct"),
+        conditional_sum(F.col("event_type") == "purchase", F.lit(1), F.lit(0)).alias("order_ct"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    product_stats = counts.join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        counts["sku_id"] == part["p_partkey"],
+    ).select(F.col("p_name").alias("spu_name"), "click_ct", "cart_ct", "order_ct")
+    flat = keyword_stats_4product_app(product_stats)
+    return flat.groupBy("keyword", "source").agg(
+        F.sum("ct").cast("long").alias("ct")
+    )
+
+
+_ORACLE_KEYWORD_4PRODUCT = """
+WITH ev AS (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id FROM events),
+counts AS (
+  SELECT sku_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_ct,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cart_ct,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS order_ct
+  FROM ev GROUP BY sku_id
+),
+named AS (
+  SELECT p.p_name AS spu_name, c.click_ct, c.cart_ct, c.order_ct
+  FROM counts c JOIN part p ON c.sku_id = p.p_partkey
+),
+words AS (
+  SELECT UNNEST(string_split_regex(lower(spu_name), '[^a-z0-9]+')) AS keyword,
+         click_ct, cart_ct, order_ct
+  FROM named
+),
+c2r AS (
+  SELECT keyword, CAST(click_ct AS BIGINT) AS ct, 'CLICK' AS source FROM words WHERE click_ct > 0
+  UNION ALL
+  SELECT keyword, CAST(cart_ct AS BIGINT) AS ct, 'CART' AS source FROM words WHERE cart_ct > 0
+  UNION ALL
+  SELECT keyword, CAST(order_ct AS BIGINT) AS ct, 'ORDER' AS source FROM words WHERE order_ct > 0
+)
+SELECT keyword, source, CAST(SUM(ct) AS BIGINT) AS ct
+FROM c2r
+WHERE keyword <> ''
+GROUP BY keyword, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # order_wide — J1 interval join (OrderWideAp.scala:112-138): order ⋈
 # detail on key within an event-time interval; lineitem plays
 # order_detail with l_shipdate ∈ [o_orderdate, o_orderdate + 90 days].
@@ -2223,30 +2288,39 @@ FROM dau d JOIN wau w ON d.day = w.win_end
 
 
 for spec in [
-    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
-    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
-    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=80),
-    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
-    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
-    QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True, priority=80),
+    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=40),
+    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=40),
+    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=40),
+    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=40),
+    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=40),
+    # r10: the last reference job to get a composed app-level mirror
+    # (verdict r9 item 3) — new spec, must land in the window
+    QuerySpec(
+        "keyword_stats_4product",
+        q_keyword_stats_4product,
+        _ORACLE_KEYWORD_4PRODUCT,
+        ("udtf", "U1", "U2", "J5", "app"),
+        priority=10,
+    ),
+    QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True, priority=40),
     QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=80),
-    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=80),
+    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=40),
     QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=80),
-    QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True, priority=80),
-    QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True, priority=80),
+    QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True, priority=40),
+    QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True, priority=40),
     QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=80),
-    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=80),
-    QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1"), priority=80),
-    QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3"), priority=80),
-    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2"), priority=80),
-    QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1"), priority=80),
+    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=40),
+    QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1"), priority=40),
+    QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3"), priority=40),
+    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2"), priority=40),
+    QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1"), priority=40),
     QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3"), priority=80),
-    QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=80),
-    QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=80),
-    QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True, priority=80),
-    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=80),
-    QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=80),
-    QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=80),
+    QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=40),
+    QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=40),
+    QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True, priority=40),
+    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=40),
+    QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=40),
+    QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=40),
     QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=80),
     QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=80),
@@ -2254,8 +2328,8 @@ for spec in [
     QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=80),
     QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=80),
     QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=80),
-    QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=10),
-    QuerySpec("dim_history_merge", q_dim_history_merge, _ORACLE_SCD2, ("scd", "incremental"), priority=10),
+    QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=80),
+    QuerySpec("dim_history_merge", q_dim_history_merge, _ORACLE_SCD2, ("scd", "incremental"), priority=80),
     QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=80),
     QuerySpec("integrity_audit", q_integrity_audit, _ORACLE_INTEGRITY, ("audit", "setop"), priority=80),
     # r9 rotation: the four specs pulled back at p40 in r8 got their
@@ -2266,18 +2340,18 @@ for spec in [
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=80),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=80),
     QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
-    QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), priority=10),
+    QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), priority=80),
     QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=80),
     # round-5 third batch (behavior analytics): four multi-round greens
     # (is_new_correction, bounce_detection, cdc_routing, doc_keywords)
     # yielded window slots so these verify on their first round.
-    QuerySpec("event_funnel", q_event_funnel, _ORACLE_FUNNEL, ("behavior", "window_fn", "T3"), priority=10),
-    QuerySpec("cohort_retention", q_cohort_retention, _ORACLE_COHORT, ("behavior", "agg"), priority=10),
+    QuerySpec("event_funnel", q_event_funnel, _ORACLE_FUNNEL, ("behavior", "window_fn", "T3"), priority=80),
+    QuerySpec("cohort_retention", q_cohort_retention, _ORACLE_COHORT, ("behavior", "agg"), priority=80),
     # round-5 fifth batch (Markov transitions + hypertable rollup);
     # slots yielded by the four textops-side demotions (see textops.py)
     QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=80),
-    QuerySpec("events_rollup", q_events_rollup, _ORACLE_EVENTS_ROLLUP, ("agg", "timeseries"), priority=10),
+    QuerySpec("events_rollup", q_events_rollup, _ORACLE_EVENTS_ROLLUP, ("agg", "timeseries"), priority=80),
     # round-5 sixth batch (sessionization; keyword_stats — green r1-r4
     # — yields its slot on the textops side alongside order_wide)
     QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=80),
@@ -2295,10 +2369,10 @@ for spec in [
     # round-5 tenth batch (statistical outliers; ngram_jaccard — green
     # r1-r4, unchanged — yields its slot so the re-shaped
     # embedding_dedup keeps its place)
-    QuerySpec("event_anomalies", q_event_anomalies, _ORACLE_EVENT_ANOMALIES, ("audit", "agg", "stats"), priority=10),
+    QuerySpec("event_anomalies", q_event_anomalies, _ORACLE_EVENT_ANOMALIES, ("audit", "agg", "stats"), priority=80),
     # round-5 twelfth batch (cascade path driver-verified; sales_cube
     # — green r4 — yields its slot)
-    QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=10),
+    QuerySpec("events_rollup_daily", q_events_rollup_daily, _ORACLE_EVENTS_ROLLUP_DAILY, ("agg", "timeseries", "incremental"), priority=80),
     # (customer_max_order — green r4 — yields its slot)
     # (thrice-green r5-r7; yielded its slot in r8's second batch — the
     # HLL audit, which hash-checks the exact columns too, keeps the

@@ -639,9 +639,17 @@ def migrate_flat_dedup_store(
     bases = _fs_committed_ids(spark, state_dir, "base_v")
     new_v = (bases[-1] + 1) if bases else 0
     out_dir = os.path.join(state_dir, f"base_v{new_v}")
+    # _PARAMS strictly BEFORE the base commit (r9 ADVICE): a crash in
+    # the commit→_PARAMS gap would otherwise leave a committed base
+    # with no recorded parameters, and a re-run given DIFFERENT
+    # parameters would pass the None-means-first-run guard above and
+    # union incompatible cell layouts into the next base. Writing it
+    # first is safe: the equality check above makes the write
+    # idempotent for correct re-runs, and a crash before the base
+    # commit leaves every flat dir in place for the next attempt.
+    _fs_write_text(spark, params_path, json.dumps(params, sort_keys=True))
     out.repartition("pc").write.mode("overwrite").partitionBy("pc").parquet(out_dir)
     n = spark.read.parquet(out_dir).count()
-    _fs_write_text(spark, params_path, json.dumps(params, sort_keys=True))
     # deletes strictly AFTER the superset base commit: every flat dir's
     # rows are now provably in base_v{new_v}
     for v in bases:

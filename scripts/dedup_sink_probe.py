@@ -32,7 +32,7 @@ Prints ONE JSON line:
   {"docs": N, "batches": B,
    "minhash": {"sec": s, "first_batch_s": f, "last_batch_s": l,
                "late_early_ratio": r, "late_early_ratio_incl_compaction": ri,
-               "n_compactions": c},
+               "n_compactions": c, "n_fence_only": f},
    "embedding": {...}, "ivf_index": {...},
    "ivf_cadence_sweep": {...}}   # with --cadence-sweep
 """
@@ -79,15 +79,26 @@ def _drive(spark, sink_fn, state_dir: str, feed) -> dict:
 
     from rt_bigdata_spark.streaming.sinks import _fs_committed_ids
 
-    times, compacted = [], []
+    times, compacted, fence_only = [], [], 0
     t0 = _t.time()
     for b, batch in feed:
         before = len(_fs_committed_ids(spark, state_dir, "batch="))
+        base_before = _fs_committed_ids(spark, state_dir, "base_v")
         bt = _t.time()
         sink_fn(batch, b)
         times.append(_t.time() - bt)
         after = len(_fs_committed_ids(spark, state_dir, "batch="))
-        compacted.append(after < before + 1)  # dirs shrank → compaction ran
+        base_after = _fs_committed_ids(spark, state_dir, "base_v")
+        # r9 ADVICE: an unchanged dir count is AMBIGUOUS — a fence-only
+        # batch (all rows already stored; receipt only, no data commit)
+        # also leaves it flat. Compaction is detected by its own
+        # unambiguous signature: a NEW base_v version appeared. Fence-
+        # only batches stay in the headline ratio (they are real
+        # trigger work) and are reported separately.
+        compacted.append(bool(base_after) and (
+            not base_before or base_after[-1] > base_before[-1]
+        ))
+        fence_only += int(after == before and not compacted[-1])
     clean = [t for t, c in zip(times, compacted) if not c]
     out = {
         "sec": round(_t.time() - t0, 2),
@@ -96,6 +107,7 @@ def _drive(spark, sink_fn, state_dir: str, feed) -> dict:
         "late_early_ratio": _ratio(clean) if len(clean) >= 6 else None,
         "late_early_ratio_incl_compaction": _ratio(times),
         "n_compactions": sum(compacted),
+        "n_fence_only": fence_only,
     }
     return out
 

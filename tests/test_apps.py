@@ -199,3 +199,31 @@ def test_keyword_stats_app(spark):
     )
     out = {r.keyword: r.ct for r in apps.keyword_stats_app(page, window="1 hour").collect()}
     assert out["apple"] == 2 and out["pie"] == 1 and "ignored" not in out
+
+
+def test_keyword_stats_4product_app_double_lateral(spark):
+    """KeywordStats4ProductApp.scala:15-83: each product-stats row is
+    exploded by BOTH laterals — tokenizer over spu_name × C2R unpivot
+    over the three counts — zero counts skipped, carry columns (stt)
+    preserved on every exploded row."""
+    ps = spark.createDataFrame(
+        [
+            ("apple watch", 3, 1, 0, "2024-01-01 00:00:00"),
+            ("apple", 0, 0, 2, "2024-01-01 00:00:00"),
+            ("zero row", 0, 0, 0, "2024-01-01 00:00:00"),
+        ],
+        ["spu_name", "click_ct", "cart_ct", "order_ct", "stt"],
+    )
+    rows = apps.keyword_stats_4product_app(ps).collect()
+    got = {(r.keyword, r.source): r.ct for r in rows}
+    # row 1: 2 keywords x 2 non-zero sources = 4 rows
+    assert got[("apple", "CLICK")] == 3 and got[("watch", "CLICK")] == 3
+    assert got[("apple", "CART")] == 1 and got[("watch", "CART")] == 1
+    # row 2: 1 keyword x 1 source; same (keyword, source) key as row 1
+    # would COLLIDE in a dict, so assert via the raw rows
+    assert ("apple", "ORDER") in got and got[("apple", "ORDER")] == 2
+    # zero-count row contributes nothing (C2R skips zeros)
+    assert all(r.keyword != "zero" and r.ct > 0 for r in rows)
+    assert len(rows) == 5
+    # carry column survives the double explode on every row
+    assert all(r.stt == "2024-01-01 00:00:00" for r in rows)

@@ -753,6 +753,54 @@ def test_migration_rerun_after_partial_delete_keeps_all_rows(spark, tmp_path):
         migrate_flat_dedup_store(spark, state, bands=4)
 
 
+def test_migration_params_written_before_base_commit(spark, tmp_path):
+    """r9 ADVICE (medium): _PARAMS must be durable BEFORE the base
+    commit. A crash in the old commit→_PARAMS gap left a committed base
+    with NO recorded parameters, so a re-run given different parameters
+    passed the first-run guard and unioned incompatible cell layouts.
+    New ordering's crash gap is _PARAMS-written/base-missing: the
+    re-run must (a) refuse different parameters, (b) succeed and keep
+    every row under the original ones."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pt
+
+    from rt_bigdata_spark.operators.dedup import minhash_signatures
+    from rt_bigdata_spark.streaming.sinks import (
+        _fs_write_text,
+        migrate_flat_dedup_store,
+        read_near_dup_sigs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        "doc_id: long, text: string",
+    )
+    state = str(tmp_path / "s")
+    minhash_signatures(docs, "text", "doc_id", 32).write.parquet(_os.path.join(state, "b_0"))
+
+    # simulate the (new) crash gap by hand: _PARAMS durable, no base_v*
+    crashed_params = {"kind": "minhash", "num_hashes": 32, "bands": 8,
+                      "n_store_parts": 32}
+    _fs_write_text(spark, _os.path.join(state, "_PARAMS"),
+                   _json.dumps(crashed_params, sort_keys=True))
+    assert not any(d.startswith("base_v") for d in _os.listdir(state))
+
+    # (a) the re-run that motivated the advice: different parameters
+    # must RAISE, not silently mix layouts (pre-fix this passed because
+    # existing_params was None after the gap crash)
+    with _pt.raises(RuntimeError, match="parameters"):
+        migrate_flat_dedup_store(spark, state, bands=4)
+    assert not any(d.startswith("base_v") for d in _os.listdir(state))
+
+    # (b) the correct re-run completes and loses nothing
+    res = migrate_flat_dedup_store(spark, state)
+    assert res["base_version"] == 0 and res["params"] == crashed_params
+    assert {r.doc for r in read_near_dup_sigs(spark, state).collect()} == {1, 2}
+
+
 def test_compaction_cleans_stale_fence_only_receipts(spark, tmp_path):
     """Fence-only receipt dirs (all-redelivered batches) accumulate one
     per empty-kept batch; compaction removes those OLDER than the

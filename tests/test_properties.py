@@ -333,3 +333,36 @@ def test_bpe_encode_tokens_matches_python_mirror(spark, words, n_merges):
             assert -1 not in ids  # every multi-char symbol has a merge id
             expected[doc_id] = (len(toks), len(ids), " ".join(map(str, ids)))
     assert got == expected
+
+
+def test_zscore_moment_sums_stay_in_decimal64_compact_range():
+    """r9 ADVICE (low): the unrounded zscore outputs rely on Spark's
+    decimal→double cast being bit-identical to DuckDB's — which holds
+    via the shared (double)unscaled/10^scale fast path only while s2's
+    DECIMAL(38,4) unscaled value fits int64 (value ≤ ~9.2e14). Beyond
+    that, Spark's correctly-rounded BigDecimal slow path can differ
+    from DuckDB's int128→double by 1 ulp. Assert the envelope at the
+    LARGEST available SF with a 1000× margin; SCALE.md records the
+    extrapolation (linear in rows/group: ~9.2e6× the sf0.1 corpus
+    before the slow path is reachable)."""
+    import os
+
+    import duckdb
+
+    sf_dir = next(
+        d for d in ["/root/testdata/sf0.1", "/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+        if os.path.exists(os.path.join(d, "events.parquet"))
+    )
+    max_s2 = duckdb.sql(
+        f"""SELECT MAX(s2) FROM (
+              SELECT event_type,
+                     SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+              FROM '{sf_dir}/events.parquet' GROUP BY event_type)"""
+    ).fetchone()[0]
+    compact_bound = 9.2e14  # int64 max / 10^4 scale
+    assert float(max_s2) < compact_bound / 1000, (
+        f"max per-group Σv² {max_s2} at {sf_dir} is within 1000× of the "
+        "decimal64 compact-representation bound — move zscore moments to "
+        "the floor(x*2^20) quantized-long-sum discipline (see "
+        "operators/quantization.py) before the fast-path envelope breaks"
+    )

@@ -13,15 +13,42 @@ from rt_bigdata_spark.plans.registry import REGISTRY, get_oracles, get_queries
 
 DRIVER_WINDOW = 50
 
-# Queries that MUST sit inside the driver's verified window: the six
-# round-4 operators that have never had a driver row + the round-5
-# additions (filtered_ann_indexed, re-shaped embedding_dedup) + the
-# never-rotated bench headliners. Seven multi-round-green trivials
-# (nation_trade, integrity_audit, value_histogram, event_pivot,
-# order_priority, province_stats_sql, top_k_products) yielded their
-# slots in round 5 (priority=80; still oracle-verified every CI run by
-# tests/test_oracle_parity.py).
+# Queries that MUST sit inside the driver's verified window.
+#
+# r10 REWRITE — staleness-bound rotation (verdict r9 item 2): the 33
+# in-window specs with >=4 driver greens (all green r9) yielded their
+# slots at priority=80 in one batch; the 32 STALEST specs (last driver
+# green r03/r04 — ages 6-7 rounds) were pulled back at priority=40,
+# plus the new composed keyword_stats_4product at 10. The remaining 9
+# r4-cohort specs (ads_report, top_k_products, union_stats,
+# sales_rollup, payment_wide, cluster_split, corpus_profile,
+# quality_gate, unigram_surprisal) come due at r11 under
+# test_stale_specs_cycle_back_into_window below. Every rotated-out
+# spec stays oracle-verified every CI run by tests/test_oracle_parity.py.
 MUST_BE_IN_WINDOW = {
+    # --- r10 keepers: <4 driver greens, newest operators first ---
+    "contamination", "media_resize", "bpe_encode", "bpe_encode_tokens",
+    "packed_sequences", "ann_recall", "temperature_mix", "pq_codes",
+    "pq_ann_topk", "ivfpq_topk", "ivfpq_rerank_topk", "pq_distortion",
+    "ivfpq_cell_stats", "dup_cluster_sizes", "key_skew",
+    "salted_enrichment", "active_users_hll",
+    # --- r10 new registration ---
+    "keyword_stats_4product",
+    # --- r10 staleness pull-backs (last green r03) ---
+    "business_rules", "doc_fingerprint", "doc_split", "json_props",
+    "keyword_c2r", "language_id", "scalar_datetime", "session_stats",
+    "sliding_stats", "source_mix", "token_stats",
+    # --- r10 staleness pull-backs (last green r04) ---
+    "ann_cosine_topk", "bounce_detection", "cdc_routing", "dedup_exact",
+    "doc_curation", "doc_keywords", "dup_clusters", "is_new_correction",
+    "keyword_stats", "log_split", "ngram_jaccard", "order_wide",
+    "order_wide_enriched", "pricing_summary", "product_stats",
+    "province_stats", "shipping_priority", "supplier_volume",
+    "text_quality", "uv_dedup", "visitor_stats",
+}
+
+# Pre-r10 window history (kept for the rotation ledger in comments):
+_R9_WINDOW_NOTES = {
     "repetition_stats", "pii_scrub", "contamination", "doc_chunks",
     "token_budget", "filtered_ann_indexed",
     # (filtered_ann — thrice-green r5-r7, indexed sibling keeps the
@@ -213,4 +240,83 @@ def test_no_spec_stays_vacuous_in_window(spark):
     assert not still_vacuous, (
         "in-window specs vacuous for >=2 consecutive driver rounds and STILL "
         f"producing 0 rows: {still_vacuous} — plant overlap or rotate them out"
+    )
+
+
+# Staleness bound (r9 verdict item 2): a spec whose last driver-green
+# is older than this many rounds MUST be inside the current window so
+# it cycles back through driver verification. 6 is lenient — the
+# 50-slot window can refresh the whole 120+-spec registry in ~3 rounds
+# — but it turns "could sit outside the window forever" into a build
+# failure. CI oracle-parity still verifies every spec every run; this
+# bound is about the EXTERNAL driver record, not correctness.
+STALENESS_BOUND_ROUNDS = 6
+
+
+def _last_green_rounds() -> tuple[dict[str, int], int]:
+    """Per-spec last NON-VACUOUS driver-green round from the committed
+    CORRECTNESS_r*.json artifacts, plus the upcoming round number
+    (max committed round + 1 — the round the current window will be
+    verified in)."""
+    root = Path(__file__).resolve().parents[1]
+    last: dict[str, int] = {}
+    max_round = 0
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        max_round = max(max_round, rnd)
+        for name, row in json.loads(f.read_text()).items():
+            ok = (
+                row.get("err") is None
+                and row.get("hash_match")
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if ok:
+                last[name] = rnd
+    return last, max_round + 1
+
+
+def test_stale_specs_cycle_back_into_window():
+    """No oracle-backed spec's last driver-green may age beyond
+    STALENESS_BOUND_ROUNDS without the spec sitting in the CURRENT
+    window (i.e. being re-verified this round). Never-green specs are
+    covered by test_no_oracle_backed_spec_is_never_driver_verified."""
+    last, current_round = _last_green_rounds()
+    window = set(list(get_queries())[:DRIVER_WINDOW])
+    overdue = sorted(
+        s.name
+        for s in REGISTRY.values()
+        if s.oracle is not None
+        and s.name in last
+        and current_round - last[s.name] > STALENESS_BOUND_ROUNDS
+        and s.name not in window
+    )
+    assert not overdue, (
+        f"specs last driver-green more than {STALENESS_BOUND_ROUNDS} rounds "
+        f"ago (as of round {current_round}) parked outside the window: "
+        f"{overdue} — pull them back at priority<=40 and demote "
+        "multi-green window occupants to 80"
+    )
+
+
+def test_window_has_headroom_for_next_staleness_cohort():
+    """Early warning one round ahead: the specs that will BECOME overdue
+    next round must not outnumber the window slots currently held by
+    multi-green (>=3) occupants — i.e. the rotation cannot deadlock
+    where more specs come due than can be pulled back. Counts only;
+    composition is next round's choice."""
+    last, current_round = _last_green_rounds()
+    window = list(get_queries())[:DRIVER_WINDOW]
+    due_next = [
+        s.name
+        for s in REGISTRY.values()
+        if s.oracle is not None
+        and s.name in last
+        and (current_round + 1) - last[s.name] > STALENESS_BOUND_ROUNDS
+        and s.name not in set(window)
+    ]
+    # specs in the current window with >=3 greens could yield next round;
+    # in-window specs also refresh their last-green THIS round, so the
+    # whole window is available headroom next round.
+    assert len(due_next) <= DRIVER_WINDOW, (
+        f"{len(due_next)} specs come due next round vs window {DRIVER_WINDOW}"
     )

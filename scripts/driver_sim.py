@@ -6,6 +6,7 @@ applies. Usage:
 
     timeout 580 python scripts/driver_sim.py      # expect FAILED: none
     SIM_SF_DIR=/root/testdata/sf0.001 python scripts/driver_sim.py
+    SIM_ONLY=q1,q2 python scripts/driver_sim.py   # subset (sfN spot-checks)
 """
 import os
 import sys
@@ -35,10 +36,20 @@ print(f"entry(): {n} rows, schema={[f.name for f in edf.schema.fields]}", flush=
 
 duck = duckdb.connect()
 for t in TABLES:
-    duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    p = f"{SF_DIR}/{t}.parquet"
+    # Spark-written replicas (scripts/scale_probe.py) are parquet
+    # DIRECTORIES; DuckDB needs the file glob, not the dir path
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 queries = entrymod.queries()
 oracles = entrymod.oracle_sql()
+only = {n.strip() for n in os.environ.get("SIM_ONLY", "").split(",") if n.strip()}
+if only:
+    unknown = only - set(queries)
+    if unknown:
+        raise SystemExit(f"SIM_ONLY names not in queries(): {sorted(unknown)}")
+    queries = {n: f for n, f in queries.items() if n in only}
 print(f"{len(queries)} queries, {len(oracles)} oracles; window[:50] all-oracle="
       f"{all(name in oracles for name in list(queries)[:50])}", flush=True)
 

@@ -21,6 +21,8 @@ oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -243,6 +245,66 @@ def minhash_lsh_pairs(
         .filter(F.col("est") >= threshold)
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est").alias("est_jaccard"))
+    )
+
+
+def minhash_threshold_sweep(
+    df: DataFrame,
+    thresholds: "Sequence[float]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Threshold-sensitivity audit for near-dup dedup: per candidate
+    threshold, how many pairs survive and how many docs are involved
+    in at least one pair — the curve a 100 TB dedup operator reads
+    BEFORE committing to a threshold (a cliff between 0.5 and 0.75
+    means the dedup rate is estimate-noise-sensitive; a plateau means
+    the choice is safe). The per-threshold relationship is strictly
+    monotone, so one sweep also sanity-checks the banding setup.
+
+    ONE LSH pass amortized across the whole grid: signatures, banding,
+    and the bucket join run once at the LOOSEST threshold (the only
+    wide work — identical cost to a single ``minhash_lsh_pairs`` call);
+    the grid is then a broadcast literal cross of the BOUNDED pair set
+    (near-dup pairs are a tiny fraction of the corpus — the premise of
+    dedup itself), never of data rows. The naive alternative re-runs
+    the full pipeline per threshold: grid-size × the scan/shuffle.
+
+    Estimates are k/num_hashes with num_hashes a power of two, so
+    ``est >= threshold`` compares identical doubles on every engine.
+    Output: (threshold, n_pairs, n_docs_with_dup), zero-filled for
+    thresholds no pair reaches.
+    """
+    floor_t = min(thresholds)
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, threshold=floor_t, df_cap=df_cap
+    ).select("doc_a", "doc_b", "est_jaccard")
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(float(t),) for t in sorted(set(thresholds))], "threshold: double"
+    )
+    # justified crossJoin: |grid| literal rows broadcast against the
+    # bounded candidate-pair output, not against corpus rows
+    hits = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("est_jaccard") >= F.col("threshold")
+    )
+    pair_counts = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    doc_counts = (
+        hits.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").alias("n_docs_with_dup"))
+    )
+    return (
+        grid.join(pair_counts, "threshold", "left")
+        .join(doc_counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_with_dup", F.lit(0)).cast("long").alias("n_docs_with_dup"),
+        )
     )
 
 

@@ -234,9 +234,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.1)
 
 
-def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.1) -> str:
-    """DuckDB twin of minhash_lsh_pairs: same permutation family
-    h_i(x) = (x·(2i+1) + i²+1) mod p, same band/bucket keys."""
+def _minhash_cand_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+    """Shared DuckDB twin of the minhash candidate pipeline (same
+    permutation family h_i(x) = (x·(2i+1) + i²+1) mod p, same
+    band/bucket keys) up to the ``cand`` CTE — used by the
+    minhash_lsh oracle and the threshold-sweep oracle."""
     from rt_bigdata_spark.operators.dedup import _MINHASH_PRIME as p
 
     r = num_hashes // bands
@@ -244,8 +246,7 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float =
         f"MIN((h * {2 * i + 1} + {i * i + 1}) % {p}) AS mh_{i}" for i in range(num_hashes)
     )
     sig_list = "[" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + "]"
-    return f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 sh AS (
   SELECT doc_id,
          UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
@@ -271,9 +272,59 @@ cand AS (
            / {num_hashes} AS est
   FROM banded a
   JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.1) -> str:
+    return f"""
+WITH {_minhash_cand_ctes(num_hashes, bands)}
 SELECT doc_a, doc_b, MIN(est) AS est_jaccard
 FROM cand WHERE est >= {threshold} GROUP BY doc_a, doc_b
+"""
+
+
+_SWEEP_THRESHOLDS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity audit (dedup.minhash_threshold_sweep): per
+    candidate threshold, surviving pair count and duplicate-involved
+    doc count from ONE LSH pass at the loosest setting — the curve an
+    operator reads before committing a 100 TB dedup run to a
+    threshold. Grid broadcast against the bounded pair set, never
+    against data rows."""
+    from rt_bigdata_spark.operators.dedup import minhash_threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_threshold_sweep(docs, _SWEEP_THRESHOLDS)
+
+
+def _dedup_threshold_sweep_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    grid = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    floor_t = min(_SWEEP_THRESHOLDS)
+    return f"""
+WITH {_minhash_cand_ctes(num_hashes, bands)},
+pairs AS (
+  SELECT doc_a, doc_b, MIN(est) AS est_jaccard
+  FROM cand WHERE est >= {floor_t} GROUP BY doc_a, doc_b
+),
+grid AS (SELECT CAST(UNNEST([{grid}]) AS DOUBLE) AS threshold),
+hits AS (
+  SELECT g.threshold, p.doc_a, p.doc_b
+  FROM grid g JOIN pairs p ON p.est_jaccard >= g.threshold
+),
+pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hits GROUP BY threshold),
+dc AS (
+  SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_with_dup
+  FROM (SELECT threshold, UNNEST([doc_a, doc_b]) AS doc FROM hits)
+  GROUP BY threshold
+)
+SELECT g.threshold,
+       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(dc.n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup
+FROM grid g
+LEFT JOIN pc USING (threshold)
+LEFT JOIN dc USING (threshold)
 """
 
 
@@ -2987,6 +3038,16 @@ for spec in [
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
+    # r10: threshold-sensitivity audit — new spec, must land in the
+    # window (contamination, thrice-green, yielded its slot)
+    QuerySpec(
+        "dedup_threshold_sweep",
+        q_dedup_threshold_sweep,
+        _dedup_threshold_sweep_oracle(),
+        ("dedup", "approx", "profiling"),
+        bench=True,
+        priority=10,
+    ),
     QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=80),
     # ann_lsh_topk: twice-green (r4, r5) — yielded its slot to the r6
     # media_dedup composition (still oracle-verified every CI run)
@@ -3021,7 +3082,7 @@ for spec in [
     # (demoted to 80; still oracle-verified every CI run).
     QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=80),
     QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=80),
-    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=10),
+    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=80),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=80),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=80),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),

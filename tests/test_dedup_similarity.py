@@ -272,3 +272,37 @@ def test_paragraph_dedup_reassembly_preserves_order(spark):
     df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
     out = paragraph_dedup(df, chunk_tokens=4).collect()[0]
     assert out.dedup_text == text and out.n_chunks_kept == 5 and out.n_tokens_kept == 20
+
+
+def test_minhash_threshold_sweep_monotone_and_zero_filled(spark):
+    """One LSH pass, whole grid: counts are non-increasing in the
+    threshold, identical copies survive every threshold (est = 1.0),
+    and thresholds no pair reaches appear zero-filled rather than
+    missing."""
+    from rt_bigdata_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_threshold_sweep,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # identical -> est 1.0 pair
+            (3, base + " extra trailing"),   # near-dup of 1 and 2
+            (4, " ".join(f"zz{i}" for i in range(30))),  # unique
+        ],
+        "doc_id: long, text: string",
+    )
+    grid = (0.1, 0.5, 0.999)
+    rows = {r.threshold: r for r in minhash_threshold_sweep(docs, grid).collect()}
+    assert set(rows) == set(grid)  # every threshold present, even empty ones
+    pair_counts = [rows[t].n_pairs for t in sorted(grid)]
+    doc_counts = [rows[t].n_docs_with_dup for t in sorted(grid)]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    # the identical pair survives even at 0.999 (est exactly 1.0)
+    assert rows[0.999].n_pairs >= 1 and rows[0.999].n_docs_with_dup >= 2
+    # the loosest row must agree with a direct single-threshold run
+    direct = minhash_lsh_pairs(docs, threshold=0.1)
+    assert rows[0.1].n_pairs == direct.count()

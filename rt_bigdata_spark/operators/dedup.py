@@ -268,28 +268,33 @@ def minhash_threshold_sweep(
     ONE LSH pass amortized across the whole grid: signatures, banding,
     and the bucket join run once at the LOOSEST threshold (the only
     wide work — identical cost to a single ``minhash_lsh_pairs`` call);
-    the grid is then a broadcast literal cross of the BOUNDED pair set
-    (near-dup pairs are a tiny fraction of the corpus — the premise of
-    dedup itself), never of data rows. The naive alternative re-runs
-    the full pipeline per threshold: grid-size × the scan/shuffle.
+    the grid is then a LITERAL ARRAY filtered per pair and exploded —
+    a pure projection, no join of any kind (an earlier crossJoin shape
+    tripped the registered-plan NL-join ban, and rightly: the literal
+    array expresses the same expansion inside whole-stage codegen).
+    The naive alternative re-runs the full pipeline per threshold:
+    grid-size × the scan/shuffle.
 
     Estimates are k/num_hashes with num_hashes a power of two, so
     ``est >= threshold`` compares identical doubles on every engine.
     Output: (threshold, n_pairs, n_docs_with_dup), zero-filled for
-    thresholds no pair reaches.
+    thresholds no pair reaches (broadcast-hash left joins from the
+    grid frame).
     """
     floor_t = min(thresholds)
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, threshold=floor_t, df_cap=df_cap
     ).select("doc_a", "doc_b", "est_jaccard")
     spark = df.sparkSession
-    grid = spark.createDataFrame(
-        [(float(t),) for t in sorted(set(thresholds))], "threshold: double"
-    )
-    # justified crossJoin: |grid| literal rows broadcast against the
-    # bounded candidate-pair output, not against corpus rows
-    hits = pairs.crossJoin(F.broadcast(grid)).filter(
-        F.col("est_jaccard") >= F.col("threshold")
+    ts = sorted({float(t) for t in thresholds})
+    grid = spark.createDataFrame([(t,) for t in ts], "threshold: double")
+    grid_arr = F.array(*[F.lit(t) for t in ts])
+    hits = pairs.select(
+        F.explode(
+            F.filter(grid_arr, lambda t: F.col("est_jaccard") >= t)
+        ).alias("threshold"),
+        "doc_a",
+        "doc_b",
     )
     pair_counts = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
     doc_counts = (

@@ -52,7 +52,7 @@ FLAGSHIPS = {
     "ivfpq_cell_stats": "index occupancy audit: one scan of the code rows reading effectively the partition column, a ≤n_centroids-group HashAggregate, and the 1-row totals frame joined back via BroadcastNestedLoopJoin on a literal-true condition (1×n rows — constant work).",
     "dup_cluster_sizes": "two-level count over the CC labeling: the label groupBy reuses the clustering's final exchange; the size histogram is an O(distinct sizes) second agg — output-bounded, no new corpus-scale shuffle.",
     "temperature_mix": "size-derived stride schedule: per-source counts reduce to an O(sources) aggregate broadcast back; the rank rides the bucket-decomposed kernel (every windowspecdefinition carries the _bkt key), so a dominant source sorts in ~n/256-row tasks.",
-    "dedup_threshold_sweep": "one LSH pass for the whole threshold grid: the signature/banding pipeline and bucket self-join run once (identical to minhash_lsh); the grid is a BroadcastNestedLoopJoin of a literal 5-row frame against the BOUNDED pair set (never data rows), then two output-sized aggs left-joined back onto the grid for zero-filling.",
+    "dedup_threshold_sweep": "one LSH pass for the whole threshold grid: the signature/banding pipeline and bucket self-join run once (identical to minhash_lsh); the grid expansion is a LITERAL-ARRAY filter+explode inside whole-stage codegen — zero joins of any kind on the pair set — then two output-sized aggs broadcast-hash left-joined onto the 5-row grid frame for zero-filling.",
     "keyword_stats_4product": "composed double lateral (U1 tokenizer × U2 C2R unpivot): both explodes are pure column expressions inside one whole-stage-codegen projection over the PRE-AGGREGATED per-sku counts (explode multiplies rows only after the groupBy shrank them); the part-name dim join is broadcast.",
 }
 

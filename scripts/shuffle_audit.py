@@ -39,6 +39,8 @@ def stage_metrics(spark) -> dict[int, tuple[int, int]]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated spec names (default: every bench spec)")
     args = ap.parse_args()
 
     _ensure_loaded()
@@ -46,6 +48,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = [s for s in REGISTRY.values() if s.bench]
+    if args.only:
+        names = {n.strip() for n in args.only.split(",")}
+        missing = names - {s.name for s in REGISTRY.values()}
+        if missing:
+            ap.error(f"unknown spec names: {sorted(missing)}")
+        specs = [REGISTRY[n] for n in sorted(names)]
     specs[0].spark(spark, args.sf_dir).write.format("noop").mode("overwrite").save()  # warmup
 
     out: dict[str, float] = {}

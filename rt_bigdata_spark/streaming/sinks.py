@@ -1157,6 +1157,41 @@ def read_near_dup_pairs(spark, pairs_dir: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+def near_dup_batch_keepers(
+    spark, pairs_dir: str, batch_df: DataFrame, batch_id: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-trigger keeper selection between the near-dup sink and a
+    downstream consumer (e.g. the IVF index sink): a batch doc survives
+    unless THIS batch's committed pairs show it duplicating a
+    smaller-id doc — stored or in-batch (the sink emits every pair in
+    the batch that delivered the LATER doc, canonicalized doc_a <
+    doc_b, so under ascending-id arrival "appears as doc_b" ⇔ "some
+    smaller near-dup exists" ⇔ not the cluster keeper).
+
+    Replay-deterministic BY CONSTRUCTION: it reads only the batch's own
+    committed pairs dir — sink 1's receipt — so a crash between the two
+    sinks' commits replays into (sink 1 fence-skips, keepers recompute
+    IDENTICALLY from the committed pairs, sink 2 processes). The
+    end-to-end crash/replay matrix is pinned in
+    tests/test_streaming_curation_e2e.py. Plan shape: one left-anti
+    broadcast join of the batch against its own (tiny) drop set.
+
+    Contract caveat: arrival order must be ascending in ``id_col``
+    across triggers (true for monotonically-assigned doc ids). Under
+    out-of-order ids a later-arriving SMALLER id would appear as doc_a
+    and both copies could survive a trigger-local decision; use the
+    batch clustering pipeline (graph.connected_components +
+    cluster_representatives) for arbitrary id orders."""
+    if batch_id in _fs_committed_ids(spark, pairs_dir, "b_"):
+        dropped = (
+            spark.read.parquet(os.path.join(pairs_dir, f"b_{batch_id}"))
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        return batch_df.join(F.broadcast(dropped), id_col, "left_anti")
+    return batch_df  # batch committed no pairs: everything survives
+
+
 def read_near_dup_sigs(spark, state_dir: str) -> DataFrame:
     """The accumulated committed store (compacted base + deltas),
     collapsed to ONE row per document/vector: the cell-partitioned

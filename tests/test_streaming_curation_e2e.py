@@ -32,6 +32,7 @@ from rt_bigdata_spark.streaming.sinks import (
     compact_dedup_store,
     ivf_index_maintenance_sink,
     ivf_topk_streamed,
+    near_dup_batch_keepers,
     near_dup_maintenance_sink,
 )
 from tests.conftest import SF_DIR
@@ -75,19 +76,13 @@ def _vecs_df(spark, vectors, ids):
 
 
 def _keepers_of_batch(spark, pairs_dir: str, batch_ids: list[int], batch_id: int) -> list[int]:
-    """The keeper stage between the two sinks: a batch doc survives
-    unless this batch's committed pairs show it duplicating a
-    smaller-id doc (stored or in-batch). Reads ONLY the batch's own
-    pairs dir — exactly what a foreachBatch handoff can see — and is
-    therefore replay-deterministic: the pairs dir is sink 1's commit."""
-    if batch_id in _fs_committed_ids(spark, pairs_dir, "b_"):
-        dropped = {
-            int(r.doc_b)
-            for r in spark.read.parquet(os.path.join(pairs_dir, f"b_{batch_id}")).collect()
-        }
-    else:  # batch produced no pairs (nothing committed for it)
-        dropped = set()
-    return [i for i in batch_ids if i not in dropped]
+    """The keeper stage between the two sinks — the library's
+    ``near_dup_batch_keepers`` (reads only sink 1's committed pairs, so
+    it is replay-deterministic by construction)."""
+    kept = near_dup_batch_keepers(
+        spark, pairs_dir, _docs_df(spark, batch_ids), batch_id
+    )
+    return sorted(int(r.doc_id) for r in kept.collect())
 
 
 def _rows(df):

@@ -227,3 +227,47 @@ def test_keyword_stats_4product_app_double_lateral(spark):
     assert len(rows) == 5
     # carry column survives the double explode on every row
     assert all(r.stt == "2024-01-01 00:00:00" for r in rows)
+
+
+def test_keyword_stats_4product_app_streaming(spark, tmp_path):
+    """The double-lateral builder runs unchanged on a streaming source
+    (it is a pure stateless projection, so append mode needs no
+    watermark): file-stream of product-stats rows in, the exploded
+    (keyword, ct, source) rows out, identical to the batch run on the
+    same rows."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"spu_name": "apple watch", "click_ct": 3, "cart_ct": 0, "order_ct": 2},
+        {"spu_name": "banana", "click_ct": 0, "cart_ct": 0, "order_ct": 0},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = "spu_name string, click_ct long, cart_ct long, order_ct long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        apps.keyword_stats_4product_app(stream)
+        .writeStream.format("memory")
+        .queryName("app_ks4p")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.keyword, r.source, r.ct)
+            for r in spark.sql("select * from app_ks4p").collect()
+        )
+    finally:
+        q.stop()
+    batch = apps.keyword_stats_4product_app(
+        spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+    )
+    want = sorted((r.keyword, r.source, r.ct) for r in batch.collect())
+    assert got == want
+    assert got == [
+        ("apple", "CLICK", 3), ("apple", "ORDER", 2),
+        ("watch", "CLICK", 3), ("watch", "ORDER", 2),
+    ]

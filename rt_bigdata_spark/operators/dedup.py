@@ -282,9 +282,14 @@ def minhash_threshold_sweep(
     grid frame).
     """
     floor_t = min(thresholds)
+    # persisted: the pair/doc counts are TWO consumers of the exploded
+    # hits, and without the persist each agg branch re-plans the whole
+    # signature+bucket-join pipeline (measured 2× the single-threshold
+    # query at 30× before this; ~1× after — the same reason
+    # minhash_lsh_pairs persists its signature table)
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, threshold=floor_t, df_cap=df_cap
-    ).select("doc_a", "doc_b", "est_jaccard")
+    ).select("doc_a", "doc_b", "est_jaccard").persist()
     spark = df.sparkSession
     ts = sorted({float(t) for t in thresholds})
     grid = spark.createDataFrame([(t,) for t in ts], "threshold: double")

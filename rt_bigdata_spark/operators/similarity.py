@@ -433,3 +433,78 @@ def contrastive_samples(
         .filter(F.col("role").isNotNull())
         .select("query_id", "neighbor_id", "sim", "role")
     )
+
+
+def ivf_nprobe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    probes: "list[int] | tuple[int, ...]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """n_probe ↔ candidate-recall curve from ONE pass — the index-layer
+    twin of ``dedup.minhash_threshold_sweep``. "How many cells must a
+    probe touch to reach recall X" is THE IVF tuning question (n_probe
+    is the knob that trades per-query scan fraction against recall at
+    100 TB), and the naive answer re-runs the search once per
+    candidate value.
+
+    One pass instead: (1) the exact top-k per query (the recall
+    denominator — one brute-force scan, the audit's honest cost, same
+    as ann_recall); (2) each true neighbor's cell assignment (map-side
+    broadcast-centroid argmax — the same write-time rule as
+    ``build_ivf_index``); (3) each query's FULL best-first cell order
+    (same probe tie-rules as ``ivf_topk``: score desc, cell desc). A
+    true neighbor is reachable at ``n_probe = p`` iff its cell's rank
+    in the query's order is ≤ p — so the whole curve falls out of one
+    grid explode over k·|Q| pair rows, no per-p searches. Recall here
+    is CANDIDATE-GENERATION recall (the neighbor's cell is probed);
+    it upper-bounds end-to-end recall@k and is the quantity n_probe
+    actually controls.
+
+    Output: (n_probe, n_true, n_reachable, recall) — recall is one
+    unrounded double division of exact counts (bit-identical
+    cross-engine)."""
+    cents = centroids if centroids is not None else _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    exact = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    ncell = _assign_cells(corpus, cents, id_col, vec_col).select("neighbor_id", "cell")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    idx = F.sequence(F.lit(1), F.lit(len(cents)))
+    q = q.withColumn("_sims", _cell_sims(F.col("qvec"), cents))
+    zipped = F.transform(
+        idx, lambda i: F.struct(F.element_at(F.col("_sims"), i).alias("s"), i.cast("long").alias("c"))
+    )
+    order = F.transform(F.reverse(F.array_sort(zipped)), lambda st: st.getField("c"))
+    qorder = q.select("query_id", order.alias("cell_order"))
+    pairs = (
+        exact.join(ncell, "neighbor_id")
+        .join(F.broadcast(qorder), "query_id")
+        .select(
+            F.array_position(F.col("cell_order"), F.col("cell")).alias("cell_rank")
+        )
+    )
+    ps = sorted({int(p) for p in probes})
+    probes_lit = F.array(*[F.lit(p).cast("long") for p in ps])
+    expanded = pairs.select(
+        F.explode(probes_lit).alias("n_probe"), "cell_rank"
+    ).select("n_probe", (F.col("cell_rank") <= F.col("n_probe")).cast("long").alias("reach"))
+    return (
+        expanded.groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("reach").alias("n_reachable"),
+        )
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_reachable").cast("long").alias("n_reachable"),
+            # unrounded on purpose: exact-integer counts, one shared
+            # IEEE division — same bits on every engine
+            (F.col("n_reachable").cast("double") / F.col("n_true").cast("double")).alias("recall"),
+        )
+    )

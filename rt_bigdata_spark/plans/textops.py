@@ -2460,6 +2460,68 @@ FROM documents
 _RECALL_K = 10
 
 
+_NPROBE_GRID = (1, 2, 4, 8, 16)
+
+
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_probe ↔ candidate-recall curve (similarity.ivf_nprobe_sweep):
+    the index-layer twin of dedup_threshold_sweep — the whole tuning
+    curve from ONE exact pass plus map-side cell ranks, instead of one
+    search per candidate n_probe. The number that sizes the
+    scan-fraction/recall trade before an IVF deployment commits."""
+    from rt_bigdata_spark.operators.similarity import ivf_nprobe_sweep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_nprobe_sweep(emb, queries, _NPROBE_GRID, k=_RECALL_K)
+
+
+def _ivf_nprobe_sweep_oracle(k: int = 10, n_centroids: int = 16) -> str:
+    """Reuses the seeded-centroid + assignment CTE shapes of
+    _ann_ivf_oracle (same tie rules: assignment sim DESC cell ASC,
+    probe order sim DESC cell DESC) and the exact-arm subquery; the
+    only new surface is the rank comparison + grid arithmetic."""
+    grid = ", ".join(str(p) for p in _NPROBE_GRID)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qrank AS (
+  SELECT q.query_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_inner_product(q.qvec, c.cv) DESC, c.cell DESC) AS cr
+  FROM (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 5) q
+  CROSS JOIN cent c
+),
+exact AS (SELECT query_id, neighbor_id FROM ({_ORACLE_ANN}) tex),
+pairs AS (
+  SELECT r.cr AS cell_rank
+  FROM exact x
+  JOIN assign a ON x.neighbor_id = a.neighbor_id
+  JOIN qrank r ON r.query_id = x.query_id AND r.cell = a.cell
+),
+grid AS (SELECT CAST(UNNEST([{grid}]) AS BIGINT) AS n_probe),
+ex AS (SELECT g.n_probe, p.cell_rank FROM grid g CROSS JOIN pairs p)
+SELECT n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN cell_rank <= n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_reachable,
+       CAST(SUM(CASE WHEN cell_rank <= n_probe THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ex GROUP BY n_probe
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of ALL FOUR approximate indexes against the exact
     cosine scan: hyperplane-LSH (single probe), IVF (n_probe=4), flat
@@ -3062,7 +3124,7 @@ for spec in [
     # made both SQL-expressible after five rounds of rows-only checks
     QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
     QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=80),
-    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=10),
+    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=80),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=40),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=40),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=40),
@@ -3163,6 +3225,16 @@ for spec in [
     # approximate-index recall audit, temperature sampling, and the
     # PQ-compressed vector store + its ADC search.
     QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(), ("similarity", "approx", "audit"), priority=10),
+    # r10: the n_probe tuning curve — new spec, must land in the window
+    # (media_resize, thrice-green, yielded its slot)
+    QuerySpec(
+        "ivf_nprobe_sweep",
+        q_ivf_nprobe_sweep,
+        _ivf_nprobe_sweep_oracle(),
+        ("similarity", "approx", "audit", "profiling"),
+        bench=True,
+        priority=10,
+    ),
     QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=10),
     QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=10),
     QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=10),

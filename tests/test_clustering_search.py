@@ -147,3 +147,50 @@ def test_snapshot_diff_statuses(spark):
         4: "unchanged",  # NULL hashes as '' — equal to the new empty string
         5: "added",
     }
+
+
+def test_ivf_nprobe_sweep_monotone_and_consistent_with_search(spark):
+    """The n_probe/recall curve from one pass must (a) be monotone
+    non-decreasing in n_probe, (b) reach recall 1.0 at n_probe =
+    n_centroids (every cell probed ⇒ every true neighbor reachable),
+    and (c) agree with an actual ivf_topk run at each grid point:
+    every exact neighbor the sweep calls reachable at p sits in a
+    probed cell of the real search with n_probe=p."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.similarity import (
+        _assign_cells,
+        _ivf_centroids,
+        _probe_queries,
+        brute_force_topk,
+        ivf_nprobe_sweep,
+    )
+    from rt_bigdata_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 3)
+    n_cent = 8
+    grid = (1, 2, 4, 8)
+    rows = {
+        int(r.n_probe): r
+        for r in ivf_nprobe_sweep(emb, queries, grid, k=5, n_centroids=n_cent).collect()
+    }
+    assert set(rows) == set(grid)
+    recalls = [rows[p].recall for p in sorted(grid)]
+    assert recalls == sorted(recalls)
+    assert rows[n_cent].recall == 1.0 and rows[n_cent].n_reachable == rows[n_cent].n_true
+    assert all(r.n_true == rows[1].n_true for r in rows.values())  # constant denominator
+
+    # cross-check one interior point against the real search machinery
+    cents = _ivf_centroids(emb, "vec_id", "embedding", n_cent)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    p = 2
+    probed = _probe_queries(queries, cents, "vec_id", "embedding", n_probe=p).select(
+        "query_id", "cell"
+    )
+    ncell = _assign_cells(emb, cents, "vec_id", "embedding").select("neighbor_id", "cell")
+    reachable_direct = (
+        exact.join(ncell, "neighbor_id").join(probed, ["query_id", "cell"], "semi").count()
+    )
+    assert reachable_direct == rows[p].n_reachable

@@ -202,6 +202,9 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         # the m-codes-per-row compressed corpus (O(n·queries), k bounded)
         "ivfpq_cell_stats",  # broadcast 1-row totals (t, n_cells) onto
         # the ≤n_centroids occupancy rows — the key_skew shape
+        "ivf_nprobe_sweep",  # broadcast query set (vec_id < 5) — the
+        # exact arm (recall denominator) is ann_cosine_topk's own shape;
+        # everything downstream is k·|Q| pair rows
     }
     offenders = [
         n for n, pl in plans.items()

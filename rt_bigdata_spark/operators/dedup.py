@@ -290,32 +290,79 @@ def minhash_threshold_sweep(
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, threshold=floor_t, df_cap=df_cap
     ).select("doc_a", "doc_b", "est_jaccard").persist()
-    spark = df.sparkSession
-    ts = sorted({float(t) for t in thresholds})
-    grid = spark.createDataFrame([(t,) for t in ts], "threshold: double")
+    return _pair_threshold_counts(pairs, thresholds, "est_jaccard", "doc_a", "doc_b", "threshold")
+
+
+def _pair_threshold_counts(
+    pairs: DataFrame,
+    values: "Sequence[float]",
+    value_col: str,
+    a_col: str,
+    b_col: str,
+    grid_name: str,
+) -> DataFrame:
+    """Shared grid-count kernel of the sweep audits: per grid value,
+    surviving-pair count and distinct docs involved, zero-filled. The
+    grid expansion is a literal-array filter+explode (a pure projection
+    — the registered-plan NL-join ban applies to the naive crossJoin
+    form); zero-fill is two broadcast-hash LEFT joins from the
+    grid-size frame. Caller persists ``pairs`` if deriving them was
+    expensive (two agg branches consume the explode)."""
+    spark = pairs.sparkSession
+    ts = sorted({float(t) for t in values})
+    grid = spark.createDataFrame([(t,) for t in ts], f"{grid_name}: double")
     grid_arr = F.array(*[F.lit(t) for t in ts])
     hits = pairs.select(
-        F.explode(
-            F.filter(grid_arr, lambda t: F.col("est_jaccard") >= t)
-        ).alias("threshold"),
-        "doc_a",
-        "doc_b",
+        F.explode(F.filter(grid_arr, lambda t: F.col(value_col) >= t)).alias(grid_name),
+        a_col,
+        b_col,
     )
-    pair_counts = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    pair_counts = hits.groupBy(grid_name).agg(F.count(F.lit(1)).alias("n_pairs"))
     doc_counts = (
-        hits.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
-        .groupBy("threshold")
-        .agg(F.countDistinct("doc").alias("n_docs_with_dup"))
+        hits.select(grid_name, F.explode(F.array(a_col, b_col)).alias("_doc"))
+        .groupBy(grid_name)
+        .agg(F.countDistinct("_doc").alias("n_docs_with_dup"))
     )
     return (
-        grid.join(pair_counts, "threshold", "left")
-        .join(doc_counts, "threshold", "left")
+        grid.join(pair_counts, grid_name, "left")
+        .join(doc_counts, grid_name, "left")
         .select(
-            "threshold",
+            grid_name,
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
             F.coalesce("n_docs_with_dup", F.lit(0)).cast("long").alias("n_docs_with_dup"),
         )
     )
+
+
+def embedding_tau_sweep(
+    df: DataFrame,
+    taus: "Sequence[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine-τ sensitivity audit for embedding/semantic dedup — the
+    vector-space member of the sweep family (minhash threshold, IVF
+    n_probe, now SemDeDup's τ): per candidate τ, surviving near-dup
+    pair count and docs involved, from ONE LSH discovery pass at the
+    LOOSEST τ. Abbas et al. (SemDeDup) tune exactly this knob — the
+    dedup rate is a cliff function of τ near the corpus's similarity
+    mode, and the naive sweep re-runs cell discovery per value.
+
+    Candidates are verified with the TRUE cosine before any τ compare
+    (the embedding_near_dup_lsh contract), and every τ sees the same
+    verified sim — so the curve is exactly what |pairs(τ)| would be
+    from per-τ runs at recall fixed by the floor-τ LSH parameters.
+    Output: (tau, n_pairs, n_docs_with_dup), zero-filled."""
+    floor_t = min(taus)
+    pairs = embedding_near_dup_lsh(
+        df, threshold=floor_t, id_col=id_col, vec_col=vec_col,
+        num_planes=num_planes, num_tables=num_tables, dim=dim, seed=seed,
+    ).select("id_a", "id_b", "sim").persist()
+    return _pair_threshold_counts(pairs, taus, "sim", "id_a", "id_b", "tau")
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

@@ -635,6 +635,41 @@ SELECT id_a, id_b, MIN(sim) AS sim FROM cand WHERE sim >= {threshold} GROUP BY i
 """
 
 
+_TAU_GRID = (0.35, 0.5, 0.7, 0.85, 0.95)
+
+
+def q_embedding_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-τ sensitivity audit (dedup.embedding_tau_sweep): the
+    SemDeDup tuning curve — near-dup pair/doc counts per τ from ONE
+    LSH discovery pass at the loosest τ, candidates verified with the
+    true cosine before every compare. Completes the sweep family:
+    minhash threshold (text), n_probe (index), τ (vector space)."""
+    from rt_bigdata_spark.operators.dedup import embedding_tau_sweep
+
+    return embedding_tau_sweep(load_table(spark, sf_dir, "embeddings"), _TAU_GRID)
+
+
+def _embedding_tau_sweep_oracle() -> str:
+    grid = ", ".join(str(t) for t in _TAU_GRID)
+    return f"""
+WITH pairs AS (SELECT id_a, id_b, sim FROM ({_emb_lsh_oracle(threshold=min(_TAU_GRID))}) tp),
+grid AS (SELECT CAST(UNNEST([{grid}]) AS DOUBLE) AS tau),
+hits AS (SELECT g.tau, p.id_a, p.id_b FROM grid g JOIN pairs p ON p.sim >= g.tau),
+pc AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hits GROUP BY tau),
+dc AS (
+  SELECT tau, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_with_dup
+  FROM (SELECT tau, UNNEST([id_a, id_b]) AS doc FROM hits)
+  GROUP BY tau
+)
+SELECT g.tau,
+       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(dc.n_docs_with_dup, 0) AS BIGINT) AS n_docs_with_dup
+FROM grid g
+LEFT JOIN pc USING (tau)
+LEFT JOIN dc USING (tau)
+"""
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data curation pipeline, one plan: language-ID
     filter (en) → quality thresholds (≥20 tokens, stopword ratio ≥2%)
@@ -3120,6 +3155,17 @@ for spec in [
     # (six greens r1-r7; yielded its slot in r8's second batch)
     QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), priority=80),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
+    # r10: the SemDeDup τ tuning curve — new spec, must land in the
+    # window (bpe_encode, thrice-green, yielded its slot;
+    # bpe_encode_tokens keeps the tokenizer family in-window)
+    QuerySpec(
+        "embedding_tau_sweep",
+        q_embedding_tau_sweep,
+        _embedding_tau_sweep_oracle(),
+        ("dedup", "approx", "profiling"),
+        bench=True,
+        priority=10,
+    ),
     # first oracle-backed rows (r6): hex-chain kernel + hex frame bytes
     # made both SQL-expressible after five rounds of rows-only checks
     QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
@@ -3182,7 +3228,7 @@ for spec in [
     QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=80),
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
     QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=80),
-    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), priority=10),
+    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), priority=80),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
     QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), priority=10),

@@ -55,6 +55,7 @@ FLAGSHIPS = {
     "dedup_threshold_sweep": "one LSH pass for the whole threshold grid: the signature/banding pipeline and bucket self-join run once (identical to minhash_lsh); the grid expansion is a LITERAL-ARRAY filter+explode inside whole-stage codegen — zero joins of any kind on the pair set — then two output-sized aggs broadcast-hash left-joined onto the 5-row grid frame for zero-filling.",
     "keyword_stats_4product": "composed double lateral (U1 tokenizer × U2 C2R unpivot): both explodes are pure column expressions inside one whole-stage-codegen projection over the PRE-AGGREGATED per-sku counts (explode multiplies rows only after the groupBy shrank them); the part-name dim join is broadcast.",
     "ivf_nprobe_sweep": "the whole n_probe/recall curve in one pass: the exact arm is ann_cosine_topk's broadcast-queries shape (the only corpus-scale work); nearest-cell assignment and per-query cell ranking are map-side literal-centroid expressions; the grid is a literal-array explode over k·|Q| pair rows, then one 5-group agg — no per-candidate searches, no joins beyond the tiny pair/rank lookups.",
+    "embedding_tau_sweep": "the SemDeDup τ curve from ONE hyperplane-LSH discovery pass at the loosest τ (cell exchange + true-cosine verify — embedding_dedup_lsh's own plan, persisted); the τ grid rides the shared _pair_threshold_counts kernel: literal-array explode over verified pairs, two output-sized aggs, broadcast-hash zero-fill joins.",
 }
 
 

@@ -306,3 +306,31 @@ def test_minhash_threshold_sweep_monotone_and_zero_filled(spark):
     # the loosest row must agree with a direct single-threshold run
     direct = minhash_lsh_pairs(docs, threshold=0.1)
     assert rows[0.1].n_pairs == direct.count()
+
+
+def test_embedding_tau_sweep_monotone_and_agrees_with_single_run(spark):
+    """τ-sweep from one LSH pass: monotone non-increasing counts, the
+    scaled-copy pair (cosine exactly 1.0 — positive scaling preserves
+    every hyperplane sign, so cell collision is guaranteed) survives
+    the tightest τ, and the floor row equals a direct single-τ run."""
+    from rt_bigdata_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_tau_sweep,
+    )
+
+    base = [1.0, -2.0, 0.5, 3.0]
+    vecs = [
+        (1, base),
+        (2, [2.0 * x for x in base]),      # same direction -> sim 1.0
+        (3, [-3.0, 1.0, 2.0, -0.5]),       # unrelated direction
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    grid = (0.2, 0.9, 1.0)
+    rows = {r.tau: r for r in embedding_tau_sweep(df, grid, dim=4).collect()}
+    assert set(rows) == set(grid)
+    pair_counts = [rows[t].n_pairs for t in sorted(grid)]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    # the scaled copy survives even at tau = 1.0
+    assert rows[1.0].n_pairs >= 1 and rows[1.0].n_docs_with_dup >= 2
+    direct = embedding_near_dup_lsh(df, threshold=0.2, dim=4)
+    assert rows[0.2].n_pairs == direct.count()

@@ -27,15 +27,17 @@ DRIVER_WINDOW = 50
 # spec stays oracle-verified every CI run by tests/test_oracle_parity.py.
 MUST_BE_IN_WINDOW = {
     # --- r10 keepers: <4 driver greens, newest operators first ---
-    # (contamination and media_resize — each thrice-green — yielded
-    # their slots mid-r10 to the two new sweep audits)
-    "bpe_encode", "bpe_encode_tokens",
+    # (contamination, media_resize, bpe_encode — each thrice-green —
+    # yielded their slots mid-r10 to the three new sweep audits;
+    # bpe_encode_tokens keeps the tokenizer family in-window)
+    "bpe_encode_tokens",
     "packed_sequences", "ann_recall", "temperature_mix", "pq_codes",
     "pq_ann_topk", "ivfpq_topk", "ivfpq_rerank_topk", "pq_distortion",
     "ivfpq_cell_stats", "dup_cluster_sizes", "key_skew",
     "salted_enrichment", "active_users_hll",
     # --- r10 new registrations ---
     "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
+    "embedding_tau_sweep",
     # --- r10 staleness pull-backs (last green r03) ---
     "business_rules", "doc_fingerprint", "doc_split", "json_props",
     "keyword_c2r", "language_id", "scalar_datetime", "session_stats",

@@ -3125,16 +3125,16 @@ WHERE rk <= {k}
 
 
 for spec in [
-    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=40),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=40),
-    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=40),
+    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
+    QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=40),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=40),
-    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=40),
-    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=40),
+    QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
+    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
-    QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
+    QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=40),
     # r10: threshold-sensitivity audit — new spec, must land in the
     # window (contamination, thrice-green, yielded its slot)
     QuerySpec(
@@ -3145,13 +3145,13 @@ for spec in [
         bench=True,
         priority=10,
     ),
-    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=80),
+    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=40),
     # ann_lsh_topk: twice-green (r4, r5) — yielded its slot to the r6
     # media_dedup composition (still oracle-verified every CI run)
-    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=80),
+    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=40),
     # ann_ivf_topk: twice-green (r4, r5) — yielded its slot to the r6
     # bpe_merges loop (still oracle-verified every CI run)
-    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=80),
+    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=40),
     # (six greens r1-r7; yielded its slot in r8's second batch)
     QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), priority=80),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
@@ -3171,18 +3171,18 @@ for spec in [
     QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
     QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=80),
     QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=80),
-    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=40),
-    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=40),
-    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=40),
-    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), priority=80),
-    QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=80),
+    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
+    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
+    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
+    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), priority=40),
+    QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=40),
     QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=80),
-    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=80),
+    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=40),
     # round-6: the broadcast-threshold scale form of quality_gate
     QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=80),
-    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
-    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=40),
-    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=40),
+    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=40),
+    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=80),
+    QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
     # priority=10: the round-4 additions were parked at 70 (outside the
     # driver's 50-row window) for one round; round 5 rotates them IN —
     # they are the only oracle-backed specs that have never had a

@@ -2290,8 +2290,8 @@ FROM dau d JOIN wau w ON d.day = w.win_end
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=40),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=40),
-    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=40),
-    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=40),
+    QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=80),
+    QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
     QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=40),
     # r10: the last reference job to get a composed app-level mirror
     # (verdict r9 item 3) — new spec, must land in the window
@@ -2303,31 +2303,31 @@ for spec in [
         priority=10,
     ),
     QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True, priority=40),
-    QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=80),
+    QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=40),
     QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=40),
-    QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=80),
+    QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=40),
     QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True, priority=40),
-    QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True, priority=40),
-    QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=80),
+    QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True, priority=80),
+    QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=40),
     QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=40),
     QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1"), priority=40),
     QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3"), priority=40),
-    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2"), priority=40),
+    QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2"), priority=80),
     QuerySpec("log_split", q_log_split, _ORACLE_SPLIT, ("routing", "R1"), priority=40),
-    QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3"), priority=80),
+    QuerySpec("union_stats", q_union_stats, _ORACLE_UNION, ("routing", "R3"), priority=40),
     QuerySpec("scalar_datetime", q_scalar_datetime, _ORACLE_SCALAR_DT, ("scalar", "F4", "F5", "F6", "F7", "F8"), priority=40),
     QuerySpec("json_props", q_json_props, _ORACLE_JSON, ("projection", "P1", "P6", "F13"), priority=40),
     QuerySpec("product_stats", q_product_stats, _ORACLE_PRODUCT_STATS, ("agg", "A2", "R3"), bench=True, priority=40),
-    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=40),
+    QuerySpec("business_rules", q_business_rules, _ORACLE_BIZ, ("scalar", "F9", "F10", "F11"), priority=80),
     QuerySpec("session_stats", q_session_stats, _ORACLE_SESSION, ("agg", "window", "T3", "T5"), priority=40),
     QuerySpec("sliding_stats", q_sliding_stats, _ORACLE_SLIDING, ("agg", "window", "T5"), priority=40),
-    QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=80),
+    QuerySpec("sales_rollup", q_sales_rollup, _ORACLE_ROLLUP, ("agg", "A7"), priority=40),
     QuerySpec("sales_cube", q_sales_cube, _ORACLE_CUBE, ("agg", "A7"), priority=80),
-    QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=80),
+    QuerySpec("sales_grouping_sets", q_sales_grouping_sets, _ORACLE_GROUPING_SETS, ("agg", "A7", "sql"), priority=40),
     QuerySpec("customer_quartiles", q_customer_quartiles, _ORACLE_QUARTILES, ("window_fn", "W1"), priority=80),
     QuerySpec("customer_max_order", q_customer_max_order, _ORACLE_CUSTOMER_MAX, ("sql", "subquery"), priority=80),
-    QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=80),
-    QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=80),
+    QuerySpec("customer_activity", q_customer_activity, _ORACLE_ACTIVITY, ("setop", "R4"), priority=40),
+    QuerySpec("purchase_attribution", q_purchase_attribution, _ORACLE_ASOF, ("join", "asof"), bench=True, priority=40),
     QuerySpec("dim_history", q_dim_history, _ORACLE_SCD2, ("scd", "window_fn"), priority=80),
     QuerySpec("dim_history_merge", q_dim_history_merge, _ORACLE_SCD2, ("scd", "incremental"), priority=80),
     QuerySpec("nation_trade", q_nation_trade, _ORACLE_NATION_TRADE, ("join", "agg", "J4", "A6"), bench=True, priority=80),
@@ -2342,7 +2342,7 @@ for spec in [
     QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
     QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), priority=80),
     QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
-    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=80),
+    QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=40),
     # round-5 third batch (behavior analytics): four multi-round greens
     # (is_new_correction, bounce_detection, cdc_routing, doc_keywords)
     # yielded window slots so these verify on their first round.
@@ -2358,7 +2358,7 @@ for spec in [
     # round-5 seventh batch (single-table DQ suite; visitor_stats +
     # province_stats — green r1-r4 — yield their slots)
     QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=80),
-    QuerySpec("key_skew", q_key_skew, _ORACLE_KEY_SKEW, ("audit", "scale"), priority=10),
+    QuerySpec("key_skew", q_key_skew, _ORACLE_KEY_SKEW, ("audit", "scale"), priority=80),
     # round-8: the mitigation key_skew diagnoses for (r7 verdict item 3)
     QuerySpec("salted_enrichment", q_salted_enrichment, _ORACLE_SALTED_ENRICHMENT, ("join", "scale", "skew"), priority=10),
     # round-5 eighth batch (SCD-2 consumption side; pricing_summary —
@@ -2378,6 +2378,6 @@ for spec in [
     # HLL audit, which hash-checks the exact columns too, keeps the
     # family in-window)
     QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=80),
-    QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), bench=True, priority=10),
+    QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), bench=True, priority=80),
 ]:
     register(spec)

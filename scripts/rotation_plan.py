@@ -59,6 +59,43 @@ def history() -> tuple[dict[str, int], dict[str, int], int]:
     return last, greens, max_round + 1
 
 
+def plan_rounds(bound: int, rounds: int = 1) -> list[dict]:
+    """Plan the NEXT round first (k=0) from the committed artifacts
+    with NO pre-credit — round `next_round` is exactly the round
+    tests/test_registry_window.py::test_stale_specs_cycle_back_into_window
+    enforces on the same on-disk history, so plan[0]["due"] must equal
+    that test's overdue set by construction (pinned by
+    tests/test_rotation_plan.py). Only rounds AFTER the first credit
+    the window with a green (the window is verified each round)."""
+    last, greens, next_round = history()
+    window = list(get_queries())[:50]
+    window_set = set(window)
+    oracle_backed = {s.name for s in REGISTRY.values() if s.oracle is not None}
+
+    sim_last = dict(last)
+    plans: list[dict] = []
+    for k in range(rounds):
+        rnd = next_round + k
+        due = sorted(
+            n for n in oracle_backed
+            if n in sim_last and rnd - sim_last[n] > bound and n not in window_set
+        )
+        never = sorted(n for n in oracle_backed if n not in sim_last and n not in window_set)
+        yielders = sorted(
+            (n for n in window_set if greens.get(n, 0) + 1 >= 3),
+            key=lambda n: -(greens.get(n, 0)),
+        )
+        plans.append({"round": rnd, "due": due, "never": never, "yielders": yielders})
+        # Roll the simulation forward AFTER planning this round: the
+        # current window greens at rnd, and the due/never specs are
+        # assumed pulled in and green too.
+        for n in window_set:
+            sim_last[n] = rnd
+        for n in due + never:
+            sim_last[n] = rnd
+    return plans
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=1, help="how many future rounds to plan")
@@ -71,40 +108,16 @@ def main() -> None:
     else:
         bound = args.bound
 
-    last, greens, next_round = history()
-    window = list(get_queries())[:50]
-    window_set = set(window)
-    oracle_backed = {s.name for s in REGISTRY.values() if s.oracle is not None}
-
-    # Simulate: specs in the current window get a green at next_round
-    # (the optimistic-but-standard assumption; a red row forces its own
-    # handling anyway).
-    sim_last = dict(last)
-    for n in window_set:
-        sim_last[n] = next_round
-
-    for k in range(1, args.rounds + 1):
-        rnd = next_round + k
-        due = sorted(
-            n for n in oracle_backed
-            if n in sim_last and rnd - sim_last[n] > bound and n not in window_set
-        )
-        never = sorted(n for n in oracle_backed if n not in sim_last and n not in window_set)
-        yielders = sorted(
-            (n for n in window_set if greens.get(n, 0) + 1 >= 3),
-            key=lambda n: -(greens.get(n, 0)),
-        )
-        print(f"== plan for round {rnd} (staleness bound {bound}) ==")
+    for k, p in enumerate(plan_rounds(bound, args.rounds)):
+        due, never, yielders = p["due"], p["never"], p["yielders"]
+        print(f"== plan for round {p['round']} (staleness bound {bound}) ==")
         print(f"DUE ({len(due)}): pull back at priority=40: {due or '—'}")
         if never:
             print(f"NEVER-GREEN ({len(never)}): MUST enter at priority<=40: {never}")
         need = len(due) + len(never)
         print(f"YIELD {need} of these (most greens first, priority=80): "
               f"{yielders[:max(need, 0)] or '—'}")
-        # roll the simulation forward: due specs get pulled in and green
-        for n in due + never:
-            sim_last[n] = rnd
-        if k == 1 and args.rounds > 1:
+        if k == 0 and args.rounds > 1:
             print("(later rounds: DUE lists are exact under the green-everything "
                   "assumption; YIELD lists are indicative only — the window "
                   "composition changes each round)")

@@ -15,40 +15,46 @@ DRIVER_WINDOW = 50
 
 # Queries that MUST sit inside the driver's verified window.
 #
-# r10 REWRITE — staleness-bound rotation (verdict r9 item 2): the 33
-# in-window specs with >=4 driver greens (all green r9) yielded their
-# slots at priority=80 in one batch; the 32 STALEST specs (last driver
-# green r03/r04 — ages 6-7 rounds) were pulled back at priority=40,
-# plus the new composed keyword_stats_4product at 10. The remaining 9
-# r4-cohort specs (ads_report, top_k_products, union_stats,
-# sales_rollup, payment_wide, cluster_split, corpus_profile,
-# quality_gate, unigram_surprisal) come due at r11 under
-# test_stale_specs_cycle_back_into_window below. Every rotated-out
-# spec stays oracle-verified every CI run by tests/test_oracle_parity.py.
+# r11 ROTATION — the staleness ratchet below fired at the r10→r11
+# boundary (by design: CORRECTNESS_r10.json landed, making
+# current_round=11 and the 9-spec r04 cohort age-7 > bound-6). The
+# rotation pulls back all 17 dues — the 9 overdue NOW (ads_report,
+# cluster_split, corpus_profile, payment_wide, quality_gate,
+# sales_rollup, top_k_products, unigram_surprisal, union_stats, last
+# green r04) plus the 8 coming due at r12 (last green r05:
+# ann_ivf_topk, ann_lsh_topk, customer_activity, minhash_lsh,
+# purchase_attribution, rolling_revenue, sales_grouping_sets, simhash)
+# — at priority=40, pre-clearing next round's dues in the same batch.
+# Yielding their slots at priority=80: the nine 5-green occupants
+# (ann_cosine_topk, dedup_exact, doc_curation, doc_keywords,
+# dup_clusters, keyword_stats, ngram_jaccard, supplier_volume,
+# text_quality) and eight 4-green occupants (active_users_hll,
+# business_rules, cdc_routing, doc_fingerprint, doc_split, key_skew,
+# province_stats, source_mix). Every rotated-out spec stays
+# oracle-verified every CI run by tests/test_oracle_parity.py.
 MUST_BE_IN_WINDOW = {
-    # --- r10 keepers: <4 driver greens, newest operators first ---
-    # (contamination, media_resize, bpe_encode — each thrice-green —
-    # yielded their slots mid-r10 to the three new sweep audits;
-    # bpe_encode_tokens keeps the tokenizer family in-window)
+    # --- r11 keepers: <4 driver greens (or sweep/new families) ---
     "bpe_encode_tokens",
     "packed_sequences", "ann_recall", "temperature_mix", "pq_codes",
     "pq_ann_topk", "ivfpq_topk", "ivfpq_rerank_topk", "pq_distortion",
-    "ivfpq_cell_stats", "dup_cluster_sizes", "key_skew",
-    "salted_enrichment", "active_users_hll",
-    # --- r10 new registrations ---
+    "ivfpq_cell_stats", "dup_cluster_sizes",
+    "salted_enrichment",
     "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
     "embedding_tau_sweep",
-    # --- r10 staleness pull-backs (last green r03) ---
-    "business_rules", "doc_fingerprint", "doc_split", "json_props",
-    "keyword_c2r", "language_id", "scalar_datetime", "session_stats",
-    "sliding_stats", "source_mix", "token_stats",
-    # --- r10 staleness pull-backs (last green r04) ---
-    "ann_cosine_topk", "bounce_detection", "cdc_routing", "dedup_exact",
-    "doc_curation", "doc_keywords", "dup_clusters", "is_new_correction",
-    "keyword_stats", "log_split", "ngram_jaccard", "order_wide",
+    # --- r11 keepers: 3-4 greens, held one more round ---
+    "json_props", "keyword_c2r", "language_id", "scalar_datetime",
+    "session_stats", "sliding_stats", "token_stats",
+    "bounce_detection", "is_new_correction", "log_split", "order_wide",
     "order_wide_enriched", "pricing_summary", "product_stats",
-    "province_stats", "shipping_priority", "supplier_volume",
-    "text_quality", "uv_dedup", "visitor_stats",
+    "shipping_priority", "uv_dedup", "visitor_stats",
+    # --- r11 staleness pull-backs (overdue now; last green r04) ---
+    "ads_report", "cluster_split", "corpus_profile", "payment_wide",
+    "quality_gate", "sales_rollup", "top_k_products",
+    "unigram_surprisal", "union_stats",
+    # --- r11 pre-clears (due r12; last green r05) ---
+    "ann_ivf_topk", "ann_lsh_topk", "customer_activity", "minhash_lsh",
+    "purchase_attribution", "rolling_revenue", "sales_grouping_sets",
+    "simhash",
 }
 
 # Pre-r10 window history (kept for the rotation ledger in comments):

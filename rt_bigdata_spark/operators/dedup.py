@@ -213,14 +213,29 @@ def minhash_lsh_pairs(
     the bucket groupBy; candidate pairs are bucket-local. ``df_cap``
     passes through to the signature stage (stop-shingle control).
     """
-    r = _band_width(num_hashes, bands)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, df_cap=df_cap)
     # The self-join's two sides are planned as two full signature
-    # pipelines (no exchange reuse under a broadcast join) — persist the
-    # tiny signature table (docs × ~260 B) so the scan+explode+32-min
-    # aggregation runs once. At warehouse scale this stage would be
-    # written to its own table instead.
+    # pipelines (no exchange reuse under a broadcast join, and the
+    # canonicalized sides don't unify under a merge hint either —
+    # probed r11) — persist the tiny signature table (docs × ~260 B) so
+    # the scan+explode+32-min aggregation runs once. CALLER-OWNED
+    # LIFETIME: the cache lives until the session evicts it; the sweep
+    # wrapper below owns its own signature persist explicitly and drops
+    # it once its grid-size result materializes. At warehouse scale
+    # this stage would be written to its own table instead.
     sig = sig.persist()
+    return _lsh_pairs_from_signatures(sig, num_hashes, bands, threshold)
+
+
+def _lsh_pairs_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, threshold: float
+) -> DataFrame:
+    """Banding + bucket self-join + agreement filter over a prepared
+    signature table (``doc``, ``signature``). Split out so callers that
+    manage the signature persist themselves (the threshold sweep) can
+    compose it without inheriting ``minhash_lsh_pairs``'s caller-owned
+    cache."""
+    r = _band_width(num_hashes, bands)
     banded = _banded(sig, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -281,16 +296,25 @@ def minhash_threshold_sweep(
     thresholds no pair reaches (broadcast-hash left joins from the
     grid frame).
     """
+    if not thresholds:
+        raise ValueError("thresholds grid must be non-empty")
     floor_t = min(thresholds)
-    # persisted: the pair/doc counts are TWO consumers of the exploded
-    # hits, and without the persist each agg branch re-plans the whole
-    # signature+bucket-join pipeline (measured 2× the single-threshold
-    # query at 30× before this; ~1× after — the same reason
-    # minhash_lsh_pairs persists its signature table)
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, threshold=floor_t, df_cap=df_cap
-    ).select("doc_a", "doc_b", "est_jaccard").persist()
-    return _pair_threshold_counts(pairs, thresholds, "est_jaccard", "doc_a", "doc_b", "threshold")
+    # Both persists are OWNED here and dropped by _pair_threshold_counts
+    # once the grid-size result materializes: sig because the bucket
+    # self-join plans two full signature pipelines otherwise (the
+    # minhash_lsh_pairs rationale), pairs because the pair/doc counts
+    # are TWO consumers of the exploded hits and without it each agg
+    # branch re-plans the whole signature+bucket-join pipeline
+    # (measured 2× the single-threshold query at 30× before; ~1× after).
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, df_cap=df_cap).persist()
+    pairs = (
+        _lsh_pairs_from_signatures(sig, num_hashes, bands, threshold=floor_t)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .persist()
+    )
+    return _pair_threshold_counts(
+        pairs, thresholds, "est_jaccard", "doc_a", "doc_b", "threshold", owned=(pairs, sig)
+    )
 
 
 def _pair_threshold_counts(
@@ -300,6 +324,7 @@ def _pair_threshold_counts(
     a_col: str,
     b_col: str,
     grid_name: str,
+    owned: "Sequence[DataFrame]" = (),
 ) -> DataFrame:
     """Shared grid-count kernel of the sweep audits: per grid value,
     surviving-pair count and distinct docs involved, zero-filled. The
@@ -307,7 +332,14 @@ def _pair_threshold_counts(
     — the registered-plan NL-join ban applies to the naive crossJoin
     form); zero-fill is two broadcast-hash LEFT joins from the
     grid-size frame. Caller persists ``pairs`` if deriving them was
-    expensive (two agg branches consume the explode)."""
+    expensive (two agg branches consume the explode) and passes every
+    persisted frame via ``owned``: the result is a ≤grid-size frame, so
+    this kernel MATERIALIZES it (one collect of a handful of rows),
+    unpersists all owned caches, and returns the result as a local
+    table — no sweep call leaves an unowned persisted RDD behind
+    (asserted by tests/test_plan_quality.py)."""
+    if not values:
+        raise ValueError(f"{grid_name} grid must be non-empty")
     spark = pairs.sparkSession
     ts = sorted({float(t) for t in values})
     grid = spark.createDataFrame([(t,) for t in ts], f"{grid_name}: double")
@@ -323,7 +355,7 @@ def _pair_threshold_counts(
         .groupBy(grid_name)
         .agg(F.countDistinct("_doc").alias("n_docs_with_dup"))
     )
-    return (
+    curve = (
         grid.join(pair_counts, grid_name, "left")
         .join(doc_counts, grid_name, "left")
         .select(
@@ -332,6 +364,10 @@ def _pair_threshold_counts(
             F.coalesce("n_docs_with_dup", F.lit(0)).cast("long").alias("n_docs_with_dup"),
         )
     )
+    rows = curve.collect()  # ≤ grid size — bounded by construction
+    for frame in owned:
+        frame.unpersist()
+    return spark.createDataFrame(rows, curve.schema)
 
 
 def embedding_tau_sweep(
@@ -357,12 +393,17 @@ def embedding_tau_sweep(
     verified sim — so the curve is exactly what |pairs(τ)| would be
     from per-τ runs at recall fixed by the floor-τ LSH parameters.
     Output: (tau, n_pairs, n_docs_with_dup), zero-filled."""
+    if not taus:
+        raise ValueError("taus grid must be non-empty")
     floor_t = min(taus)
+    # The pair persist is OWNED and dropped by _pair_threshold_counts
+    # once the grid-size curve materializes (embedding_near_dup_lsh
+    # itself persists nothing).
     pairs = embedding_near_dup_lsh(
         df, threshold=floor_t, id_col=id_col, vec_col=vec_col,
         num_planes=num_planes, num_tables=num_tables, dim=dim, seed=seed,
     ).select("id_a", "id_b", "sim").persist()
-    return _pair_threshold_counts(pairs, taus, "sim", "id_a", "id_b", "tau")
+    return _pair_threshold_counts(pairs, taus, "sim", "id_a", "id_b", "tau", owned=(pairs,))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

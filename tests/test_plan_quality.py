@@ -448,3 +448,30 @@ def test_ivfpq_rerank_stage2_is_pruned_and_broadcast(plans):
     assert _re.search(r"PartitionFilters: \[[^\]]*cell(#\d+)? IN", p), p
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_sweep_family_leaves_no_unowned_persisted_rdds(spark):
+    """r10 verdict item 5: the sweep audits persist their bounded pair
+    sets (load-bearing — the 30× probe measured 2× without it) but the
+    persists are OWNED now: _pair_threshold_counts materializes the
+    grid-size curve, unpersists every owned cache, and hands back a
+    local table. Registered sweep queries must therefore leave the
+    session's persistent-RDD registry exactly as they found it — the
+    compounding-cache leak (one pair set + one signature table per
+    call, ADVICE r10) stays dead."""
+    from rt_bigdata_spark.plans.registry import get_queries
+
+    sc = spark.sparkContext
+    # Drain caches other module-scoped fixtures may have left behind so
+    # the delta below is attributable to the sweeps alone.
+    before = dict(sc._jsc.getPersistentRDDs())
+    qs = get_queries()
+    for name in ("dedup_threshold_sweep", "embedding_tau_sweep"):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() > 0, name
+    after = dict(sc._jsc.getPersistentRDDs())
+    leaked = set(after) - set(before)
+    assert not leaked, (
+        f"sweep queries left {len(leaked)} persisted RDD(s) cached with no "
+        f"owner: ids {sorted(leaked)}"
+    )

@@ -243,6 +243,37 @@ def finalize_time_rollup(state: DataFrame) -> DataFrame:
     return state.drop("o_key", "c_key")
 
 
+def dec_to_double_portable(c: Column) -> Column:
+    """Engine-portable DECIMAL→DOUBLE for sums whose unscaled value may
+    exceed int64: chunk the integral part into three int64-fitting
+    pieces with EXACT decimal/integer arithmetic (abs → ``% 1``
+    fraction split → ``div``/``%`` by 10²⁰ and 10¹⁰), convert each
+    piece with the universally correctly-rounded int64→double cast, and
+    recombine with a fixed left-associated IEEE double expression —
+    ``sign·(a·1e20 + m·1e10 + r + frac)``. DuckDB mirrors it via
+    HUGEINT in ``plans/warehouse._dec_to_double_portable_sql``
+    (prototyped r11: bit-identical across engines on values up to the
+    DECIMAL(38,4) cap, where the naive casts enter engine-specific
+    wide-decimal slow paths that may differ by 1 ulp).
+
+    Bounds, all structural: ``a = w div 10²⁰ < 10¹⁴`` and
+    ``m = (w % 10²⁰) div 10¹⁰ < 10¹⁰`` fit Spark's long-typed ``div``;
+    the result may differ from the infinitely-precise value by a few
+    ulps (three roundings instead of one) — identically on every
+    engine, which is the property the cross-engine hash contract
+    needs."""
+    d20 = F.lit("100000000000000000000").cast("decimal(21,0)")
+    d10 = F.lit("10000000000").cast("decimal(11,0)")
+    sign = F.when(c < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    u = F.abs(c)
+    frac = u % F.lit(1)
+    w = (u - frac).cast("decimal(38,0)")
+    a = F.call_function("div", w, d20).cast("double")
+    m = F.call_function("div", w % d20, d10).cast("double")
+    r = (w % d10).cast("double")
+    return sign * (a * F.lit(1e20) + m * F.lit(1e10) + r + frac.cast("double"))
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,
@@ -268,17 +299,20 @@ def zscore_outliers(
     never a window over the raw data (a window would sort every row
     within group for two scalars).
 
-    Cross-engine envelope (r9 ADVICE): the unrounded outputs are
-    bit-identical to DuckDB only while Σv²'s DECIMAL(38,4) unscaled
-    value fits int64 (Σv² ≤ ~9.2e14) — both engines then share the
-    (double)unscaled/10⁴ fast path. Beyond it, Spark's
-    correctly-rounded BigDecimal slow path can differ by 1 ulp from
-    DuckDB's int128→double. Measured headroom ~9.2e6× the sf0.1
-    corpus (SCALE.md); guarded by
-    tests/test_properties.py::test_zscore_moment_sums_stay_in_decimal64_compact_range.
-    If a deployment's per-group Σv² can exceed the bound, switch the
-    moments to the floor(x·2²⁰) quantized-long-sum discipline used by
-    clustering/quantization.
+    Cross-engine envelope — REMOVED STRUCTURALLY (r10 verdict item 7):
+    the final decimal→double conversions go through
+    ``dec_to_double_portable`` (below) instead of a bare cast, so the
+    moments never depend on an engine's wide-decimal→double rounding.
+    Every step in that helper is either exact decimal/integer
+    arithmetic or an int64-fitting integer→double conversion
+    (correctly rounded per IEEE 754 in every engine), and the final
+    recombination is the same sequence of IEEE double ops on both
+    sides. The old bound (per-group Σv² ≤ ~9.2e14, where the
+    decimal64 compact fast path ends) is gone: the sums stay exact to
+    the DECIMAL(38,4) cap (Σv² < 10³⁴ — unreachable), previously
+    guarded by a since-retired measured-headroom test, now covered by
+    tests/test_properties.py::test_zscore_moments_portable_beyond_decimal64_envelope
+    which exercises the cross-engine identity PAST the old envelope.
 
     NULL-key exclusion (ADVICE r5, same convention as the behavior
     operators): rows whose group key is NULL have no population to
@@ -296,8 +330,8 @@ def zscore_outliers(
         F.sum(dec).alias("s1"),
         F.sum((dec * dec).cast("decimal(38,4)")).alias("s2"),
     )
-    mu = F.col("s1").cast("double") / F.col("n")
-    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    mu = dec_to_double_portable(F.col("s1")) / F.col("n")
+    var = dec_to_double_portable(F.col("s2")) / F.col("n") - mu * mu
     stats = moments.select(
         *keys,
         mu.alias("mu"),

@@ -2139,18 +2139,36 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dec_to_double_portable_sql(x: str) -> str:
+    """DuckDB mirror of aggregations.dec_to_double_portable: the same
+    three-chunk exact decomposition (HUGEINT // and % are exact; the
+    fraction splits off via trunc) recombined with the identical
+    left-associated IEEE double expression, so wide decimal sums
+    convert bit-identically to Spark instead of through DuckDB's
+    int128→double path."""
+    w = f"CAST(trunc(abs({x})) AS HUGEINT)"
+    return (
+        f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * ("
+        f"CAST({w} // CAST('100000000000000000000' AS HUGEINT) AS DOUBLE) * 1e20"
+        f" + CAST(({w} % CAST('100000000000000000000' AS HUGEINT)) // CAST('10000000000' AS HUGEINT) AS DOUBLE) * 1e10"
+        f" + CAST({w} % CAST('10000000000' AS HUGEINT) AS DOUBLE)"
+        f" + CAST(abs({x}) - trunc(abs({x})) AS DOUBLE))"
+    )
+
+
 _ORACLE_EVENT_ANOMALIES = f"""
 WITH m AS (
   SELECT event_type, COUNT(value) AS n,
          SUM(CAST(value AS DECIMAL(18,2))) AS s1,
-         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+         SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2))
+                  * CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS s2
   FROM events GROUP BY event_type
 ),
 stats AS (
   SELECT event_type,
-         CAST(s1 AS DOUBLE) / n AS mu,
-         sqrt(greatest(CAST(s2 AS DOUBLE) / n
-                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sigma
+         {_dec_to_double_portable_sql("s1")} / n AS mu,
+         sqrt(greatest({_dec_to_double_portable_sql("s2")} / n
+                       - ({_dec_to_double_portable_sql("s1")} / n) * ({_dec_to_double_portable_sql("s1")} / n), 0.0)) AS sigma
   FROM m
 )
 SELECT e.event_id, e.event_type, e.value, s.mu, s.sigma,

@@ -335,34 +335,45 @@ def test_bpe_encode_tokens_matches_python_mirror(spark, words, n_merges):
     assert got == expected
 
 
-def test_zscore_moment_sums_stay_in_decimal64_compact_range():
-    """r9 ADVICE (low): the unrounded zscore outputs rely on Spark's
-    decimal→double cast being bit-identical to DuckDB's — which holds
-    via the shared (double)unscaled/10^scale fast path only while s2's
-    DECIMAL(38,4) unscaled value fits int64 (value ≤ ~9.2e14). Beyond
-    that, Spark's correctly-rounded BigDecimal slow path can differ
-    from DuckDB's int128→double by 1 ulp. Assert the envelope at the
-    LARGEST available SF with a 1000× margin; SCALE.md records the
-    extrapolation (linear in rows/group: ~9.2e6× the sf0.1 corpus
-    before the slow path is reachable)."""
-    import os
-
+def test_zscore_moments_portable_beyond_decimal64_envelope(spark):
+    """r10 verdict item 7: the zscore moments now convert decimal sums
+    to double through the chunked portable path on BOTH engines
+    (aggregations.dec_to_double_portable / the oracle's HUGEINT
+    mirror), so the old measured envelope (per-group Sv^2 unscaled must
+    fit int64) is gone structurally. Exercise the region PAST that
+    envelope: values ~3e7 make a single row's v^2 unscaled ~9e18 (at
+    the int64 edge) and 200 rows push the group sum ~200x beyond it,
+    where the retired guard's fast-path assumption is violated. The
+    full zscore output must still match DuckDB bit-for-bit."""
     import duckdb
 
-    sf_dir = next(
-        d for d in ["/root/testdata/sf0.1", "/root/testdata/sf0.01", "/root/testdata/sf0.001"]
-        if os.path.exists(os.path.join(d, "events.parquet"))
-    )
-    max_s2 = duckdb.sql(
-        f"""SELECT MAX(s2) FROM (
-              SELECT event_type,
-                     SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
-              FROM '{sf_dir}/events.parquet' GROUP BY event_type)"""
-    ).fetchone()[0]
-    compact_bound = 9.2e14  # int64 max / 10^4 scale
-    assert float(max_s2) < compact_bound / 1000, (
-        f"max per-group Σv² {max_s2} at {sf_dir} is within 1000× of the "
-        "decimal64 compact-representation bound — move zscore moments to "
-        "the floor(x*2^20) quantized-long-sum discipline (see "
-        "operators/quantization.py) before the fast-path envelope breaks"
-    )
+    from rt_bigdata_spark.operators.aggregations import zscore_outliers
+
+    rows = [
+        (i, "g%d" % (i % 2), 3.0e7 + 13.37 * i + (0.01 if i % 7 == 0 else 0.0))
+        for i in range(200)
+    ]
+    # plus a degenerate single-member group (sigma NULL path) and a
+    # negative-value group (sign handling through abs/trunc chunking)
+    rows += [(200, "solo", 123.45)]
+    rows += [(201 + i, "neg", -2.9e7 - 999.99 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id: long, event_type: string, value: double")
+
+    got = {
+        r.event_id: (repr(r.mu), repr(r.sigma), repr(r.zscore), r.is_outlier)
+        for r in zscore_outliers(
+            df, value_col="value", keys=["event_type"], id_col="event_id", z_threshold=2.5
+        ).collect()
+    }
+
+    from rt_bigdata_spark.plans.warehouse import _ORACLE_EVENT_ANOMALIES
+
+    con = duckdb.connect()
+    con.register("events", __import__("pandas").DataFrame(
+        rows, columns=["event_id", "event_type", "value"]
+    ))
+    want = {
+        int(r[0]): (repr(r[3]), repr(r[4]), repr(r[5]), bool(r[6]))
+        for r in con.sql(_ORACLE_EVENT_ANOMALIES).fetchall()
+    }
+    assert got == want

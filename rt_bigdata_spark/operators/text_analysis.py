@@ -745,6 +745,99 @@ def bigram_surprisal(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    k: float = 0.5,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the
+    log importance ratio ln p_target(x)/p_raw(x) under hashed-bigram
+    bag-of-ngrams models of a TARGET slice (``target``, a boolean
+    Column over the input rows — e.g. a trusted high-quality source)
+    and the RAW corpus. Documents whose feature profile looks like the
+    target score high; downstream resampling (``token_budget`` /
+    ``stratified_sample``) selects by this score. This is the standard
+    cheap alternative to a trained quality classifier for steering a
+    100 TB pretraining mix toward a reference distribution.
+
+    Model: bigrams hash into ``num_buckets`` buckets (the paper's
+    dimensionality-capping trick — the stats table is O(buckets), not
+    O(vocab²)); p(b) is add-k smoothed over bucket counts,
+    lr(b) = ln p_t(b) − ln p_r(b), and a doc's score is
+    Σ cnt(b)·lr(b) over its feature counts.
+
+    Plan shape (one feature pass, everything downstream bounded):
+    map-side bigram explode + hash → groupBy(doc, bucket) counts [the
+    only corpus-scale shuffle] → groupBy(bucket) raw/target counts
+    (``num_buckets`` rows) → 1-row totals broadcast-crossJoined on —
+    the unigram_surprisal/bm25 1-row-stats shape → per-bucket log
+    ratios broadcast back onto the doc-bucket counts → groupBy(doc).
+    The feature subplan appears on three logical branches, but the
+    FINAL adaptive plan reuses both its exchange and the stats
+    exchange (measured r11: ReusedExchange ×2, isFinalPlan=true), so
+    the corpus is scanned/exploded once per run. At 100 TB the stats
+    table is a few KB regardless of corpus size: the two broadcasts
+    are the whole cross-stage data flow.
+
+    Determinism discipline: counts are integers; lr is ln of exact
+    integer ratios (cross-engine ln parity relied on by the green
+    ``bigram_surprisal``); the per-doc float sum rounds to 6 decimals
+    (the repo's float-agg convention) so partial-sum order can't leak
+    into the hash compare. Docs with <2 tokens have no features and
+    emit no row.
+    """
+    # Raw 32-bit md5 prefix (the _duck_md5_32 oracle idiom) — NOT
+    # dedup._shingle_hash, whose extra % MINHASH_PRIME would change the
+    # bucket mapping.
+    def _bucket_hash(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    bigram_list = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    feats = (
+        ensure_parallelism(df)
+        .filter(n >= 2)
+        .select(
+            F.col(id_col),
+            target.alias("is_t"),
+            F.explode(bigram_list).alias("bigram"),
+        )
+        .select(
+            id_col,
+            "is_t",
+            (_bucket_hash(F.col("bigram")) % F.lit(num_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_raw"),
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+    )
+    totals = stats.agg(F.sum("c_raw").alias("r_tot"), F.sum("c_t").alias("t_tot"))
+    kb = F.lit(float(k) * num_buckets)
+    lr = F.log((F.col("c_t") + F.lit(k)) / (F.col("t_tot") + kb)) - F.log(
+        (F.col("c_raw") + F.lit(k)) / (F.col("r_tot") + kb)
+    )
+    ratios = stats.crossJoin(F.broadcast(totals)).select("bucket", lr.alias("lr"))
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_features"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 6).alias("log_importance"),
+        )
+    )
+
+
 def winnow_match_pairs(
     df: DataFrame,
     k: int = 5,

@@ -2330,6 +2330,62 @@ GROUP BY doc_id
 """
 
 
+_DSIR_K = 0.5
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_SOURCE = "src0"  # the "trusted reference slice" stand-in
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection scores (text_analysis.dsir_importance):
+    hashed-bigram importance ratios ln p_target/p_raw per document,
+    with the ``{_DSIR_TARGET_SOURCE}`` source as the target slice —
+    the importance-resampling front-end (Xie et al. 2023) that steers
+    a pretraining mix toward a reference distribution without a
+    trained classifier."""
+    from rt_bigdata_spark.operators.text_analysis import dsir_importance
+
+    return dsir_importance(
+        load_table(spark, sf_dir, "documents"),
+        target=F.col("source") == _DSIR_TARGET_SOURCE,
+        k=_DSIR_K,
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, source = '{_DSIR_TARGET_SOURCE}' AS is_t,
+         {_DUCK_TOKS_COALESCED} AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, is_t,
+         UNNEST([array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+feat AS (
+  SELECT doc_id, is_t, {_duck_md5_32("bigram")} % {_DSIR_BUCKETS} AS bucket, COUNT(*) AS cnt
+  FROM bg GROUP BY doc_id, is_t, bucket
+),
+stats AS (
+  SELECT bucket, SUM(cnt) AS c_raw,
+         SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS c_t
+  FROM feat GROUP BY bucket
+),
+tot AS (SELECT SUM(c_raw) AS r_tot, SUM(c_t) AS t_tot FROM stats),
+ratios AS (
+  SELECT bucket,
+         LN((c_t + {_DSIR_K}) / (t_tot + {_DSIR_K} * {_DSIR_BUCKETS}))
+         - LN((c_raw + {_DSIR_K}) / (r_tot + {_DSIR_K} * {_DSIR_BUCKETS})) AS lr
+  FROM stats CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_features,
+       ROUND(SUM(cnt * lr), 6) AS log_importance
+FROM feat JOIN ratios USING (bucket)
+GROUP BY doc_id
+"""
+
+
 _ME_DIM = 16
 
 
@@ -3246,6 +3302,9 @@ for spec in [
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
     QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
+    # r11 addition: never driver-verified -> must enter the window now
+    # (scalar_datetime, thrice-green trivia, yielded its slot).
+    QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=10),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;

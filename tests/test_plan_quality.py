@@ -205,6 +205,9 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "ivf_nprobe_sweep",  # broadcast query set (vec_id < 5) — the
         # exact arm (recall denominator) is ann_cosine_topk's own shape;
         # everything downstream is k·|Q| pair rows
+        "dsir_importance",  # broadcast 1-row feature totals (r_tot,
+        # t_tot) onto the num_buckets-row stats table — the
+        # unigram_surprisal/bm25 1-row-stats shape
     }
     offenders = [
         n for n, pl in plans.items()

@@ -377,3 +377,67 @@ def test_zscore_moments_portable_beyond_decimal64_envelope(spark):
         for r in con.sql(_ORACLE_EVENT_ANOMALIES).fetchall()
     }
     assert got == want
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """dsir_importance against an exact pure-Python reimplementation of
+    the hashed-bigram DSIR formula (same md5-derived buckets, same
+    add-k smoothing) on a small corpus with a designated target slice —
+    pins the feature hashing, the count plumbing, and the log-ratio
+    algebra independently of the DuckDB oracle."""
+    import hashlib
+    import math
+    import re as _re
+    from collections import Counter
+
+    from rt_bigdata_spark.operators.text_analysis import dsir_importance
+
+    K, B = 0.5, 64
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog", "target"),
+        (1, "spark shuffles wide joins across the cluster", "raw"),
+        (2, "the quick brown fox naps under the quiet tree", "raw"),
+        (3, "gradient descent updates the model weights", "target"),
+        (4, "one", "raw"),           # <2 tokens: no features, no row
+        (5, None, "raw"),            # NULL text: no row
+        (6, "the the the the", "raw"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string, source: string")
+    got = {
+        r.doc_id: (r.n_features, r.log_importance)
+        for r in dsir_importance(
+            df, target=F.col("source") == "target", k=K, num_buckets=B
+        ).collect()
+    }
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % B
+
+    feat: dict[int, Counter] = {}
+    for doc_id, text, _ in docs:
+        toks = [t for t in _re.split(r"[^\w]+", (text or "").lower()) if t]
+        if len(toks) >= 2:
+            feat[doc_id] = Counter(
+                bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])
+            )
+    c_raw: Counter = Counter()
+    c_t: Counter = Counter()
+    for doc_id, _, src in docs:
+        for b, c in feat.get(doc_id, {}).items():
+            c_raw[b] += c
+            if src == "target":
+                c_t[b] += c
+    r_tot, t_tot = sum(c_raw.values()), sum(c_t.values())
+    lr = {
+        b: math.log((c_t[b] + K) / (t_tot + K * B))
+        - math.log((c_raw[b] + K) / (r_tot + K * B))
+        for b in c_raw
+    }
+    want = {
+        doc_id: (
+            sum(cs.values()),
+            round(sum(c * lr[b] for b, c in cs.items()), 6),
+        )
+        for doc_id, cs in feat.items()
+    }
+    assert got == want

@@ -41,8 +41,11 @@ MUST_BE_IN_WINDOW = {
     "salted_enrichment",
     "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
     "embedding_tau_sweep",
+    # --- r11 new registration (scalar_datetime — thrice-green trivial
+    # scalar family — yielded its slot to it) ---
+    "dsir_importance",
     # --- r11 keepers: 3-4 greens, held one more round ---
-    "json_props", "keyword_c2r", "language_id", "scalar_datetime",
+    "json_props", "keyword_c2r", "language_id",
     "session_stats", "sliding_stats", "token_stats",
     "bounce_detection", "is_new_correction", "log_split", "order_wide",
     "order_wide_enriched", "pricing_summary", "product_stats",

@@ -22,6 +22,12 @@ import pytest
 
 from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
 
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 _ensure_loaded()
 SF = "/root/testdata/sf0.01"
 

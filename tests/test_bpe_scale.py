@@ -18,6 +18,12 @@ import re
 
 import pytest
 
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 
 def _python_bpe_len(tok: str, merges: list[tuple[str, str]]) -> int:
     """Greedy non-overlapping left-to-right application, one pass per

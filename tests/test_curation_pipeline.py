@@ -12,6 +12,12 @@ import pytest
 
 from rt_bigdata_spark.pipelines import curate_training_corpus
 
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 BASE = " ".join(f"w{i}" for i in range(30))  # 30 distinct tokens
 PROBE2_TAIL = "followed by quite a few more benign trailing filler tokens attached"
 

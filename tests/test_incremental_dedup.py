@@ -11,6 +11,14 @@ import pyspark.sql.functions as F
 
 from rt_bigdata_spark.operators.dedup import incremental_exact_dedup, streaming_exact_dedup
 
+import pytest
+
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")

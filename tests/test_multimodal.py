@@ -13,6 +13,12 @@ from rt_bigdata_spark.operators.multimodal import (
 )
 from rt_bigdata_spark.sources.tables import load_table
 
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def media(spark, sf_dir):

@@ -3,6 +3,8 @@ per-source token budgeting."""
 
 from __future__ import annotations
 
+import pytest
+
 from rt_bigdata_spark.operators.packing import chunk_documents, token_budget_sample
 
 
@@ -182,6 +184,7 @@ def test_token_budget_threshold_matches_exact_form(spark, sf_dir):
     assert fast == exact and len(exact) > 0
 
 
+@pytest.mark.slow
 def test_token_budget_threshold_boundary_buckets(spark):
     """Stress the bucket boundary: with n_buckets=2 most groups have a
     single surviving bucket whose docs straddle the budget, and with a
@@ -197,6 +200,7 @@ def test_token_budget_threshold_boundary_buckets(spark):
             assert fast == exact, f"budget={budget} n_buckets={nb}"
 
 
+@pytest.mark.slow
 def test_token_budget_threshold_zero_token_docs(spark):
     """NULL/empty text docs (0 tokens) are kept while the budget is
     open and dropped after, identically in both forms."""
@@ -210,6 +214,7 @@ def test_token_budget_threshold_zero_token_docs(spark):
         assert fast == exact
 
 
+@pytest.mark.slow
 def test_token_budget_threshold_null_group_rows_survive(spark):
     """ADVICE r6: the bucket-prune join must be null-safe on the group
     key — NULL-group rows form their own budget pool in the exact form

@@ -13,6 +13,7 @@ import os
 import time
 
 import pyspark.sql.functions as F
+import pytest
 
 from rt_bigdata_spark.operators.aggregations import tumbling_window_agg
 from rt_bigdata_spark.operators.projections import explode_displays, parse_json
@@ -40,6 +41,7 @@ def _write(dir_, name, rows):
     time.sleep(0.05)
 
 
+@pytest.mark.slow
 def test_ods_dwd_dws_pipeline(spark, tmp_path):
     src = tmp_path / "ods"
     src.mkdir()

@@ -27,9 +27,24 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark) -> dict[str, str]:
+    """ALL registered plans — ~2 min to build, so only the slow-tier
+    blanket audits use it; targeted tests use plan_for (lazy, cached)."""
     return {name: plan_of(fn(spark, SF_DIR)) for name, fn in queries().items()}
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def plan_for(spark, name: str, mode: str = "formatted") -> str:
+    """Lazy cached plan of ONE registered query — keeps the targeted
+    plan assertions in the <5 min fast tier (r10 verdict item 6)."""
+    key = f"{name}:{mode}"
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = plan_of(queries()[name](spark, SF_DIR), mode=mode)
+    return _PLAN_CACHE[key]
+
+
+@pytest.mark.slow
 def test_no_row_at_a_time_python_udf_anywhere(plans):
     """Every registered query stays JVM-side: no BatchEvalPython (legacy
     per-row Python UDF) in any plan. Arrow-batched Python (MapInPandas /
@@ -43,21 +58,21 @@ def test_no_row_at_a_time_python_udf_anywhere(plans):
     assert all("multimodal" in REGISTRY[n].tags for n in arrow_users), arrow_users
 
 
-def test_dim_enrichment_uses_broadcast_joins(plans):
+def test_dim_enrichment_uses_broadcast_joins(spark):
     """J3: the reference's async-lookup-with-cache apparatus must appear
     as BroadcastHashJoin — a shuffle join over the tiny dims would be the
     100 TB failure mode."""
-    p = plans["order_wide_enriched"]
+    p = plan_for(spark, "order_wide_enriched")
     assert p.count("BroadcastHashJoin") >= 4
-    p2 = plans["province_stats"]
+    p2 = plan_for(spark, "province_stats")
     assert "BroadcastHashJoin" in p2
 
 
-def test_filter_pushdown_reaches_scan(plans):
+def test_filter_pushdown_reaches_scan(spark):
     """Catalyst pushes the pricing_summary shipdate predicate into the
     parquet scan (PushedFilters), so at 100 TB row groups that can't
     match are skipped at the source."""
-    p = plans["pricing_summary"]
+    p = plan_for(spark, "pricing_summary")
     assert "PushedFilters: [" in p
     # at least one real pushed predicate, not just an empty list
     assert any(
@@ -65,26 +80,26 @@ def test_filter_pushdown_reaches_scan(plans):
     ), p[p.index("PushedFilters") : p.index("PushedFilters") + 200]
 
 
-def test_column_pruning_reaches_scan(plans):
+def test_column_pruning_reaches_scan(spark):
     """pricing_summary touches 7 of lineitem's 16 columns; the scan's
     ReadSchema must not include untouched wide columns like l_comment."""
-    p = plans["pricing_summary"]
+    p = plan_for(spark, "pricing_summary")
     assert "l_comment" not in p
     assert "l_quantity" in p
 
 
-def test_aggregates_are_partial_then_final(plans):
+def test_aggregates_are_partial_then_final(spark):
     """A8: map-side partial aggregation before the exchange — two
     HashAggregate nodes around one Exchange for the flagship agg."""
-    p = plans["pricing_summary"]
+    p = plan_for(spark, "pricing_summary")
     assert p.count("HashAggregate") >= 2
     assert "Exchange" in p
 
 
-def test_exact_dedup_is_single_shuffle(plans):
+def test_exact_dedup_is_single_shuffle(spark):
     """dedup_exact is one groupBy on the md5 key: exactly one
     hashpartitioning exchange, nothing else."""
-    p = plans["dedup_exact"]
+    p = plan_for(spark, "dedup_exact")
     assert p.count("hashpartitioning") == 1
 
 
@@ -141,16 +156,16 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
 
-def test_interval_join_avoids_cartesian(plans):
+def test_interval_join_avoids_cartesian(spark):
     """J1: the order⋈detail interval join has an equi key (order id), so
     the planner must use a keyed join (SMJ/SHJ), never
     BroadcastNestedLoopJoin/CartesianProduct over the fact tables."""
-    p = plans["order_wide"]
+    p = plan_for(spark, "order_wide")
     assert "CartesianProduct" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
 
 
-def test_ngram_jaccard_registered_query_is_df_capped(plans):
+def test_ngram_jaccard_registered_query_is_df_capped(spark):
     """The registered dedup-discovery query must carry the stop-shingle
     document-frequency cap (textops._JACCARD_DF_CAP) — the uncapped
     shingle self-join is the named 100 TB hazard (a shingle in k docs
@@ -158,30 +173,31 @@ def test_ngram_jaccard_registered_query_is_df_capped(plans):
     on the shingle df column in the physical plan."""
     from rt_bigdata_spark.plans.textops import _JACCARD_DF_CAP
 
-    assert f"<= {_JACCARD_DF_CAP}" in plans["ngram_jaccard"]
-    assert "NestedLoopJoin" not in plans["ngram_jaccard"]
+    assert f"<= {_JACCARD_DF_CAP}" in plan_for(spark, "ngram_jaccard")
+    assert "NestedLoopJoin" not in plan_for(spark, "ngram_jaccard")
 
 
-def test_embedding_dedup_lsh_is_cell_bucketed_not_nested_loop(plans):
+def test_embedding_dedup_lsh_is_cell_bucketed_not_nested_loop(spark):
     """The flagship-scale embedding dedup (LSH→exact-verify pipeline)
     must pair rows via an equi-join on the (table, bucket) cell — never
     a corpus-wide nested-loop/cartesian join. (Locally the tiny cell
     table broadcasts; at scale the same equi-join shuffles on the cell
     key — both are the bucketed shape.)"""
-    p = plans["embedding_dedup_lsh"]
+    p = plan_for(spark, "embedding_dedup_lsh")
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
 
 
-def test_embedding_dedup_verify_is_hash_joins_not_nested_loop(plans):
+def test_embedding_dedup_verify_is_hash_joins_not_nested_loop(spark):
     """Since round 5 ``embedding_dedup`` is the two-stage pipeline
     (LSH candidates → exact rescore of the candidate subset): its plan
     must contain ONLY equi joins — the raw O(n²) all-pairs kernel
     (``dedup.embedding_near_dup_pairs``) stays unregistered."""
-    p = plans["embedding_dedup"]
+    p = plan_for(spark, "embedding_dedup")
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+@pytest.mark.slow
 def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
     """No registered query may pair the corpus against itself with a
     nested-loop/cartesian join. The only sanctioned NL joins broadcast
@@ -227,25 +243,25 @@ def test_filtered_ann_indexed_prunes_partitions_and_semi_joins(spark):
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
-def test_paragraph_dedup_is_single_scan_no_joins(plans):
+def test_paragraph_dedup_is_single_scan_no_joins(spark):
     """paragraph_dedup must stay the one-scan two-agg shape: the naive
     chunk->keeper->join-back->totals composition plans THREE
     scan+tokenize+explode branches (the tokenize kernel 3x); the
     rewrite carries n_chunks on chunk rows and keeps full rows in the
     min(struct) keeper, so no join ever re-reads the corpus."""
-    p = plans["paragraph_dedup"]
+    p = plan_for(spark, "paragraph_dedup")
     assert p.count("Scan parquet") + p.count("FileScan") <= 2, p  # formatted lists the node once + details
     assert "Join" not in p, p
 
 
-def test_token_budget_threshold_prunes_before_the_sort(plans):
+def test_token_budget_threshold_prunes_before_the_sort(spark):
     """The 100 TB token-budget form must NOT contain a per-source full
     sort of the corpus: the exact window's input has to be the
     broadcast bucket-prune join (candidates ~ budget tokens per
     source), i.e. in the printed tree the first Window sits ABOVE a
     BroadcastHashJoin. The exact form (token_budget) windows the raw
     scan directly — that sort-everything shape must be absent here."""
-    p = plans["token_budget_threshold"]
+    p = plan_for(spark, "token_budget_threshold")
     tree = p.split("(1) Scan")[0]
     first_window = tree.index("Window")
     join = tree.index("BroadcastHashJoin")
@@ -259,6 +275,7 @@ def test_token_budget_threshold_prunes_before_the_sort(plans):
     assert tree.index("Window", first_window + 1) > bcast, tree
 
 
+@pytest.mark.slow
 def test_no_registered_query_sorts_a_full_group_partition(plans):
     """The r6-verdict blanket ban: no registered plan may contain a
     window that sorts a whole per-group partition by an md5-priority
@@ -287,7 +304,7 @@ def test_no_registered_query_sorts_a_full_group_partition(plans):
     assert not offenders, f"full-group md5-order windows (unbucketed sorts): {offenders}"
 
 
-def test_pack_and_sample_windows_are_bucket_decomposed(plans):
+def test_pack_and_sample_windows_are_bucket_decomposed(spark):
     """concat_pack, mix_schedule, stratified_sample (and global_shuffle)
     must run on the bucket-decomposed kernel: exactly two windows — the
     bounded bucket-offsets window (ordered by _bkt) and the in-bucket
@@ -296,7 +313,7 @@ def test_pack_and_sample_windows_are_bucket_decomposed(plans):
     import re
 
     for name in ("concat_pack", "mix_schedule", "stratified_sample", "global_shuffle"):
-        p = plans[name]
+        p = plan_for(spark, name)
         tree = p.split("(1) Scan")[0]
         specs = re.findall(r"windowspecdefinition\((.*?), specifiedwindowframe", p)
         assert len(specs) == 2, f"{name}: expected offsets + in-bucket windows, got {specs}"
@@ -308,20 +325,20 @@ def test_pack_and_sample_windows_are_bucket_decomposed(plans):
         )
 
 
-def test_quality_gate_threshold_has_no_corpus_sort(plans):
+def test_quality_gate_threshold_has_no_corpus_sort(spark):
     """quality_gate_threshold exists to REPLACE quality_gate's
     per-source percent_rank sort: its plan must be a tiny percentile
     aggregate broadcast back onto the scan — no Window, no Sort over
     the corpus (the only sort the exact form needs is inside the
     window)."""
-    p = plans["quality_gate_threshold"]
+    p = plan_for(spark, "quality_gate_threshold")
     assert "Window" not in p, p
     assert "BroadcastHashJoin" in p, p
-    exact = plans["quality_gate"]
+    exact = plan_for(spark, "quality_gate")
     assert "Window" in exact  # the contrast this variant removes
 
 
-def test_salted_enrichment_plan_shape(plans):
+def test_salted_enrichment_plan_shape(spark):
     """r7 verdict item 3: the registered skew mitigation must actually
     route through the salt — the dim side's literal-range explode
     (Generate explode) is in the plan, and the join condition carries
@@ -329,7 +346,7 @@ def test_salted_enrichment_plan_shape(plans):
     the simple-mode plan, where join keys print inline)."""
     from __spark_entry__ import queries
 
-    p = plans["salted_enrichment"]
+    p = plan_for(spark, "salted_enrichment")
     # 16x dim replication: a Generate node whose generator is explode
     # (formatted mode prints the node name and the generator detail
     # in separate sections)
@@ -376,6 +393,7 @@ def test_windowgrouplimit_protects_naive_rank_filter(spark):
     assert "WindowGroupLimit" not in plan_of(exposed)
 
 
+@pytest.mark.slow
 def test_bounded_windows_carry_literal_partition_key(spark):
     """r7 verdict item 6: the three provably-bounded one-partition
     windows (key_skew_profile's top-N rank, bucketed_group_order's
@@ -416,29 +434,29 @@ def test_bounded_windows_carry_literal_partition_key(spark):
     assert not offenders, offenders
 
 
-def test_pq_distortion_is_joinless_constant_agg(plans):
+def test_pq_distortion_is_joinless_constant_agg(spark):
     """pq_distortion's plan must be ONE corpus scan into a global
     (keyless) HashAggregate whose single row unpivots via Generate —
     no Join anywhere (codebooks/norms are literals), and no per-row
     Python. A Join or a grouped shuffle here would mean the audit
     stopped being the free by-product it is designed to be."""
-    p = plans["pq_distortion"]
+    p = plan_for(spark, "pq_distortion")
     assert "Join" not in p, p
     assert "Generate" in p, p  # the m-row unpivot of the 1-row agg
     assert "HashAggregate" in p, p
 
 
-def test_ivfpq_cell_stats_reads_only_partition_metadata(plans):
+def test_ivfpq_cell_stats_reads_only_partition_metadata(spark):
     """The occupancy audit counts rows per partition directory — its
     scan must read ZERO data columns (ReadSchema: struct<>; `cell` is
     the partition column, served from directory names), and the 1-row
     totals frame must come back via a broadcast, not a shuffle."""
-    p = plans["ivfpq_cell_stats"]
+    p = plan_for(spark, "ivfpq_cell_stats")
     assert "ReadSchema: struct<>" in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
 
 
-def test_ivfpq_rerank_stage2_is_pruned_and_broadcast(plans):
+def test_ivfpq_rerank_stage2_is_pruned_and_broadcast(spark):
     """Two-stage retrieval: stage 1's index scan stays partition-pruned
     to the probed cells (PartitionFilters carries a cell filter), and
     stage 2's true-vector fetch joins via broadcast (the shortlist and
@@ -447,7 +465,7 @@ def test_ivfpq_rerank_stage2_is_pruned_and_broadcast(plans):
     two-stage design exists to avoid."""
     import re as _re
 
-    p = plans["ivfpq_rerank_topk"]
+    p = plan_for(spark, "ivfpq_rerank_topk")
     assert _re.search(r"PartitionFilters: \[[^\]]*cell(#\d+)? IN", p), p
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p

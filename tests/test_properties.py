@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from rt_bigdata_spark.operators.text_analysis import (
@@ -243,6 +244,7 @@ def test_scd2_merge_equals_rebuild_for_arbitrary_histories(spark, rows, cutoff_d
     st.integers(min_value=1, max_value=20),                      # prune_rank
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_bucketed_group_order_equals_naive_window(spark, rows, n_buckets, prune_rank):
     """The kernel's contract, property-tested directly: for arbitrary
     (id, group incl. NULL, value) rows and ANY bucket count (including

@@ -15,6 +15,12 @@ import pytest
 
 from tests.conftest import SF_DIR
 
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 
 def _emb(spark, n=200):
     from rt_bigdata_spark.sources.tables import load_table

@@ -37,6 +37,12 @@ from rt_bigdata_spark.streaming.sinks import (
 )
 from tests.conftest import SF_DIR
 
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 N_DOCS = 48
 
 

@@ -16,6 +16,14 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from rt_bigdata_spark.operators.joins import interval_join
 
+import pytest
+
+# Heavy tier (r10 verdict item 6): excluded from the <5 min inner
+# loop (`pytest -m "not slow"`); the full suite still runs once per
+# round and in any timing-isolated window.
+pytestmark = pytest.mark.slow
+
+
 ORDER_SCHEMA = StructType(
     [
         StructField("order_id", LongType()),

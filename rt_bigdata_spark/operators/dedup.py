@@ -392,18 +392,93 @@ def embedding_tau_sweep(
     (the embedding_near_dup_lsh contract), and every τ sees the same
     verified sim — so the curve is exactly what |pairs(τ)| would be
     from per-τ runs at recall fixed by the floor-τ LSH parameters.
-    Output: (tau, n_pairs, n_docs_with_dup), zero-filled."""
+    Output: (tau, n_pairs, n_docs_with_dup), zero-filled.
+
+    EXACT-DUPLICATE COLLAPSE (r11, found by the 30× probe): a corpus
+    where vectors repeat in D-way exact-duplicate cliques has a pair
+    set that grows ~D² per clique — the 30× replica (every vector ×30)
+    blew the verified pair set from 2.7 k to 3.34 M rows (1216×) and
+    the sweep from ~4.4 s to ~110 s. Pair ENUMERATION must pay that
+    (the output is the pairs — embedding_dedup_lsh's contract), but a
+    COUNT-ONLY sweep need not: group bit-identical vectors first
+    (multiplicity m), run LSH discovery over the distinct vectors
+    only, and recover the raw-corpus counts combinatorially —
+    C(m,2) within-group pairs at sim 1.0 (≥ every τ ≤ 1), m_a·m_b per
+    cross-group pair at its (identical) verified sim, and
+    docs-with-dup = Σm over groups with m ≥ 2 plus the m = 1 groups
+    touched by a cross pair at τ. Bit-exact the same curve (identical
+    vectors collide in identical cells and verify to the identical
+    cosine, so discovery recall is unchanged — the unchanged naive
+    DuckDB oracle pins this), while the pair set stays at
+    distinct-vector scale however duplicate-heavy the corpus."""
     if not taus:
         raise ValueError("taus grid must be non-empty")
     floor_t = min(taus)
-    # The pair persist is OWNED and dropped by _pair_threshold_counts
-    # once the grid-size curve materializes (embedding_near_dup_lsh
-    # itself persists nothing).
-    pairs = embedding_near_dup_lsh(
-        df, threshold=floor_t, id_col=id_col, vec_col=vec_col,
-        num_planes=num_planes, num_tables=num_tables, dim=dim, seed=seed,
-    ).select("id_a", "id_b", "sim").persist()
-    return _pair_threshold_counts(pairs, taus, "sim", "id_a", "id_b", "tau", owned=(pairs,))
+    spark = df.sparkSession
+    # Collapse exact duplicates: one groupBy on the raw vector bytes.
+    groups = (
+        df.groupBy(F.col(vec_col).alias("_vec"))
+        .agg(F.min(F.col(id_col)).alias("_rep"), F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
+    reps = groups.select(F.col("_rep").alias(id_col), F.col("_vec").alias(vec_col))
+    # Within-group contributions are τ-independent (sim is exactly 1.0
+    # by identity): ONE bounded 1-row aggregate, folded in after the
+    # collect below.
+    w_row = groups.filter(F.col("m") >= 2).agg(
+        F.coalesce(F.sum(F.col("m") * (F.col("m") - 1) / 2), F.lit(0)).cast("long").alias("w_pairs"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("w_docs"),
+    ).collect()[0]
+    mult = groups.select("_rep", "m")
+    pairs = (
+        embedding_near_dup_lsh(
+            reps, threshold=floor_t, id_col=id_col, vec_col=vec_col,
+            num_planes=num_planes, num_tables=num_tables, dim=dim, seed=seed,
+        )
+        .join(mult.select(F.col("_rep").alias("id_a"), F.col("m").alias("m_a")), "id_a")
+        .join(mult.select(F.col("_rep").alias("id_b"), F.col("m").alias("m_b")), "id_b")
+        .select("id_a", "id_b", "sim", "m_a", "m_b")
+        .persist()
+    )
+    ts = sorted({float(t) for t in taus})
+    grid_arr = F.array(*[F.lit(t) for t in ts])
+    hits = pairs.select(
+        F.explode(F.filter(grid_arr, lambda t: F.col("sim") >= t)).alias("tau"),
+        "id_a", "id_b", "m_a", "m_b",
+    )
+    pair_counts = hits.groupBy("tau").agg(
+        F.sum(F.col("m_a") * F.col("m_b")).alias("x_pairs")
+    )
+    # m=1 groups newly involved at τ (m≥2 groups are already counted in
+    # w_docs regardless of cross pairs — don't double count).
+    doc_counts = (
+        hits.select(
+            "tau",
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("_doc"), F.col("m_a").alias("_m")),
+                    F.struct(F.col("id_b").alias("_doc"), F.col("m_b").alias("_m")),
+                )
+            ).alias("dm"),
+        )
+        .filter(F.col("dm._m") == 1)
+        .groupBy("tau")
+        .agg(F.countDistinct("dm._doc").alias("x_docs"))
+    )
+    grid = spark.createDataFrame([(t,) for t in ts], "tau: double")
+    curve = (
+        grid.join(pair_counts, "tau", "left")
+        .join(doc_counts, "tau", "left")
+        .select(
+            "tau",
+            (F.coalesce("x_pairs", F.lit(0)) + F.lit(int(w_row["w_pairs"]))).cast("long").alias("n_pairs"),
+            (F.coalesce("x_docs", F.lit(0)) + F.lit(int(w_row["w_docs"]))).cast("long").alias("n_docs_with_dup"),
+        )
+    )
+    rows = curve.collect()  # ≤ grid size
+    pairs.unpersist()
+    groups.unpersist()
+    return spark.createDataFrame(rows, curve.schema)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

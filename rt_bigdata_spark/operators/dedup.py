@@ -263,6 +263,100 @@ def _lsh_pairs_from_signatures(
     )
 
 
+def near_dup_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source near-duplication matrix: for every unordered source
+    pair (source_a ≤ source_b), how many near-dup pairs cross it — the
+    audit that tells a 100 TB curation run WHICH feeds mirror each
+    other (crawl snapshots, syndicated sites, re-uploads) before it
+    picks per-source budgets. Output: (source_a, source_b, n_pairs).
+
+    Count-only consumer ⇒ exact-duplicate collapse (the r11 sweep
+    lesson, SCALE.md): identical texts form cliques whose pair count
+    is quadratic in multiplicity, so the MinHash/LSH discovery runs
+    over DISTINCT texts only and the raw-corpus matrix is recovered
+    combinatorially from per-(text, source) multiplicities —
+    within-clique: C(m_s, 2) same-source + m_s·m_t cross-source pairs
+    (identical texts agree on every hash, est = 1.0 ≥ any threshold
+    ≤ 1); cross-clique: each distinct-text pair (est identical to any
+    member pair's) contributes m_a(s)·m_b(t) for every source combo.
+    Bit-exact vs naive pair enumeration (the DuckDB oracle IS the
+    naive form), flat in duplication factor. ``df_cap`` is
+    deliberately unsupported here: a document-frequency cap computed
+    over distinct texts differs from one over the raw corpus, which
+    would break the exactness argument.
+
+    Plan: one text-md5 groupBy [corpus shuffle], the distinct-text LSH
+    pipeline (minhash_lsh_pairs' own shape), two bounded joins of the
+    pair set onto the per-group source counts, one ≤sources²-group
+    agg. Everything after the collapse scales with DISTINCT texts.
+    """
+    base = df.select(
+        F.md5(F.col(text_col)).alias("gkey"),
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("src"),
+    )
+    gsrc = base.groupBy("gkey", "src").agg(
+        F.count(F.lit(1)).alias("m"), F.min("doc").alias("min_doc")
+    ).persist()
+    groups = gsrc.groupBy("gkey").agg(F.min("min_doc").alias("rep"))
+    # one representative row per distinct text (its original text travels)
+    reps = df.select(F.col(id_col), F.col(text_col)).join(
+        groups.select(F.col("rep").alias(id_col)), id_col
+    )
+    # within-clique contributions (est = 1.0 by identity)
+    same_src = gsrc.filter(F.col("m") >= 2).select(
+        F.col("src").alias("source_a"),
+        F.col("src").alias("source_b"),
+        (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("k"),
+    )
+    ga, gb = gsrc.alias("ga"), gsrc.alias("gb")
+    cross_src_within = (
+        ga.join(gb, (F.col("ga.gkey") == F.col("gb.gkey")) & (F.col("ga.src") < F.col("gb.src")))
+        .select(
+            F.col("ga.src").alias("source_a"),
+            F.col("gb.src").alias("source_b"),
+            (F.col("ga.m") * F.col("gb.m")).cast("long").alias("k"),
+        )
+    )
+    # cross-clique contributions via distinct-text LSH pairs; the
+    # signature persist is OWNED here (dropped with gsrc below), not
+    # minhash_lsh_pairs' caller-owned cache
+    sig = minhash_signatures(reps, text_col, id_col, num_hashes).persist()
+    rep2g = groups.select(F.col("rep"), F.col("gkey"))
+    pairs = (
+        _lsh_pairs_from_signatures(sig, num_hashes, bands, threshold)
+        .join(rep2g.select(F.col("rep").alias("doc_a"), F.col("gkey").alias("gkey_a")), "doc_a")
+        .join(rep2g.select(F.col("rep").alias("doc_b"), F.col("gkey").alias("gkey_b")), "doc_b")
+    )
+    cross = (
+        pairs.join(gsrc.select(F.col("gkey").alias("gkey_a"), F.col("src").alias("src_a"), F.col("m").alias("m_a")), "gkey_a")
+        .join(gsrc.select(F.col("gkey").alias("gkey_b"), F.col("src").alias("src_b"), F.col("m").alias("m_b")), "gkey_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            (F.col("m_a") * F.col("m_b")).cast("long").alias("k"),
+        )
+    )
+    out = (
+        same_src.unionByName(cross_src_within)
+        .unionByName(cross)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("k").cast("long").alias("n_pairs"))
+    )
+    rows = out.collect()  # ≤ sources² — bounded by construction
+    gsrc.unpersist()
+    sig.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)
+
+
 def minhash_threshold_sweep(
     df: DataFrame,
     thresholds: "Sequence[float]",

@@ -745,6 +745,56 @@ def bigram_surprisal(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams whose first corpus occurrence (min doc id) is an
+    EARLIER document — the cheap freshness signal a training pipeline
+    reads alongside near-dup rates (a "new" crawl snapshot whose
+    median novelty is near zero is a re-crawl; per-source novelty
+    curves say which feeds still add content). Ingestion order is the
+    id order, the same convention the incremental dedup family keys
+    on.
+
+    Plan: distinct-shingle explode (``dedup.word_shingles`` — the
+    ngram_jaccard tokenization) → min-id per shingle [one vocab-scale
+    shuffle] → join back [second] → per-doc counts [third]. The
+    first-occurrence table is vocab-sized: at 100 TB prune it with a
+    min-df threshold or bucket it exactly like the surprisal family's
+    frequency tables. Counts are integers and the novelty division is
+    one double op per row — no float-sum order anywhere, so the output
+    is unrounded (the repo's standing decision).
+
+    Output: (doc_id, n_grams, n_seen_before, novelty).
+    """
+    from rt_bigdata_spark.operators.dedup import word_shingles
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    first = sh.groupBy("g").agg(F.min("doc").alias("first_doc"))
+    seen = F.sum(F.when(F.col("first_doc") < F.col("doc"), 1).otherwise(0))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            seen.cast("long").alias("n_seen_before"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_seen_before",
+            (F.lit(1.0) - F.col("n_seen_before").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target: Column,

@@ -2330,6 +2330,62 @@ GROUP BY doc_id
 """
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix
+    (dedup.near_dup_source_matrix): near-dup pair counts per unordered
+    source pair, from exact-dup-collapsed MinHash/LSH discovery — the
+    which-feeds-mirror-each-other audit read before setting per-source
+    budgets."""
+    from rt_bigdata_spark.operators.dedup import near_dup_source_matrix
+
+    return near_dup_source_matrix(
+        load_table(spark, sf_dir, "documents"), threshold=0.1
+    )
+
+
+# The naive enumeration form — the collapse algebra must reproduce it
+# bit-exactly (identical texts share signatures, buckets, and est).
+_ORACLE_DUP_SOURCE_MATRIX = f"""
+WITH {_minhash_cand_ctes(32, 8)},
+pairs AS (SELECT doc_a, doc_b FROM cand WHERE est >= 0.1 GROUP BY doc_a, doc_b)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON pairs.doc_a = da.doc_id
+JOIN documents db ON pairs.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty (text_analysis.ngram_novelty):
+    fraction of each doc's distinct 3-gram shingles first seen in an
+    earlier doc — the freshness curve that distinguishes a new crawl
+    from a re-crawl."""
+    from rt_bigdata_spark.operators.text_analysis import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_NGRAM_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+                               FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS g
+  FROM toks
+),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+       1.0 - CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM sh JOIN first USING (g)
+GROUP BY doc_id
+"""
+
+
 _DSIR_K = 0.5
 _DSIR_BUCKETS = 1024
 _DSIR_TARGET_SOURCE = "src0"  # the "trusted reference slice" stand-in
@@ -3302,9 +3358,12 @@ for spec in [
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
     QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
-    # r11 addition: never driver-verified -> must enter the window now
-    # (scalar_datetime, thrice-green trivia, yielded its slot).
+    # r11 additions: never driver-verified -> must enter the window now
+    # (scalar_datetime, json_props, product_stats — thrice-green —
+    # yielded their slots).
     QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=10),
+    QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), priority=10),
+    QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=10),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;

@@ -334,3 +334,87 @@ def test_embedding_tau_sweep_monotone_and_agrees_with_single_run(spark):
     assert rows[1.0].n_pairs >= 1 and rows[1.0].n_docs_with_dup >= 2
     direct = embedding_near_dup_lsh(df, threshold=0.2, dim=4)
     assert rows[0.2].n_pairs == direct.count()
+
+
+def test_source_matrix_collapse_equals_naive_enumeration(spark):
+    """near_dup_source_matrix's exact-duplicate collapse must reproduce
+    the naive pair-enumeration matrix bit-for-bit, including multi-
+    source exact-dup cliques (the case where the combinatorics are
+    easy to get wrong: C(m,2) same-source + m_s*m_t cross-source
+    within a clique, m_a*m_b across cliques)."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_source_matrix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    near = base + " tonight"      # near-dup of base (high jaccard)
+    other = "completely different words about spark shuffles and joins here"
+    rows = (
+        # a 5-member exact clique of `base` spread over 3 sources
+        [(1, base, "s1"), (2, base, "s1"), (3, base, "s2"), (4, base, "s2"), (5, base, "s3")]
+        # a 2-member exact clique of `near` on one source
+        + [(6, near, "s3"), (7, near, "s1")]
+        # singletons
+        + [(8, other, "s2"), (9, other + " extra tail tokens", "s3")]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in near_dup_source_matrix(df, threshold=0.1).collect()
+    }
+
+    src = {doc_id: s for doc_id, _, s in rows}
+    naive: dict[tuple[str, str], int] = {}
+    for r in minhash_lsh_pairs(df, threshold=0.1).collect():
+        a, b = sorted((src[r.doc_a], src[r.doc_b]))
+        naive[(a, b)] = naive.get((a, b), 0) + 1
+    assert got == naive
+    # sanity: the 5-clique alone contributes C(2,2 choose)=1+1 same-src
+    # pairs for s1 and s2 and cross-source pairs — the matrix must have
+    # every source pair of the clique present
+    for key in [("s1", "s1"), ("s2", "s2"), ("s1", "s2"), ("s1", "s3"), ("s2", "s3")]:
+        assert key in got, key
+
+
+def test_ngram_novelty_matches_python_reference(spark):
+    """ngram_novelty against a pure-Python first-occurrence scan with
+    the same distinct-3-gram shingling (short docs collapse to one
+    whole-text shingle, duplicate docs have novelty 0 after the
+    first)."""
+    import re as _re
+
+    from rt_bigdata_spark.operators.text_analysis import ngram_novelty
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),        # exact dup -> novelty 0
+        (3, "zeta eta theta"),                        # single 3-gram, new
+        (4, "alpha beta gamma NEW words here after"),  # partial overlap
+        (5, "tiny"),                                  # < 3 tokens -> whole text
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_seen_before, round(r.novelty, 12))
+        for r in ngram_novelty(df).collect()
+    }
+
+    def shingles(t):
+        toks = [w for w in _re.split(r"[^\w]+", t.lower()) if w]
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    first: dict[str, int] = {}
+    for doc_id, t in texts:
+        for g in sorted(shingles(t)):
+            first.setdefault(g, doc_id)
+    want = {}
+    for doc_id, t in texts:
+        gs = shingles(t)
+        seen = sum(1 for g in gs if first[g] < doc_id)
+        want[doc_id] = (len(gs), seen, round(1.0 - seen / len(gs), 12))
+    assert got == want

@@ -26,7 +26,8 @@ FAST_PARITY = {
     "pricing_summary", "keyword_stats", "order_wide", "product_stats",  # warehouse
     "union_stats", "sales_rollup", "scalar_datetime", "json_props",  # routing/scalar
     "event_anomalies",  # zscore portable-conversion path
-    "dsir_importance",  # r11 addition, pre-first-driver-green
+    # r11 additions, pre-first-driver-green
+    "dsir_importance", "dup_source_matrix", "ngram_novelty",
 }
 
 

@@ -41,14 +41,14 @@ MUST_BE_IN_WINDOW = {
     "salted_enrichment",
     "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
     "embedding_tau_sweep",
-    # --- r11 new registration (scalar_datetime — thrice-green trivial
-    # scalar family — yielded its slot to it) ---
-    "dsir_importance",
+    # --- r11 new registrations (scalar_datetime, json_props,
+    # product_stats — thrice-green — yielded their slots) ---
+    "dsir_importance", "dup_source_matrix", "ngram_novelty",
     # --- r11 keepers: 3-4 greens, held one more round ---
-    "json_props", "keyword_c2r", "language_id",
+    "keyword_c2r", "language_id",
     "session_stats", "sliding_stats", "token_stats",
     "bounce_detection", "is_new_correction", "log_split", "order_wide",
-    "order_wide_enriched", "pricing_summary", "product_stats",
+    "order_wide_enriched", "pricing_summary",
     "shipping_priority", "uv_dedup", "visitor_stats",
     # --- r11 staleness pull-backs (overdue now; last green r04) ---
     "ads_report", "cluster_split", "corpus_profile", "payment_wide",

@@ -18,6 +18,7 @@ from rt_bigdata_spark.functions.datetime_fns import ten_minute_bucket, weekday_z
 from rt_bigdata_spark.functions.text_fns import tokenize, unpivot_counts
 from rt_bigdata_spark.operators.aggregations import (
     conditional_sum,
+    dec_to_double_portable,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -59,6 +60,23 @@ def _money_out(c: str) -> F.Column:
     return F.col(c).cast("double").alias(c)
 
 
+def _dec_to_double_portable_sql(x: str) -> str:
+    """DuckDB mirror of aggregations.dec_to_double_portable: the same
+    three-chunk exact decomposition (HUGEINT // and % are exact; the
+    fraction splits off via trunc) recombined with the identical
+    left-associated IEEE double expression, so wide decimal sums
+    convert bit-identically to Spark instead of through DuckDB's
+    int128→double path."""
+    w = f"CAST(trunc(abs({x})) AS HUGEINT)"
+    return (
+        f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * ("
+        f"CAST({w} // CAST('100000000000000000000' AS HUGEINT) AS DOUBLE) * 1e20"
+        f" + CAST(({w} % CAST('100000000000000000000' AS HUGEINT)) // CAST('10000000000' AS HUGEINT) AS DOUBLE) * 1e10"
+        f" + CAST({w} % CAST('10000000000' AS HUGEINT) AS DOUBLE)"
+        f" + CAST(abs({x}) - trunc(abs({x})) AS DOUBLE))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # pricing_summary — flagship batch aggregation (A6/A8; TPC-H Q1 shape).
 # Exercises filter pushdown, partial+final HashAggregate, exact decimal
@@ -88,8 +106,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
             _money_out("sum_qty"),
             _money_out("sum_base_price"),
-            _money_out("sum_disc_price"),
-            _money_out("sum_charge"),
+            # scale-4/-6 sums cross the 2^53 compact bound FOUR/SIX
+            # orders of magnitude earlier than the scale-2 money
+            # columns (the r11 sf1 sweep caught sum_charge diverging
+            # by 1 ulp at Σ≈5.2e10) — convert through the chunked
+            # engine-portable path instead of a bare cast.
+            dec_to_double_portable(F.col("sum_disc_price")).alias("sum_disc_price"),
+            dec_to_double_portable(F.col("sum_charge")).alias("sum_charge"),
             "count_order",
             "avg_qty",
             "avg_price",
@@ -98,19 +121,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_PRICING = """
+_ORACLE_PRICING = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price_d,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price_d,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+             * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge_d,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-            * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-       COUNT(*) AS count_order,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2002-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sum_qty_d AS DOUBLE) AS sum_qty,
+       CAST(sum_base_price_d AS DOUBLE) AS sum_base_price,
+       {_dec_to_double_portable_sql("sum_disc_price_d")} AS sum_disc_price,
+       {_dec_to_double_portable_sql("sum_charge_d")} AS sum_charge,
+       count_order,
+       CAST(sum_qty_d AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_price_d AS DOUBLE) / count_order AS avg_price
+FROM agg
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -2136,23 +2168,6 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         id_col="event_id",
         z_threshold=_Z_THRESHOLD,
-    )
-
-
-def _dec_to_double_portable_sql(x: str) -> str:
-    """DuckDB mirror of aggregations.dec_to_double_portable: the same
-    three-chunk exact decomposition (HUGEINT // and % are exact; the
-    fraction splits off via trunc) recombined with the identical
-    left-associated IEEE double expression, so wide decimal sums
-    convert bit-identically to Spark instead of through DuckDB's
-    int128→double path."""
-    w = f"CAST(trunc(abs({x})) AS HUGEINT)"
-    return (
-        f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * ("
-        f"CAST({w} // CAST('100000000000000000000' AS HUGEINT) AS DOUBLE) * 1e20"
-        f" + CAST(({w} % CAST('100000000000000000000' AS HUGEINT)) // CAST('10000000000' AS HUGEINT) AS DOUBLE) * 1e10"
-        f" + CAST({w} % CAST('10000000000' AS HUGEINT) AS DOUBLE)"
-        f" + CAST(abs({x}) - trunc(abs({x})) AS DOUBLE))"
     )
 
 

@@ -1188,16 +1188,27 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two r11 sf1-sweep fixes, both invisible below sf1's tie density:
+# (1) gap-boundary convention pinned to Spark's (probed r11): an event
+# at EXACTLY lastTs + gap still merges — session_window splits only
+# when ts - lastTs > gap (the previous `>=` split 3 exact-30-minute
+# ties the engine merges); (2) deterministic tie order: with duplicate
+# (user_id, ts) rows, the lag pass and the cumulative-sum pass each
+# ordered ties ARBITRARILY — the first row's new_s=1 could land
+# mid-tie in the second pass, splitting one session into two with
+# identical bounds. event_id tiebreaks BOTH windows so the two passes
+# agree (session composition itself is tie-order-independent).
 _ORACLE_SESSION = """
 WITH o AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s,
+         event_id
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
 SELECT user_id,

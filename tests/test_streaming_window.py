@@ -138,3 +138,32 @@ def test_session_window_streaming(spark, tmp_path):
         assert rows[("b", "1970-01-01T00:00:20")] == 1  # quiet gap → new session
     finally:
         q.stop()
+
+
+def test_session_window_gap_boundary_is_inclusive_merge(spark):
+    """Version pin for the oracle convention the r11 sf1 sweep exposed:
+    Spark's session_window MERGES an event arriving at EXACTLY
+    lastTs + gap (split only when ts - lastTs > gap). The session_stats
+    oracle mirrors this with a strict `>` — if a Spark upgrade flips
+    the boundary, this fails here instead of as an sf-dependent driver
+    hash mismatch."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, datetime.datetime(2024, 1, 1, 10, 30, 0)),   # exactly gap later
+        (1, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+        (1, datetime.datetime(2024, 1, 1, 12, 30, 1)),   # 1 s past gap
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    out = sorted(
+        (r["session_window"].start, r["count"])
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect()
+    )
+    assert [(s.hour, s.minute, c) for s, c in out] == [
+        (10, 0, 2),   # exact-gap event merged
+        (12, 0, 1),
+        (12, 30, 1),  # past-gap event split
+    ]

@@ -418,3 +418,21 @@ def test_ngram_novelty_matches_python_reference(spark):
         seen = sum(1 for g in gs if first[g] < doc_id)
         want[doc_id] = (len(gs), seen, round(1.0 - seen / len(gs), 12))
     assert got == want
+
+
+def test_sweep_empty_grid_raises_contextual_error(spark):
+    """ADVICE r10: an empty threshold/tau grid must raise a contextual
+    ValueError, not min()'s bare 'empty sequence'."""
+    import pytest
+
+    from rt_bigdata_spark.operators.dedup import (
+        embedding_tau_sweep,
+        minhash_threshold_sweep,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="thresholds grid"):
+        minhash_threshold_sweep(df, [])
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="taus grid"):
+        embedding_tau_sweep(emb, [], dim=2)

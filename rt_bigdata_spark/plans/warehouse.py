@@ -293,11 +293,16 @@ def q_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keeps ``order_count_approx`` — Catalyst then prunes the exact
     COUNT(DISTINCT) expansion out of the plan entirely (asserted in
     tests/test_approx_variants.py), so the audit costs nothing when not
-    selected. Tolerance: ±max(1, 5 % of exact) — 5× the configured rsd.
-    The raw estimate stays accuracy-tested in tests/test_approx_variants.py.
+    selected. Tolerance: ±max(3, 5 % of exact) — 5 % is 5× the
+    configured rsd (the large-n envelope); the absolute floor covers
+    HLL++'s small-cardinality discretization, which the r11 sf1 sweep
+    measured at ±2 across 55 134 groups (worst: estimate 28 for exact
+    30, 88 for 90 — the old ±1 floor flagged exactly those as audit
+    failures while the sketch was behaving as designed). The raw
+    estimate stays accuracy-tested in tests/test_approx_variants.py.
     """
     agged = _province_stats_approx_full(spark, sf_dir)
-    tol = F.greatest(F.lit(1.0), F.col("order_count") * 0.05)
+    tol = F.greatest(F.lit(3.0), F.col("order_count") * 0.05)
     return agged.select(
         "stt",
         "edt",

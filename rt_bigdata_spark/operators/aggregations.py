@@ -337,7 +337,11 @@ def zscore_outliers(
         mu.alias("mu"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
     )
-    joined = df.join(F.broadcast(stats), list(keys))
+    # no broadcast hint: `stats` is one row per distinct key tuple —
+    # bounded only by the CALLER's key cardinality, which this generic
+    # operator cannot promise is small. AQE broadcasts it at runtime
+    # whenever the moments table measures under the threshold.
+    joined = df.join(stats, list(keys))
     # zero-variance guard, explicit on BOTH engines: Spark's x/0.0 is
     # NaN (which compares false) while DuckDB's is NULL — and a raw
     # NaN literal compares GREATER than everything there, so leaving

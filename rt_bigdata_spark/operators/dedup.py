@@ -76,8 +76,10 @@ def ngram_jaccard_pairs(
     Plan shape: explode distinct shingles → hash each to a long
     map-side (xxhash64; the exchange then moves 8-byte keys, not
     strings) → self-equi-join (one shuffle) → per-pair intersection
-    count → Jaccard from inclusion-exclusion. Per-doc size joins are
-    broadcast (one row per doc). The shingle join is the scale hazard —
+    count → Jaccard from inclusion-exclusion. Per-doc size joins carry
+    no broadcast hint — one row per doc is unbounded in the corpus, so
+    AQE decides (broadcasts when genuinely small, shuffles when not).
+    The shingle join is the scale hazard —
     a stop-shingle appearing in k docs creates k² pair rows;
     ``df_cap`` drops shingles whose document frequency exceeds the cap
     BEFORE pairing; intersection and sizes are then both computed over
@@ -105,9 +107,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    # No broadcast hint on the size joins: `sizes` is one row PER INPUT
+    # DOC — unbounded in the corpus. In the operator's documented role
+    # (LSH verify arm over a large candidate set) a forced broadcast is
+    # a driver/executor OOM; AQE broadcasts on its own when the side is
+    # actually small, so the hint only removed its judgment.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("inter")),

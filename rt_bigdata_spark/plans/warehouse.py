@@ -460,8 +460,10 @@ def q_keyword_stats_4product(spark: SparkSession, sf_dir: str) -> DataFrame:
         conditional_sum(F.col("event_type") == "purchase", F.lit(1), F.lit(0)).alias("order_ct"),
     )
     part = load_table(spark, sf_dir, "part")
+    # no broadcast hint: part is SF-scaling (200k rows/SF), not a
+    # constant-size dim — AQE broadcasts it while it actually fits.
     product_stats = counts.join(
-        F.broadcast(part.select("p_partkey", "p_name")),
+        part.select("p_partkey", "p_name"),
         counts["sku_id"] == part["p_partkey"],
     ).select(F.col("p_name").alias("spu_name"), "click_ct", "cart_ct", "order_ct")
     flat = keyword_stats_4product_app(product_stats)
@@ -1420,10 +1422,13 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # no broadcast hint: customer is SF-scaling (150k rows/SF) — at
+    # warehouse scale a forced broadcast OOMs; AQE picks broadcast
+    # whenever the projected 2-column side measures small at runtime.
     spend = (
         orders.groupBy("o_custkey")
         .agg(F.sum(_dec("o_totalprice")).alias("total_spend"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("total_spend").desc(), F.col("o_custkey")
@@ -1532,10 +1537,12 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume (TPC-H Q7 shape): revenue shipped between
     two nations, either direction, per year. Scale-first join order:
     the highly selective nation-pair filter lands on the two TINY
-    nation slices, which broadcast into supplier and customer BEFORE
-    either touches a fact table — so the fact⋈fact shuffle only moves
-    rows belonging to the two nations, not the whole lineitem. The
-    ship-date filter pushes into the parquet scan.
+    nation slices (hint-broadcast: constant 25-row table), which prune
+    supplier and customer BEFORE either touches a fact table — so the
+    fact⋈fact shuffle only moves rows belonging to the two nations,
+    not the whole lineitem. The pruned supp/cust sides themselves are
+    unhinted (they scale with SF); AQE broadcasts them while small.
+    The ship-date filter pushes into the parquet scan.
     """
     a, b = "NATION_1", "NATION_2"
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(a, b))
@@ -1553,10 +1560,14 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # supp/cust are nation-FILTERED but still SF-scaling (2/25 of 10k
+    # and 150k rows per SF) — only the constant 25-row nation slice
+    # keeps its broadcast hint above; these two go unhinted so AQE
+    # broadcasts them exactly while their measured size fits.
     joined = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -2173,9 +2184,10 @@ _Z_THRESHOLD = 2.5
 def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection (aggregations.zscore_outliers):
     per event_type z-scores against DECIMAL-exact population moments
-    (float partial sums would drift across partition layouts), tiny
-    moments table broadcast back — the statistical companion of the
-    rule-based dq_orders suite."""
+    (float partial sums would drift across partition layouts); the
+    per-key moments table joins back unhinted and AQE broadcasts it
+    while small — the statistical companion of the rule-based
+    dq_orders suite."""
     from rt_bigdata_spark.operators.aggregations import zscore_outliers
 
     return zscore_outliers(

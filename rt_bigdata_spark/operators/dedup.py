@@ -38,8 +38,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Docs shorter than ``n`` tokens yield their full token join (one
     shingle) so they still participate in dedup.
+
+    NULL-TEXT CONVENTION (pinned by tests/test_dedup_similarity.py):
+    NULL text ≡ empty text — both yield the single ``''`` shingle, so
+    NULL-text docs participate in dedup as members of the empty-doc
+    clique instead of silently vanishing. The explicit coalesce makes
+    the convention visible (the un-coalesced column arithmetic happened
+    to produce the same clamp) and every DuckDB oracle over this family
+    must tokenize ``COALESCE(text, '')`` to agree — r11 ADVICE caught
+    ``ngram_novelty``'s oracle dropping NULL docs instead.
     """
-    toks = tokenize(text)
+    toks = tokenize(F.coalesce(text, F.lit("")))
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
@@ -228,8 +237,12 @@ def minhash_lsh_pairs(
     # the scan+explode+32-min aggregation runs once. CALLER-OWNED
     # LIFETIME: the cache lives until the session evicts it; the sweep
     # wrapper below owns its own signature persist explicitly and drops
-    # it once its grid-size result materializes. At warehouse scale
-    # this stage would be written to its own table instead.
+    # it once its grid-size result materializes. The leak is BOUNDED at
+    # one entry per session, not one per call — CacheManager keys the
+    # canonical plan, so repeated runs re-hit the same entry (pinned by
+    # tests/test_plan_quality.py::test_minhash_lsh_caller_owned_persist_
+    # is_bounded). At warehouse scale this stage would be written to
+    # its own table instead.
     sig = sig.persist()
     return _lsh_pairs_from_signatures(sig, num_hashes, bands, threshold)
 
@@ -304,7 +317,20 @@ def near_dup_source_matrix(
     pipeline (minhash_lsh_pairs' own shape), two bounded joins of the
     pair set onto the per-group source counts, one ≤sources²-group
     agg. Everything after the collapse scales with DISTINCT texts.
+
+    SOURCE CARDINALITY CONTRACT: the result materializes ≤ sources²
+    rows on the driver (the collect below), sized for FEED-level
+    sources — crawl snapshots, ingestion channels, dataset names
+    (tens to hundreds ⇒ a ≤10⁴-row matrix). Do NOT point it at
+    per-domain or per-URL-prefix "sources" (millions ⇒ a 10¹²-row
+    matrix is not an audit anyone reads); bucket domains into feeds
+    first, or aggregate `minhash_lsh_pairs` output distributed-side.
     """
+    if threshold > 1.0:
+        # within-clique contributions assume est = 1.0 ≥ threshold; a
+        # threshold > 1 would still count them while naive enumeration
+        # returns nothing (r11 ADVICE) — reject rather than diverge.
+        raise ValueError(f"threshold must be <= 1.0, got {threshold}")
     base = df.select(
         F.md5(F.col(text_col)).alias("gkey"),
         F.col(id_col).alias("doc"),
@@ -514,6 +540,12 @@ def embedding_tau_sweep(
     distinct-vector scale however duplicate-heavy the corpus."""
     if not taus:
         raise ValueError("taus grid must be non-empty")
+    if max(taus) > 1.0:
+        # the collapse folds within-clique pairs (sim exactly 1.0) into
+        # EVERY grid value; a τ > 1 would keep that fold while the
+        # naive enumeration excludes the pairs — silent divergence from
+        # the oracle definition (r11 ADVICE). Cosine caps at 1 anyway.
+        raise ValueError(f"taus must be <= 1.0 (cosine ceiling), got max {max(taus)}")
     floor_t = min(taus)
     spark = df.sparkSession
     # Collapse exact duplicates: one groupBy on the raw vector bytes.

@@ -96,19 +96,62 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(round(v, 6)) for v in out[:dim]]
 
 
-def _decode_real(media_type: str, content: bytes):  # pragma: no cover - stub
-    """Plug point for real codecs (PIL / torchaudio / pyav). Not
-    available in this container by design."""
+def _decode_real(media_type: str, content: bytes):
+    """Real-codec plug point. Images decode through PIL when it is
+    installed (import-gated — the test container ships no codecs, so
+    the gate, not the decode, is what runs here); audio/video still
+    need torchaudio / pyav and stay honest NotImplementedError stubs.
+
+    Returns the decoded representation: for images, raw interleaved
+    RGB pixel bytes plus (width, height) — the canonical form every
+    downstream kernel (resize witness, feature extraction) consumes,
+    chosen because it is ENCODING-INVARIANT: the same pixels saved as
+    PNG or BMP decode to identical bytes, so content-addressed dedup
+    keys off what the image IS, not how it was compressed.
+    """
+    if media_type == "image":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "image decode needs PIL (pillow); use stub=True here"
+            ) from exc
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        return img.tobytes(), img.size
     raise NotImplementedError(f"no {media_type} codec installed; use extract_features(stub=True)")
+
+
+def _resize_real(content: bytes, width: int, height: int) -> bytes:
+    """PIL-backed image resize → raw RGB bytes of the resized image.
+
+    NEAREST resampling on purpose: it is pure pixel selection — exact
+    integer arithmetic, bit-identical across PIL versions and
+    platforms — where the interpolating filters (BILINEAR/LANCZOS)
+    have changed rounding between releases. A reproducible fingerprint
+    (``resized_sig`` = md5 of these bytes) matters more to the dedup
+    pipeline than resample quality; swap the filter consciously if a
+    model consumer needs antialiasing, knowing sigs re-key.
+    """
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+    return img.resize((width, height), Image.NEAREST).tobytes()
 
 
 def extract_features(media: DataFrame, stub: bool = True, batch_note_col: str | None = None) -> DataFrame:
     """Per-item feature extraction over Arrow batches (mapInPandas).
 
-    ``stub=True`` (the only runnable mode here) computes deterministic
-    fake features; ``stub=False`` calls the real-codec plug point. The
+    ``stub=True`` computes deterministic fake features over the raw
+    container bytes; ``stub=False`` really DECODES first (PIL-backed
+    for images when pillow is installed — absent from this container,
+    so the branch is exercised by the PIL-gated unit tests and skipped
+    cleanly otherwise) and features the canonical RGB pixel bytes. The
     iterator shape — multiple pandas batches per partition, column
-    pruning pushed into the scan — is the production layout.
+    pruning pushed into the scan — is the production layout either way.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,8 +160,16 @@ def extract_features(media: DataFrame, stub: bool = True, batch_note_col: str | 
             for content, mtype in zip(pdf["content"], pdf["media_type"]):
                 raw = bytes(content)
                 if not stub:
-                    _decode_real(mtype, raw)
-                feats.append(_fake_features(raw))
+                    # real decode → features over the CANONICAL pixel
+                    # bytes: encoding-invariant (PNG and BMP of the
+                    # same image agree), where stub mode hashes the
+                    # container bytes as-is. The encoder itself stays
+                    # the deterministic hash kernel either way — the
+                    # model swap point is _fake_features.
+                    decoded, _dims = _decode_real(mtype, raw)
+                    feats.append(_fake_features(decoded))
+                else:
+                    feats.append(_fake_features(raw))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -150,8 +201,8 @@ def resize_media(
     """Per-item resize over Arrow batches (mapInPandas) — the remaining
     named multimodal kernel (decode / features / RESIZE / frames).
 
-    ``stub=True`` (the only runnable mode here — no codec in the
-    container) emits the target dimensions plus a deterministic
+    ``stub=True`` (the default; the oracle-checked mode) emits the
+    target dimensions plus a deterministic
     witness of the would-be resized bytes: ``resized_sig =
     md5(md5(content_as_text) ‖ ':WxH')`` — the same hex-chain trick as
     ``_fake_features``, so the value is reproducible in ANSI SQL and
@@ -168,7 +219,13 @@ def resize_media(
             for content, mtype in zip(pdf["content"], pdf["media_type"]):
                 raw = bytes(content)
                 if not stub:
-                    _decode_real(mtype, raw)
+                    # real path: sig = md5 of the ACTUAL resized RGB
+                    # bytes (PIL, NEAREST — see _resize_real), the
+                    # dedup-ready fingerprint of the resized image
+                    if mtype != "image":
+                        _decode_real(mtype, raw)  # honest NotImplementedError
+                    sigs.append(hashlib.md5(_resize_real(raw, width, height)).hexdigest())
+                    continue
                 h = hashlib.md5(raw).hexdigest()
                 sigs.append(hashlib.md5(f"{h}:{width}x{height}".encode("ascii")).hexdigest())
             yield pd.DataFrame(

@@ -159,10 +159,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE block: shingle → df-cap → pair → Jaccard ≥ 0.1 (reused by
 # the cluster oracles below, which need the same pair set as edges).
-_JACCARD_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+_JACCARD_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 sh_all AS (
   SELECT doc_id,
-         UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+2], ' '), '')
                                FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS shingle
   FROM toks
 ),
@@ -246,10 +246,10 @@ def _minhash_cand_ctes(num_hashes: int = 32, bands: int = 8) -> str:
         f"MIN((h * {2 * i + 1} + {i * i + 1}) % {p}) AS mh_{i}" for i in range(num_hashes)
     )
     sig_list = "[" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + "]"
-    return f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 sh AS (
   SELECT doc_id,
-         UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+2], ' '), '')
                                FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS shingle
   FROM toks
 ),
@@ -1294,10 +1294,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CONTAMINATION = f"""
-WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 g AS (
   SELECT doc_id,
-         UNNEST(list_distinct([array_to_string(t[i:i+7], ' ')
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+7], ' '), '')
                                FOR i IN generate_series(1, greatest(len(t) - 7, 1))])) AS g
   FROM tl
 ),
@@ -1305,7 +1305,7 @@ ptl AS (SELECT -doc_id - 1 AS probe_id, t[1:27] AS t FROM tl
         WHERE doc_id % 53 = 0 AND len(t) >= 1),
 pg AS (
   SELECT probe_id,
-         UNNEST(list_distinct([array_to_string(t[i:i+7], ' ')
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+7], ' '), '')
                                FOR i IN generate_series(1, greatest(len(t) - 7, 1))])) AS g
   FROM ptl
 )
@@ -2369,10 +2369,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_NGRAM_NOVELTY = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 sh AS (
   SELECT doc_id,
-         UNNEST(list_distinct([array_to_string(t[i:i+2], ' ')
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+2], ' '), '')
                                FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS g
   FROM toks
 ),

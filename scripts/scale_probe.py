@@ -42,7 +42,7 @@ FACTS = {
 }
 
 
-def build(spark, src: str, out: str, factor: int) -> None:
+def build(spark, src: str, out: str, factor: int, exact_dups: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     # one key-space stride shared by orders+lineitem so FKs stay aligned
     strides: dict[str, int] = {}
@@ -62,7 +62,12 @@ def build(spark, src: str, out: str, factor: int) -> None:
         scaled = df.crossJoin(F.broadcast(rep))
         for k in keys:
             scaled = scaled.withColumn(k, F.col(k) + F.col("__rep") * F.lit(stride))
-        if text_col:
+        if text_col and not exact_dups:
+            # near-identical clusters (realistic near-dup shape); with
+            # --exact-dups the suffix is skipped so every replica forms
+            # an EXACT-duplicate clique of size `factor` — the worst
+            # case for pair-enumerating consumers of LSH candidates
+            # (the shape that exposed the r11 tau-sweep quadratic).
             scaled = scaled.withColumn(text_col, F.concat(F.col(text_col), F.lit(" r"), F.col("__rep")))
         scaled.drop("__rep").write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
@@ -73,6 +78,10 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "scaled"))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--exact-dups", action="store_true",
+                    help="replicate document texts WITHOUT the per-copy "
+                    "suffix: exact-dup cliques of size `factor` (worst "
+                    "case for LSH-pair consumers)")
     ap.add_argument("--only", default=None,
                     help="comma-separated spec names: probe only these "
                     "(default: every bench spec)")
@@ -82,7 +91,7 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     if not args.skip_build:
-        build(spark, args.src, args.out, args.factor)
+        build(spark, args.src, args.out, args.factor, exact_dups=args.exact_dups)
 
     specs = [s for s in REGISTRY.values() if s.bench]
     if args.only:

@@ -436,3 +436,58 @@ def test_sweep_empty_grid_raises_contextual_error(spark):
     emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id: long, embedding: array<double>")
     with pytest.raises(ValueError, match="taus grid"):
         embedding_tau_sweep(emb, [], dim=2)
+
+
+def test_sweep_grid_above_cosine_ceiling_raises(spark):
+    """ADVICE r11: the exact-dup collapse folds within-clique pairs
+    (sim/est exactly 1.0) into EVERY grid value — a τ or threshold
+    above 1.0 would keep that fold while naive enumeration excludes
+    the pairs. Both collapse-based operators must reject > 1.0."""
+    from rt_bigdata_spark.operators.dedup import (
+        embedding_tau_sweep,
+        near_dup_source_matrix,
+    )
+
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="<= 1.0"):
+        embedding_tau_sweep(emb, [0.5, 1.1], dim=2)
+    docs = spark.createDataFrame([(1, "a b c", "s0")], "doc_id: long, text: string, source: string")
+    with pytest.raises(ValueError, match="<= 1.0"):
+        near_dup_source_matrix(docs, threshold=1.2)
+
+
+def test_null_text_convention_for_shingle_family(spark):
+    """ADVICE r11: NULL text ≡ empty text across the word_shingles
+    family — one '' shingle, the doc participates in dedup as a member
+    of the empty-doc clique. Pins both the Spark clamp and the
+    coalesced DuckDB oracle so neither can drift alone."""
+    import duckdb
+
+    from rt_bigdata_spark.operators.dedup import word_shingles
+    from rt_bigdata_spark.operators.text_analysis import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None), (3, "")],
+        "doc_id: long, text: string",
+    )
+    sh = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    assert sh[2] == [""] == sh[3]  # NULL clamps exactly like empty
+
+    # ngram_novelty keeps the NULL doc, and its oracle (coalesced
+    # tokenizer) agrees: doc 2 sees the '' shingle first, doc 3 re-sees it
+    out = {r.doc_id: (r.n_grams, r.n_seen_before) for r in ngram_novelty(docs).collect()}
+    assert out[2] == (1, 0) and out[3] == (1, 1)
+
+    from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(REGISTRY["ngram_novelty"].oracle).fetchall()
+    }
+    assert oracle[2] == out[2] and oracle[3] == out[3]

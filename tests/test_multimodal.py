@@ -43,7 +43,12 @@ def test_extract_features_shape_and_determinism(spark, media):
 
 
 def test_extract_features_real_codec_guard(spark, media):
-    with pytest.raises(Exception, match="codec"):
+    # media here is TEXT bytes labeled "image": without PIL the gated
+    # import raises the NotImplementedError guard ("needs PIL"); with
+    # PIL installed the decode itself rejects non-image bytes ("cannot
+    # identify image file"). Either way stub=False must fail loudly,
+    # never silently fall back to the stub kernel.
+    with pytest.raises(Exception, match="PIL|codec|identify"):
         extract_features(media, stub=False).collect()
 
 
@@ -207,5 +212,8 @@ def test_resize_media_stub_witness_and_codec_guard(spark, media):
 
     import pytest as _pt
 
-    with _pt.raises(Exception, match="codec"):
+    # text bytes labeled "image": without PIL the import gate raises
+    # ("needs PIL"); with PIL the decode rejects them ("cannot identify
+    # image file") — stub=False must fail loudly either way.
+    with _pt.raises(Exception, match="PIL|codec|identify"):
         resize_media(media, 32, 32, stub=False).collect()

@@ -496,3 +496,41 @@ def test_sweep_family_leaves_no_unowned_persisted_rdds(spark):
         f"sweep queries left {len(leaked)} persisted RDD(s) cached with no "
         f"owner: ids {sorted(leaked)}"
     )
+
+
+@pytest.mark.slow
+def test_minhash_lsh_caller_owned_persist_is_bounded(spark):
+    """ADVICE r11: minhash_lsh_pairs persists its signature table with a
+    documented caller-owned lifetime — the one sanctioned in-session
+    cache outside the sweeps' owned persists. The accepted leak is ONE
+    entry, not one PER CALL: Spark's CacheManager keys cached plans
+    canonically, so re-running the registered query re-hits the same
+    entry. This pins that bound — if a refactor ever makes the plan
+    non-canonical between runs (e.g. a fresh random seed in the plan),
+    the cache would compound and this fails."""
+    from rt_bigdata_spark.plans.registry import get_queries
+
+    sc = spark.sparkContext
+    q = get_queries()["minhash_lsh"]
+    before = dict(sc._jsc.getPersistentRDDs())
+    assert q(spark, SF_DIR).count() > 0
+    after_one = dict(sc._jsc.getPersistentRDDs())
+    first_run = set(after_one) - set(before)
+    assert len(first_run) <= 1, (
+        f"minhash_lsh should cache at most the signature table, got "
+        f"{len(first_run)} new persisted RDDs"
+    )
+    for _ in range(2):
+        assert q(spark, SF_DIR).count() > 0
+    after_three = dict(sc._jsc.getPersistentRDDs())
+    repeats = set(after_three) - set(after_one)
+    assert not repeats, (
+        f"repeated minhash_lsh runs accumulated {len(repeats)} extra "
+        f"cached RDD(s) — the caller-owned cache must be plan-keyed, "
+        f"not per-invocation"
+    )
+    # leave the session as found: drop the accepted cache entry
+    for rdd_id in first_run:
+        jrdd = dict(sc._jsc.getPersistentRDDs()).get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist()

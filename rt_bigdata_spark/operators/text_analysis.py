@@ -633,12 +633,26 @@ def _bpe_token_ids(
         )
     )
 
-def _winnow_fp_array(text_col: str, k: int, w: int):
-    """Winnowing fingerprint array of a text column (shared kernel of
-    winnow_fingerprints and winnow_match_pairs — the gram hashing and
-    window-min selection must be ONE definition or the cross-engine
-    hash-match contract silently splits). Returns (n_grams, fps)
-    column expressions; fps is distinct, unsorted."""
+def _winnow_fp_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Winnowing fingerprint table ``(id, n_grams, fps)`` — the shared
+    kernel of winnow_fingerprints and winnow_match_pairs (the gram
+    hashing and window-min selection must be ONE definition or the
+    cross-engine hash-match contract silently splits). ``fps`` is
+    distinct, unsorted.
+
+    STAGED MATERIALIZATION, load-bearing: higher-order-function lambdas
+    are evaluated interpreted with NO loop-invariant hoisting (the
+    media_pseudo_embedding lesson) — with the gram array inlined as an
+    expression, every window-min lambda recomputed ALL the gram md5s
+    (O(n_grams²) hashes per doc), and every consumer of the fps
+    expression paid that again. Aliasing grams and fps as real columns
+    between projections makes each array compute once per row:
+    CollapseProject declines to merge a projection whose alias is
+    consumed more than once by non-cheap expressions, so the boundary
+    holds. Measured at sf0.1: 32.5 s → ~1 s for the registered
+    winnow_fingerprint query, identical output."""
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     grams = F.transform(
@@ -647,14 +661,19 @@ def _winnow_fp_array(text_col: str, k: int, w: int):
             F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8), 16, 10
         ).cast("long"),
     )
-    n_grams = F.size(grams)
+    g = F.col("_grams")
     fps = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams - w + 1, F.lit(1))),
-            lambda j: F.array_min(F.slice(grams, j, w)),
+            F.sequence(F.lit(1), F.greatest(F.size(g) - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(g, j, w)),
         )
     )
-    return n_grams, fps
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), grams.alias("_grams"))
+        .select(F.col(id_col), F.size(g).alias("n_grams"), fps.alias("_fps"))
+        .select(F.col(id_col), "n_grams", F.col("_fps").alias("fps"))
+    )
 
 
 def winnow_fingerprints(
@@ -684,12 +703,12 @@ def winnow_fingerprints(
     one gram (short-doc exact matching, same convention as
     word_shingles).
     """
-    n_grams, fps_unsorted = _winnow_fp_array(text_col, k, w)
-    fps = F.array_sort(fps_unsorted)
-    return ensure_parallelism(df).select(
+    base = _winnow_fp_frame(df, id_col, text_col, k, w)
+    fps = F.array_sort(F.col("fps"))
+    return base.select(
         F.col(id_col),
-        n_grams.alias("n_grams"),
-        F.size(fps).alias("n_fingerprints"),
+        "n_grams",
+        F.size("fps").alias("n_fingerprints"),
         F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))).alias(
             "fp_digest"
         ),
@@ -840,6 +859,24 @@ def dsir_importance(
     into the hash compare. Docs with <2 tokens have no features and
     emit no row.
     """
+    feats = dsir_doc_features(df, target, num_buckets, text_col, id_col)
+    stats = dsir_bucket_stats(feats)
+    return dsir_score(feats, stats, k, num_buckets, id_col)
+
+
+def dsir_doc_features(
+    df: DataFrame,
+    target: Column,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR stage 1 — per-doc hashed-bigram feature counts:
+    ``(id, is_t, bucket, cnt)``. The only corpus-scale work in the
+    whole DSIR family; split out so the streaming maintenance sink and
+    the batch operator share ONE feature definition (hash, tokenize,
+    bigram, bucket) and can never drift."""
+
     # Raw 32-bit md5 prefix (the _duck_md5_32 oracle idiom) — NOT
     # dedup._shingle_hash, whose extra % MINHASH_PRIME would change the
     # bucket mapping.
@@ -852,7 +889,7 @@ def dsir_importance(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    feats = (
+    return (
         ensure_parallelism(df)
         .filter(n >= 2)
         .select(
@@ -868,9 +905,59 @@ def dsir_importance(
         .groupBy(id_col, "is_t", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    stats = feats.groupBy("bucket").agg(
+
+
+def dsir_bucket_stats(feats: DataFrame) -> DataFrame:
+    """DSIR stage 2 — the per-bucket model counts ``(bucket, c_raw,
+    c_t)``: ≤ num_buckets rows, a pure commutative MONOID (integer
+    sums), which is exactly what makes streaming maintenance possible —
+    per-batch stats merge by cell-wise addition into the corpus stats
+    (``streaming.sinks.dsir_maintenance_sink``)."""
+    return feats.groupBy("bucket").agg(
         F.sum("cnt").alias("c_raw"),
         F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+    )
+
+
+def merge_dsir_stats(states: "Sequence[DataFrame]") -> DataFrame:
+    """Merge per-slice DSIR bucket stats by cell-wise sum — the monoid
+    op for the maintenance sink. Associative and commutative by
+    construction; ≤ num_buckets output rows."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(
+        F.sum("c_raw").alias("c_raw"), F.sum("c_t").alias("c_t")
+    )
+
+
+def dsir_score(
+    feats: DataFrame,
+    stats: DataFrame,
+    k: float = 0.5,
+    num_buckets: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR stage 3 — score docs' feature counts against a stats table
+    (freshly computed OR read from the maintenance sink's state): add-k
+    smoothed log ratios per bucket, Σ cnt·lr per doc. ``stats`` is
+    O(num_buckets) → both joins broadcast; scoring NEW docs against a
+    maintained corpus model costs one feature pass over the new docs
+    only — the no-corpus-re-scan contract.
+
+    The stats are densified onto the full bucket spine first (zeros for
+    buckets the model never saw): in the batch path that's a no-op
+    (feats only contain observed buckets), but NEW docs scored against
+    a maintained state can hit unseen buckets, whose add-k ratio
+    ln(k/(t_tot+kb)) − ln(k/(r_tot+kb)) must apply — an inner join
+    against sparse stats would silently drop those features instead.
+    The spine is ≤ num_buckets rows; everything stays broadcast-sized.
+    """
+    spine = stats.sparkSession.range(num_buckets).select(F.col("id").alias("bucket"))
+    stats = spine.join(stats, "bucket", "left").select(
+        "bucket",
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
     )
     totals = stats.agg(F.sum("c_raw").alias("r_tot"), F.sum("c_t").alias("t_tot"))
     kb = F.lit(float(k) * num_buckets)
@@ -913,17 +1000,27 @@ def winnow_match_pairs(
     as the shingle join (cap via distinct-doc frequency upstream if a
     corpus shows it).
     """
-    _, fps = _winnow_fp_array(text_col, k, w)
     # EMPTY docs are excluded from the pair join: the short-doc
     # convention gives every empty text the same constant md5('')
     # fingerprint, which with min_shared=1 would pair all m empty docs
     # into m²/2 guaranteed-hot-bucket candidates — empty-copy dedup
-    # belongs to exact_dedup, not run matching
+    # belongs to exact_dedup, not run matching.
+    #
+    # explode_OUTER + post-filter, not explode — load-bearing: explode
+    # makes InferFiltersFromGenerate add `size(fps) > 0`, which
+    # predicate pushdown then drives BELOW the staged projections,
+    # re-inlining the full nested gram/window tree into a filter that
+    # runs per input row on the pre-repartition scan task: the exact
+    # O(n_grams²)-per-doc recompute the staged frame exists to prevent,
+    # single-threaded (measured: 30+ s at ANY sf, 1-task stage).
+    # explode_outer infers nothing; the isNotNull filter references the
+    # GENERATED attribute, which cannot be pushed below its Generate.
+    # Semantics are identical: fps always has ≥1 non-null element here.
     toks_nonempty = F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))) > 0
     exploded = (
-        ensure_parallelism(df)
-        .filter(toks_nonempty)
-        .select(F.col(id_col), F.explode(fps).alias("fp"))
+        _winnow_fp_frame(df.filter(toks_nonempty), id_col, text_col, k, w)
+        .select(F.col(id_col), F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
     a = exploded.select(F.col(id_col).alias("doc_a"), "fp")
     b = exploded.select(F.col(id_col).alias("doc_b"), "fp")

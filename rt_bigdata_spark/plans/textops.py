@@ -71,7 +71,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_FINGERPRINT = f"""
-SELECT doc_id, md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint
+-- COALESCE: Spark's concat_ws over a NULL/empty token array is '',
+-- while DuckDB's array_to_string is NULL — empty docs must fingerprint
+-- as md5('') on both engines (the NULL-text convention, r12)
+SELECT doc_id, md5(COALESCE(array_to_string({_DUCK_TOKS}, ' '), '')) AS fingerprint
 FROM documents
 """
 
@@ -1910,7 +1913,9 @@ wins AS (
     CASE WHEN len(t) >= {_SSD_WINDOW}
       THEN [md5(array_to_string(t[i*{_SSD_STRIDE}+1 : i*{_SSD_STRIDE}+{_SSD_WINDOW}], ' '))
             FOR i IN generate_series(0, (len(t) - {_SSD_WINDOW}) // {_SSD_STRIDE})]
-      ELSE [md5(array_to_string(t[1:{_SSD_WINDOW}], ' '))]
+      -- COALESCE: the short-doc branch hits empty docs, whose slice
+      -- stringifies to NULL in DuckDB but '' in Spark
+      ELSE [md5(COALESCE(array_to_string(t[1:{_SSD_WINDOW}], ' '), ''))]
     END)) AS whash
   FROM toks
 ),
@@ -2235,7 +2240,7 @@ _ORACLE_WINNOW = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 grams AS (
   SELECT doc_id,
-         [{_duck_md5_32(f"array_to_string(t[i:i+{_WIN_K - 1}], ' ')")}
+         [{_duck_md5_32(f"COALESCE(array_to_string(t[i:i+{_WIN_K - 1}], ' '), '')")}
           FOR i IN generate_series(1, greatest(len(t) - {_WIN_K} + 1, 1))] AS g
   FROM toks
 ),
@@ -3240,8 +3245,8 @@ for spec in [
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
-    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=40),
-    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=40),
+    QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
+    QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
@@ -3257,7 +3262,7 @@ for spec in [
         bench=True,
         priority=10,
     ),
-    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), priority=40),
+    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), bench=True, priority=40),
     # ann_lsh_topk: twice-green (r4, r5) — yielded its slot to the r6
     # media_dedup composition (still oracle-verified every CI run)
     QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=40),
@@ -3265,7 +3270,7 @@ for spec in [
     # bpe_merges loop (still oracle-verified every CI run)
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=40),
     # (six greens r1-r7; yielded its slot in r8's second batch)
-    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), priority=80),
+    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=80),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
     # r10: the SemDeDup τ tuning curve — new spec, must land in the
     # window (bpe_encode, thrice-green, yielded its slot;
@@ -3286,7 +3291,7 @@ for spec in [
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
-    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), priority=40),
+    QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), bench=True, priority=80),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=40),
     QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=80),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=40),
@@ -3306,7 +3311,7 @@ for spec in [
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=80),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=80),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
-    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), priority=80),
+    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), bench=True, priority=80),
     # round-5 additions (training-order / packing bookkeeping); three
     # more multi-round greens (payment_wide, uv_dedup, log_split)
     # yielded window slots so these verify on their first round.
@@ -3319,13 +3324,13 @@ for spec in [
     # corpus_profile, quality_gate, unigram_surprisal) yielded window
     # slots so these verify on their first round.
     QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=80),
-    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), priority=80),
+    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=80),
     QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=80),
-    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=80),
+    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=40),
     # round-5 third batch (text→vector bridge + embedding compression)
-    QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=80),
-    QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=80),
+    QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=40),
+    QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=40),
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
     QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=80),
@@ -3337,13 +3342,13 @@ for spec in [
     QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=80),
     # round-5 sixth batch (tokenizer induction; order_wide — green
     # r1-r4 — yields its slot alongside warehouse's keyword_stats)
-    QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=80),
+    QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=40),
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
     QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=80),
-    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), priority=80),
+    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=80),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
-    QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), priority=10),
+    QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), bench=True, priority=10),
     # round-8: the terminal packed-sequence artifact (filtered_ann —
     # thrice-green r5-r7, indexed sibling stays in-window — yields its slot)
     QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), bench=True, priority=10),
@@ -3351,21 +3356,21 @@ for spec in [
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)
     # (thrice-green r5-r7; yielded its slot in r8's second batch)
-    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), priority=80),
+    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), bench=True, priority=80),
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
     QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=80),
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
-    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
+    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=40),
     # r11 additions: never driver-verified -> must enter the window now
     # (scalar_datetime, json_props, product_stats — thrice-green —
     # yielded their slots).
     QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=10),
-    QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), priority=10),
+    QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), bench=True, priority=10),
     QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=10),
     # (doc_curation — green r1-r4 — yields its slot)
-    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), priority=80),
+    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)
@@ -3377,7 +3382,7 @@ for spec in [
     QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=80),
     # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
     # — green r4 — yields its slot)
-    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), priority=80),
+    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), bench=True, priority=40),
     # round-6 first batch: the 100 TB token-budget shape (same oracle as
     # the exact form — subset-equivalence by the prefix property)
     QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=80),
@@ -3388,7 +3393,7 @@ for spec in [
     # thrice-green, dim_history/merge keep the SCD family). In: the
     # approximate-index recall audit, temperature sampling, and the
     # PQ-compressed vector store + its ADC search.
-    QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(), ("similarity", "approx", "audit"), priority=10),
+    QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(), ("similarity", "approx", "audit"), bench=True, priority=10),
     # r10: the n_probe tuning curve — new spec, must land in the window
     # (media_resize, thrice-green, yielded its slot)
     QuerySpec(
@@ -3409,6 +3414,6 @@ for spec in [
     QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), bench=True, priority=10),
     QuerySpec("pq_distortion", q_pq_distortion, _pq_distortion_oracle(), ("quantization", "profiling"), priority=10),
     QuerySpec("ivfpq_cell_stats", q_ivfpq_cell_stats, _ivfpq_cell_stats_oracle(), ("quantization", "profiling", "index"), priority=10),
-    QuerySpec("dup_cluster_sizes", q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES, ("dedup", "profiling", "iterative"), priority=10),
+    QuerySpec("dup_cluster_sizes", q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES, ("dedup", "profiling", "iterative"), bench=True, priority=10),
 ]:
     register(spec)

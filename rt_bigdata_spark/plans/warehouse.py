@@ -289,11 +289,13 @@ def q_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surface emits the deterministic columns exactly (keys, exact
     count, sums — all hash-checked) plus ``approx_within_rsd``, the
     sketch-vs-exact tolerance verdict the oracle asserts is TRUE for
-    every group. Production drops ``order_count``/``approx_within_rsd``
-    and keeps ``order_count_approx`` — Catalyst then prunes the exact
-    COUNT(DISTINCT) expansion out of the plan entirely (asserted in
-    tests/test_approx_variants.py), so the audit costs nothing when not
-    selected. Tolerance: ±max(3, 5 % of exact) — 5 % is 5× the
+    every group. Production uses ``province_stats_hll`` — the pure
+    single-HLL aggregate with no per-orderkey keying anywhere (plan
+    property asserted in tests/test_approx_variants.py); this audit
+    joins that production aggregate with the exact count on the bounded
+    group keys, deliberately NOT mixing them into one aggregate (mixed
+    distinct+HLL carries a 13 KB buffer per distinct order id — the r12
+    10× finding, see _province_stats_approx_full). Tolerance: ±max(3, 5 % of exact) — 5 % is 5× the
     configured rsd (the large-n envelope); the absolute floor covers
     HLL++'s small-cardinality discretization, which the r11 sf1 sweep
     measured at ±2 across 55 134 groups (worst: estimate 28 for exact
@@ -316,16 +318,12 @@ def q_province_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _province_stats_approx_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared aggregate carrying BOTH the HLL estimate and the exact
-    count: the registered audit selects (exact + verdict); production
-    selects (estimate only), and Catalyst prunes the COUNT(DISTINCT)
-    expand from that projection (asserted in tests)."""
+def _province_stats_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    enriched = enrich_dims(
+    return enrich_dims(
         orders,
         [
             (cust, F.col("o_custkey") == F.col("c_custkey")),
@@ -333,14 +331,21 @@ def _province_stats_approx_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             (region, F.col("n_regionkey") == F.col("r_regionkey")),
         ],
     )
+
+
+def province_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION 100 TB form of province_stats: one HLL aggregate,
+    no aggregation keyed by the distinct column anywhere — the exchange
+    moves one fixed-size register set per group instead of every
+    distinct order id (the plan property tests/test_approx_variants.py
+    pins). rsd=0.01 ≈ the reference's tolerance for dashboard counts."""
     return tumbling_window_agg(
-        enriched,
+        _province_stats_enriched(spark, sf_dir),
         ts_col="o_orderdate",
         duration="1 day",
         keys=["n_name", "r_name"],
         aggs=[
             F.approx_count_distinct("o_orderkey", rsd=0.01).alias("order_count_approx"),
-            F.countDistinct("o_orderkey").alias("order_count"),
             F.sum(_dec("o_totalprice")).alias("order_amount_dec"),
         ],
     ).select(
@@ -349,8 +354,46 @@ def _province_stats_approx_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("province_name"),
         F.col("r_name").alias("area_name"),
         "order_count_approx",
-        "order_count",
         _money_out("order_amount_dec").alias("order_amount"),
+    )
+
+
+def _province_stats_approx_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIT frame: HLL estimate and exact count side by side —
+    the pure-HLL production aggregate JOINED (on the bounded group
+    keys) with the exact COUNT(DISTINCT) aggregate, never mixed into
+    ONE aggregate: Spark plans mixed distinct+HLL by pre-aggregating
+    per (group, distinct-key), which carries the rsd=0.01 HLL buffer
+    (~1.6k longs ≈ 13 KB) once PER DISTINCT ORDER ID through two
+    phases and an exchange — measured 15.9 s vs the exact query's
+    1.5 s at sf0.1 (r12). Split, the audit is exact + HLL + a
+    groups-sized join: ~3 s, and each side keeps its optimal plan."""
+    exact = tumbling_window_agg(
+        _province_stats_enriched(spark, sf_dir),
+        ts_col="o_orderdate",
+        duration="1 day",
+        keys=["n_name", "r_name"],
+        aggs=[
+            F.countDistinct("o_orderkey").alias("order_count"),
+        ],
+    ).select(
+        "stt",
+        "edt",
+        F.col("n_name").alias("province_name"),
+        F.col("r_name").alias("area_name"),
+        "order_count",
+    )
+    hll = province_stats_hll(spark, sf_dir)
+    return exact.join(
+        hll, ["stt", "edt", "province_name", "area_name"], "inner"
+    ).select(
+        "stt",
+        "edt",
+        "province_name",
+        "area_name",
+        "order_count_approx",
+        "order_count",
+        "order_amount",
     )
 
 
@@ -2349,8 +2392,8 @@ FROM dau d JOIN wau w ON d.day = w.win_end
 
 
 for spec in [
-    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=40),
-    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=40),
+    QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
+    QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
     QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=80),
     QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
     QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=40),
@@ -2365,12 +2408,12 @@ for spec in [
     ),
     QuerySpec("order_wide", q_order_wide, _ORACLE_ORDER_WIDE, ("join", "J1"), bench=True, priority=40),
     QuerySpec("payment_wide", q_payment_wide, _ORACLE_PAYMENT_WIDE, ("join", "J2"), priority=40),
-    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=40),
-    QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=40),
-    QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True, priority=40),
+    QuerySpec("order_wide_enriched", q_order_wide_enriched, _ORACLE_ENRICHED, ("join", "J3"), bench=True, priority=80),
+    QuerySpec("ads_report", q_ads_report, _ORACLE_ADS, ("agg", "A6"), priority=80),
+    QuerySpec("shipping_priority", q_shipping_priority, _ORACLE_SHIP_PRIO, ("join", "J4", "A6", "W2", "W3"), bench=True, priority=80),
     QuerySpec("supplier_volume", q_supplier_volume, _ORACLE_SUPPLIER_VOLUME, ("join", "J4", "A6"), bench=True, priority=80),
     QuerySpec("top_k_products", q_top_k_products, _ORACLE_TOPK, ("window_fn", "W1", "W3"), priority=40),
-    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=40),
+    QuerySpec("uv_dedup", q_uv_dedup, _ORACLE_UV, ("stateful", "T2"), priority=80),
     QuerySpec("is_new_correction", q_is_new_correction, _ORACLE_IS_NEW, ("stateful", "T1"), priority=40),
     QuerySpec("bounce_detection", q_bounce_detection, _ORACLE_BOUNCE, ("stateful", "T3"), priority=40),
     QuerySpec("cdc_routing", q_cdc_routing, _ORACLE_ROUTING, ("routing", "R2"), priority=80),
@@ -2401,7 +2444,7 @@ for spec in [
     QuerySpec("value_histogram", q_value_histogram, _ORACLE_HISTOGRAM, ("profiling", "agg"), priority=80),
     QuerySpec("event_pivot", q_event_pivot, _ORACLE_PIVOT, ("agg", "pivot", "U2"), priority=80),
     QuerySpec("order_priority", q_order_priority, _ORACLE_ORDER_PRIORITY, ("join", "J6", "semi"), priority=80),
-    QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), priority=80),
+    QuerySpec("province_stats_approx", q_province_stats_approx, _ORACLE_PROVINCE_APPROX, ("agg", "approx", "A3"), bench=True, priority=80),
     QuerySpec("province_stats_sql", q_province_stats_sql, _ORACLE_PROVINCE, ("agg", "sql", "A3"), priority=80),
     QuerySpec("rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING, ("window_fn", "W1"), bench=True, priority=40),
     # round-5 third batch (behavior analytics): four multi-round greens
@@ -2411,14 +2454,14 @@ for spec in [
     QuerySpec("cohort_retention", q_cohort_retention, _ORACLE_COHORT, ("behavior", "agg"), priority=80),
     # round-5 fifth batch (Markov transitions + hypertable rollup);
     # slots yielded by the four textops-side demotions (see textops.py)
-    QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=80),
+    QuerySpec("event_transitions", q_event_transitions, _ORACLE_TRANSITIONS, ("behavior", "window_fn", "agg"), priority=40),
     QuerySpec("events_rollup", q_events_rollup, _ORACLE_EVENTS_ROLLUP, ("agg", "timeseries"), priority=80),
     # round-5 sixth batch (sessionization; keyword_stats — green r1-r4
     # — yields its slot on the textops side alongside order_wide)
-    QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=80),
+    QuerySpec("user_sessions", q_user_sessions, _ORACLE_USER_SESSIONS, ("behavior", "window_fn", "T3"), priority=40),
     # round-5 seventh batch (single-table DQ suite; visitor_stats +
     # province_stats — green r1-r4 — yield their slots)
-    QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=80),
+    QuerySpec("dq_orders", q_dq_orders, _ORACLE_DQ_ORDERS, ("audit", "agg"), priority=40),
     QuerySpec("key_skew", q_key_skew, _ORACLE_KEY_SKEW, ("audit", "scale"), priority=80),
     # round-8: the mitigation key_skew diagnoses for (r7 verdict item 3)
     QuerySpec("salted_enrichment", q_salted_enrichment, _ORACLE_SALTED_ENRICHMENT, ("join", "scale", "skew"), priority=10),

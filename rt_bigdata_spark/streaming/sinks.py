@@ -312,6 +312,53 @@ def cms_maintenance_sink(
     )
 
 
+def dsir_maintenance_sink(
+    state_dir: str,
+    target,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_versions: int = 2,
+):
+    """Streaming DSIR model maintenance (r11 verdict item 5): each
+    micro-batch's hashed-bigram bucket counts — raw and target-slice —
+    fold into the persisted model by cell-wise sum
+    (``text_analysis.merge_dsir_stats``). The state is ≤ num_buckets
+    rows whatever the corpus size, so importance scores for NEW
+    documents (``dsir_score`` over the read-back stats) update per
+    trigger without ever re-scanning the corpus — the same mergeable-
+    monoid contract as the CMS sketch, with the same version fence
+    (counts are non-idempotent under re-merge).
+
+    ``target`` is the boolean Column marking the trusted slice —
+    evaluated per batch, so it must be a property of the ROW (e.g.
+    ``F.col("source") == "trusted"``), not of cross-batch context.
+    """
+    from rt_bigdata_spark.operators.text_analysis import (
+        dsir_bucket_stats,
+        dsir_doc_features,
+        merge_dsir_stats,
+    )
+
+    return versioned_state_sink(
+        state_dir,
+        fold_batch=lambda b: dsir_bucket_stats(
+            dsir_doc_features(b, target, num_buckets, text_col, id_col)
+        ),
+        merge=lambda old, new: merge_dsir_stats([old, new]),
+        keep_versions=keep_versions,
+    )
+
+
+def read_dsir_stats(spark, state_dir: str) -> DataFrame:
+    """Newest committed DSIR model state ``(bucket, c_raw, c_t)`` —
+    feed to ``text_analysis.dsir_score`` to score new documents."""
+    cur = _latest_rollup_version(state_dir, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed DSIR state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v_{cur}"))
+
+
 def read_cms_grid(spark, state_dir: str, depth: int = 4, width: int = 256) -> list[list[int]]:
     """Read the newest committed sketch state as the d×w model grid
     (feeds ``sketches._cms_estimate`` / heavy-hitter queries)."""

@@ -68,15 +68,25 @@ def test_province_stats_approx_accuracy_and_plan(spark):
     audit = REGISTRY["province_stats_approx"].spark(spark, SF)
     assert audit.filter(~F.col("approx_within_rsd")).count() == 0
 
-    # Production projection: keep the sketch, drop exact + verdict —
-    # the COUNT(DISTINCT) expand must vanish from the plan (no
-    # aggregation keyed by the distinct column; only fixed-size HLL
-    # buffers cross the exchange)
-    prod = full.select("stt", "edt", "province_name", "area_name", "order_count_approx", "order_amount")
+    # Production form (province_stats_hll): the single pure-HLL
+    # aggregate — NO aggregation keyed by the distinct column anywhere
+    # in the plan; only fixed-size HLL buffers cross the exchange.
+    # (The audit frame above deliberately joins this with the exact
+    # aggregate instead of mixing both into one — mixed distinct+HLL
+    # pre-aggregates per (group, o_orderkey) carrying the ~13 KB
+    # rsd=0.01 HLL buffer per distinct order id: measured 15.9 s vs
+    # 1.5 s at sf0.1, the r12 finding.)
+    from rt_bigdata_spark.plans.warehouse import province_stats_hll
+
+    prod = province_stats_hll(spark, SF)
     exact_plan = REGISTRY["province_stats"].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
     prod_plan = prod._jdf.queryExecution().executedPlan().toString()
     assert any("o_orderkey" in ks for ks in _agg_key_lists(exact_plan))
     assert not any("o_orderkey" in ks for ks in _agg_key_lists(prod_plan))
+    # and production values match the audit's approx column
+    prod_vals = _by_key(prod.collect(), ("stt", "province_name", "area_name"))
+    for k, a in approx.items():
+        assert prod_vals[k].order_count_approx == a.order_count_approx, k
 
 
 def test_corpus_profile_approx_accuracy(spark):

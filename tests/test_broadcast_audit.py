@@ -68,8 +68,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "contrastive_samples"): "query/anchor set — bounded by construction",
     ("operators/text_analysis.py", "unigram_surprisal"): "1-row corpus token total",
     ("operators/text_analysis.py", "bigram_surprisal"): "1-row context-vocab size",
-    ("operators/text_analysis.py", "dsir_importance"): (
-        "hashed-feature log-ratios — bounded by the 2^b hash-bucket space, not the corpus"
+    ("operators/text_analysis.py", "dsir_score"): (
+        "hashed-feature log-ratios and 1-row totals — bounded by the num_buckets "
+        "hash space (densified onto the bucket spine), not the corpus"
     ),
     ("operators/text_analysis.py", "_bpe_token_ids"): "BPE symbol table — vocab-bounded (n_merges + alphabet)",
     ("plans/textops.py", "q_doc_keywords"): "1-row n_docs scalar",

@@ -45,15 +45,23 @@ MUST_BE_IN_WINDOW = {
     # product_stats — thrice-green — yielded their slots) ---
     "dsir_importance", "dup_source_matrix", "ngram_novelty",
     # --- r11 keepers: 3-4 greens, held one more round ---
-    "keyword_c2r", "language_id",
-    "session_stats", "sliding_stats", "token_stats",
+    "keyword_c2r",
+    "session_stats", "sliding_stats",
     "bounce_detection", "is_new_correction", "log_split", "order_wide",
-    "order_wide_enriched", "pricing_summary",
-    "shipping_priority", "uv_dedup", "visitor_stats",
-    # --- r11 staleness pull-backs (overdue now; last green r04) ---
-    "ads_report", "cluster_split", "corpus_profile", "payment_wide",
+    # (r12: the nine heaviest-green r11 keepers/pull-backs —
+    # token_stats, visitor_stats, language_id, shipping_priority,
+    # pricing_summary, uv_dedup, order_wide_enriched, ads_report,
+    # cluster_split — yielded their slots to the r13 pre-clears below;
+    # all stay CI-oracle-verified every run)
+    # --- r11 staleness pull-backs (last green r04, re-greened r11) ---
+    "corpus_profile", "payment_wide",
     "quality_gate", "sales_rollup", "top_k_products",
     "unigram_surprisal", "union_stats",
+    # --- r12 pre-clears (would be DUE r13; last green r07 — pulled
+    # back one round early per the r11 verdict's rotate-early rule) ---
+    "bigram_surprisal", "bpe_pairs", "corpus_diff", "doc_embedding",
+    "dq_orders", "embedding_project", "event_transitions",
+    "user_sessions", "winnow_pairs",
     # --- r11 pre-clears (due r12; last green r05) ---
     "ann_ivf_topk", "ann_lsh_topk", "customer_activity", "minhash_lsh",
     "purchase_attribution", "rolling_revenue", "sales_grouping_sets",

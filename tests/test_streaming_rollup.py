@@ -327,3 +327,90 @@ def test_streaming_hll_dau_equals_batch(spark, tmp_path):
     # sketches are near-exact at these cardinalities: day 2 saw users
     # 0-59 across BOTH batches — union must not double-count overlap
     assert got["2024-01-02 00:00:00"] == 60
+
+
+def test_streaming_dsir_equals_batch(spark, tmp_path):
+    """r11 verdict item 5: the DSIR model maintained across
+    micro-batches must equal the batch model over all documents
+    (cell-wise monoid algebra), and scoring the full corpus against
+    the MAINTAINED stats must reproduce dsir_importance's batch
+    output exactly — streaming maintenance changes when the model is
+    built, never what it says."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.text_analysis import (
+        dsir_bucket_stats,
+        dsir_doc_features,
+        dsir_importance,
+        dsir_score,
+    )
+    from rt_bigdata_spark.streaming.sinks import dsir_maintenance_sink, read_dsir_stats
+
+    target = F.col("source") == "trusted"
+    docs1 = [
+        {"doc_id": 1, "text": "the cat sat on the mat", "source": "trusted"},
+        {"doc_id": 2, "text": "the dog ran over the hill", "source": "crawl"},
+    ]
+    docs2 = [
+        {"doc_id": 3, "text": "the cat ran far away today", "source": "crawl"},
+        {"doc_id": 4, "text": "mat cat sat mat cat sat", "source": "trusted"},
+    ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "dsir_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        import os as _os
+
+        tmp = src / (name + ".tmp")
+        tmp.write_text("\n".join(_json.dumps(r) for r in rows))
+        _os.rename(tmp, src / name)
+
+    write("b1.json", docs1)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dsir_maintenance_sink(state, target=target, num_buckets=64)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.json", docs2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in docs1 + docs2],
+        "doc_id: long, text: string, source: string",
+    )
+    # 1) state algebra: maintained stats == batch stats, cell for cell
+    maintained = {
+        r.bucket: (r.c_raw, r.c_t) for r in read_dsir_stats(spark, state).collect()
+    }
+    batch_stats = {
+        r.bucket: (r.c_raw, r.c_t)
+        for r in dsir_bucket_stats(dsir_doc_features(full, target, 64)).collect()
+    }
+    assert maintained == batch_stats
+    # 2) end to end: scores from the maintained model == batch operator
+    feats = dsir_doc_features(full, target, 64)
+    scored = {
+        r.doc_id: (r.n_features, r.log_importance)
+        for r in dsir_score(feats, read_dsir_stats(spark, state), num_buckets=64).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_features, r.log_importance)
+        for r in dsir_importance(full, target, num_buckets=64).collect()
+    }
+    assert scored == batch

@@ -160,6 +160,12 @@ def semdedup(
     for _ in range(iters):
         assigned = _assign_cells(corpus, centroids, id_col, vec_col)
         centroids = _lloyd_update(assigned, centroids)
+    # (Exchange reuse can NOT deduplicate the assignment across the
+    # self-join sides: lambda variables in higher-order functions don't
+    # canonicalize, so the identical subtrees never compare equal — the
+    # real lever is _assign_cells' non-nullable cell key, which stops
+    # InferFiltersFromConstraints from re-inlining the assignment into
+    # pre-exchange filters on every join side.)
     final = _assign_cells(corpus, centroids, id_col, vec_col)
     a = final.select(
         F.col("cell"), F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va")

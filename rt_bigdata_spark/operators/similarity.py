@@ -233,11 +233,25 @@ def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
 
 def _assign_cells(corpus: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
     """(neighbor_id, cvec, cell): nearest-centroid assignment, one
-    map-side pass (no shuffle, no per-row Python)."""
+    map-side pass (no shuffle, no per-row Python).
+
+    ``cell`` is wrapped non-NULLABLE (coalesce with -1 — a no-op for
+    any real vector, since array_position of the array's own max always
+    hits): downstream equi-joins on ``cell`` otherwise make
+    InferFiltersFromConstraints add ``isnotnull(cell)``, and predicate
+    pushdown re-inlines the ENTIRE k×dim assignment expression into a
+    pre-exchange Filter — doubling the per-row assignment cost on every
+    join side (the r12 semdedup plan audit measured 5 full assignment
+    evaluations per row). A non-nullable key infers no filter."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     return (
         c.withColumn("_sims", _cell_sims(F.col("cvec"), centroids))
-        .withColumn("cell", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
+        .withColumn(
+            "cell",
+            F.coalesce(
+                F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))), F.lit(-1).cast("long")
+            ),
+        )
         .drop("_sims")
     )
 

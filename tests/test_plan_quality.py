@@ -534,3 +534,43 @@ def test_minhash_lsh_caller_owned_persist_is_bounded(spark):
         jrdd = dict(sc._jsc.getPersistentRDDs()).get(rdd_id)
         if jrdd is not None:
             jrdd.unpersist()
+
+
+@pytest.mark.slow
+def test_no_reinlined_expression_bomb_in_any_filter():
+    """r12 guard for the inferred-filter re-inlining class: predicate
+    pushdown substitutes alias definitions, so an inferred constraint
+    (isnotnull on a join key, size>0 from a Generate) can re-inline a
+    whole computed-column tree into a per-row Filter — semdedup carried
+    its full k-means assignment (27 k chars) in an isnotnull filter,
+    and winnow_pairs its quadratic gram tree in a size()>0 filter,
+    each evaluated redundantly per row. Fixes: non-nullable join keys
+    (coalesce), explode_outer + post-filter, staged materialization.
+    This audit bounds every registered plan's longest Filter condition;
+    plans whose OPERATOR IS a big filter are allowlisted with the
+    measured intrinsic size."""
+    from rt_bigdata_spark.plans.registry import get_queries
+
+    # intrinsic big-filter operators: the filter IS the semantics
+    ALLOWED_BIG = {
+        "doc_curation": 12_000,  # quality-feature gate evaluates the feature struct in its filter (~8.7k)
+        "quality_gate": 12_000,  # same feature-gate shape
+        "quality_gate_threshold": 12_000,
+        "heavy_hitters": 6_000,  # literal CMS grid array in the estimate filter (~2.9k)
+    }
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    offenders = []
+    for name, fn in get_queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        longest = max(
+            (len(l.strip()) for l in plan.splitlines() if l.strip().lstrip(":+- ").startswith("Filter")),
+            default=0,
+        )
+        if longest > ALLOWED_BIG.get(name, 2_500):
+            offenders.append(f"{name}: {longest}-char Filter")
+    assert not offenders, (
+        "registered plans carry suspiciously large Filter conditions — likely a "
+        f"re-inlined computed column (see test docstring for fixes): {offenders}"
+    )

@@ -781,12 +781,23 @@ def ngram_novelty(
 
     Plan: distinct-shingle explode (``dedup.word_shingles`` — the
     ngram_jaccard tokenization) → min-id per shingle [one vocab-scale
-    shuffle] → join back [second] → per-doc counts [third]. The
-    first-occurrence table is vocab-sized: at 100 TB prune it with a
-    min-df threshold or bucket it exactly like the surprisal family's
-    frequency tables. Counts are integers and the novelty division is
-    one double op per row — no float-sum order anywhere, so the output
-    is unrounded (the repo's standing decision).
+    shuffle] → join back [second] → per-doc counts [third]. Counts are
+    integers and the novelty division is one double op per row — no
+    float-sum order anywhere, so the output is unrounded (the repo's
+    standing decision).
+
+    The r11-documented min-df prune is BUILT IN (r12), exactness
+    preserved: a shingle with document frequency 1 has its only
+    occurrence AS its first occurrence — it can never be "seen
+    before" — so the join-back table keeps only df ≥ 2 shingles and
+    the join goes LEFT (null first_doc ≡ not seen). Web-scale shingle
+    vocabularies are hapax-dominated (≥ half of 3-gram types occur
+    once), so the table the second shuffle moves shrinks by that
+    fraction and becomes broadcast-eligible at far larger corpora.
+    (The synthetic sf0.1 corpus draws from a small vocabulary and
+    barely prunes — 27 213 → 27 006 types — so the win is a
+    real-corpus property, not a bench number; the exactness argument
+    is what the parity suites check.)
 
     Output: (doc_id, n_grams, n_seen_before, novelty).
     """
@@ -796,10 +807,15 @@ def ngram_novelty(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
     )
-    first = sh.groupBy("g").agg(F.min("doc").alias("first_doc"))
+    first = (
+        sh.groupBy("g")
+        .agg(F.min("doc").alias("first_doc"), F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+    )
     seen = F.sum(F.when(F.col("first_doc") < F.col("doc"), 1).otherwise(0))
     return (
-        sh.join(first, "g")
+        sh.join(first, "g", "left")
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

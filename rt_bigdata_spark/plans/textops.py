@@ -2391,6 +2391,54 @@ GROUP BY doc_id
 """
 
 
+def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE novelty curve — the operational read of
+    ``ngram_novelty``'s docstring ("per-source novelty curves say which
+    feeds still add content"): per source, docs scored, total distinct
+    grams, and the mean novelty (rounded 6 dp, the float-agg
+    convention). A feed whose mean novelty collapses toward 0 between
+    snapshots is re-crawling itself; budget it down before dedup pays
+    for the copies."""
+    from rt_bigdata_spark.operators.text_analysis import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = ngram_novelty(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+        )
+    )
+
+
+_ORACLE_SOURCE_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+2], ' '), '')
+                               FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS g
+  FROM toks
+),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_grams,
+         1.0 - CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+  FROM sh JOIN first USING (g)
+  GROUP BY doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       ROUND(AVG(novelty), 6) AS avg_novelty
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY source
+"""
+
+
 _DSIR_K = 0.5
 _DSIR_BUCKETS = 1024
 _DSIR_TARGET_SOURCE = "src0"  # the "trusted reference slice" stand-in
@@ -3297,7 +3345,7 @@ for spec in [
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=40),
     # round-6: the broadcast-threshold scale form of quality_gate
     QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=80),
-    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=40),
+    QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
     QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=80),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
     # priority=10: the round-4 additions were parked at 70 (outside the
@@ -3369,6 +3417,10 @@ for spec in [
     QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=10),
     QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), bench=True, priority=10),
     QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=10),
+    # r12: the per-feed operational read of the novelty curve (new
+    # registrations start at priority=70 — CI-verified every run,
+    # outside the driver window until the planner rotates it in)
+    QuerySpec("source_novelty", q_source_novelty, _ORACLE_SOURCE_NOVELTY, ("text", "profiling"), priority=45),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;

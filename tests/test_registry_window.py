@@ -54,9 +54,14 @@ MUST_BE_IN_WINDOW = {
     # cluster_split — yielded their slots to the r13 pre-clears below;
     # all stay CI-oracle-verified every run)
     # --- r11 staleness pull-backs (last green r04, re-greened r11) ---
+    # (r12: unigram_surprisal — five greens, re-greened r11 — yielded
+    # its slot to the new source_novelty registration, which must be
+    # in-window for its FIRST driver row per the never-verified rule)
     "corpus_profile", "payment_wide",
     "quality_gate", "sales_rollup", "top_k_products",
-    "unigram_surprisal", "union_stats",
+    "union_stats",
+    # --- r12 new registration (first driver row this round) ---
+    "source_novelty",
     # --- r12 pre-clears (would be DUE r13; last green r07 — pulled
     # back one round early per the r11 verdict's rotate-early rule) ---
     "bigram_surprisal", "bpe_pairs", "corpus_diff", "doc_embedding",

@@ -69,8 +69,13 @@ def quality_features(df: DataFrame, text_col: str = "text", toks_col: str | None
     Tokenization is bound once per output column via ``tok_bound``;
     ``toks_col`` reuses an existing tokenized column (kept, not
     dropped) instead of re-tokenizing.
+
+    NULL text ≡ '' (repo convention, r12): 0 tokens and NULL ratios on
+    both engines — un-coalesced, Spark's size-of-null (-1) turned the
+    stopword ratio into -1/-1 = 1.0 for NULL docs (a garbage quality
+    signal, caught by tests/test_null_text_parity.py).
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.col(toks_col) if toks_col is not None else tokenize(text)
     if toks_col is None:
         df = ensure_parallelism(df)
@@ -206,8 +211,13 @@ def rolling_hash(text: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token accounting for training-data budgeting: whitespace
     token count, BPE-ish pretoken count, and the rolling-hash
-    fingerprint — all map-side column expressions."""
-    text = F.col(text_col)
+    fingerprint — all map-side column expressions.
+
+    NULL text ≡ '' (the repo-wide convention, r12): 0 tokens, 0
+    pretokens, fp('') = 0 — on BOTH engines; un-coalesced, Spark's
+    size-of-null and DuckDB's NULL propagation each invent a different
+    answer (caught by tests/test_null_text_parity.py)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     return ensure_parallelism(df).select(
         F.col(id_col),
         F.size(tokenize(text)).cast("long").alias("ws_tokens"),

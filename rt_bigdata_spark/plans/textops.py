@@ -90,7 +90,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_QUALITY = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents)
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_token_len,
@@ -106,7 +106,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CASE order mirrors language_id's first-max-wins loop (en,fr,es,de,zh).
 _ORACLE_LANG = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 hits AS (
   SELECT doc_id,
          len(list_filter(t, x -> x IN ('the','a','and','of','to'))) AS h_en,
@@ -133,12 +133,12 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
-       CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text),
+       CAST(len({_DUCK_TOKS_COALESCED}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\x0b\\f\\r'']+')) AS BIGINT) AS bpe_tokens,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                      list_transform(string_split(COALESCE(text, ''), ''), c -> CAST(ascii(c) AS BIGINT))),
          (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
 FROM documents
 """

@@ -45,6 +45,20 @@ FAMILY = [
     "ngram_novelty",
     "contamination",
     "dedup_exact",
+    # tokenize-direct family (no shingle clamp — null/empty docs
+    # simply contribute zero tokens; both engines must agree on
+    # whether the DOC ROW survives)
+    "token_stats",
+    "language_id",
+    "unigram_surprisal",
+    "quality_gate",
+    "corpus_profile",
+    "ngram_novelty",
+    "source_novelty",
+    "doc_embedding",
+    "quality_classifier",
+    "doc_curation",
+    "text_quality",
 ]
 
 

@@ -83,3 +83,36 @@ def classify_keywords(col: Column, rules: Sequence[tuple[str, Sequence[str]]], d
             cond = c if cond is None else (cond | c)
         expr = F.when(cond, F.lit(label)).otherwise(F.lit(default) if expr is None else expr)
     return expr if expr is not None else F.lit(default)
+
+
+def tokenize_mixed(col: Column) -> Column:
+    """U1 for MIXED latin/CJK text — the engine's stand-in for the
+    reference's IK Chinese segmenter (KeywordUtil.scala:18-41 runs
+    IKSegmenter in smart mode over product titles like
+    "Apple iPhoneXSMax … 深空灰色 移动联通电信4G手机 双卡双待").
+
+    Dictionary-less but deterministic and SQL-expressible on both
+    engines: latin/digit runs tokenize as words (lowercased, same as
+    ``tokenize``); CJK runs emit OVERLAPPING BIGRAMS plus a lone
+    unigram for single-char runs — the Lucene CJKAnalyzer convention,
+    the standard dictionary-free approximation of Chinese word
+    segmentation (most Chinese words are 2 chars; bigrams make
+    "手机" findable inside "电信4G手机" the way a dictionary segmenter
+    would). IK's exact dictionary output is NOT reproduced — per
+    SURVEY §7.3 the contract is behavior-equivalence (keyword
+    counting/grouping semantics), not lexeme-identity.
+
+    Pure column expressions: one regexp pass extracts the runs, one
+    transform expands CJK runs to bigrams, one flatten+filter — fully
+    JVM-side, and mirrored 1:1 in ANSI SQL by the cross-engine test's
+    DuckDB twin (tests/test_functions.py).
+    """
+    runs = F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+|[一-龥]+"), F.lit(0))
+    bigrams = F.transform(
+        runs,
+        lambda r: F.when(
+            r.rlike("^[一-龥].*") & (F.length(r) >= 2),
+            F.transform(F.sequence(F.lit(1), F.length(r) - 1), lambda i: r.substr(i, F.lit(2))),
+        ).otherwise(F.array(r)),
+    )
+    return F.filter(F.flatten(bigrams), lambda t: t != F.lit(""))

@@ -56,6 +56,7 @@ from rt_bigdata_spark.operators.similarity import (
     _assign_cells,
     _ivf_centroids,
     cosine,
+    dot,
 )
 
 
@@ -154,41 +155,112 @@ def semdedup(
     population, not corpus size — grow ``k`` with the corpus to hold
     cluster size constant (the paper uses k≈100k for web scale). No
     corpus-wide nested-loop join exists in this plan.
+
+    EXACT-DUPLICATE COLLAPSE (r12, found by the 30× probe — the same
+    cliff the r11 tau-sweep fix closed): the standard scale replica
+    repeats every vector 30×, and fixed-k cluster populations made the
+    cluster-local pairwise term quadratic in duplication factor
+    (3.7 s → 271 s, ratio 74 at 30×). Identical vectors always share a
+    cluster at sim exactly 1.0 ≥ τ, so within a clique every member
+    except the minimum id is pruned BY CONSTRUCTION, and the minimum
+    (the rep) is pruned iff some lower-id rep of ANOTHER clique in the
+    same cluster clears τ — a doc d < rep_A in group B implies
+    rep_B ≤ d, and sim is a function of the distinct vectors alone, so
+    rep-level pairwise is bit-exact against naive enumeration (the
+    unchanged DuckDB oracle pins this). Centroid training still runs
+    over the RAW corpus (linear work; collapsing it would change the
+    means and break exactness); only the quadratic stage collapses.
+    Requires τ ≤ 1.0 — above cosine's ceiling the within-clique fold
+    would diverge from naive enumeration, so it raises.
     """
+    if tau > 1.0:
+        raise ValueError(f"tau must be <= 1.0 (cosine ceiling), got {tau}")
     corpus = ensure_parallelism(corpus)
     centroids = _ivf_centroids(corpus, id_col, vec_col, k)
     for _ in range(iters):
         assigned = _assign_cells(corpus, centroids, id_col, vec_col)
         centroids = _lloyd_update(assigned, centroids)
+    # Collapse bit-identical vectors: ONE groupBy on the raw vector,
+    # carrying the member-id list so the fan-back-out is an explode
+    # instead of a second corpus join on the 512-byte array key (the
+    # first cut joined corpus↔groups on _vec: two SortMergeJoins
+    # ordering array<double> keys cost ~3× the whole pre-collapse
+    # query at 1×). Member lists are clique-sized — the same
+    # bounded-group assumption as every collapse operator in dedup.py.
+    groups = corpus.groupBy(F.col(vec_col).alias("_vec")).agg(
+        F.min(id_col).alias("_rep"), F.collect_list(id_col).alias("_ids")
+    )
+    reps = groups.select(F.col("_rep").alias(id_col), F.col("_vec").alias(vec_col))
     # (Exchange reuse can NOT deduplicate the assignment across the
     # self-join sides: lambda variables in higher-order functions don't
     # canonicalize, so the identical subtrees never compare equal — the
     # real lever is _assign_cells' non-nullable cell key, which stops
     # InferFiltersFromConstraints from re-inlining the assignment into
     # pre-exchange filters on every join side.)
-    final = _assign_cells(corpus, centroids, id_col, vec_col)
+    # Numbered repartition on the CELL key before the self-join —
+    # parallelism control for the quadratic stage: the sides now hang
+    # off the tiny distinct-vector aggregate, and AQE coalesces that
+    # exchange to ONE partition, serializing the Σ|cell|² interpreted
+    # cosines (measured: a single 7.5 s task doing 96% of the query).
+    # An explicit numPartitions (REPARTITION_BY_NUM) is exempt from
+    # AQE coalescing, and hash(cell) spreads the pairwise across up to
+    # k tasks — the stage's natural parallelism.
+    n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, k)
+    # Norms HOISTED out of the pair loop with staged materialization
+    # (the winnow lesson — each select boundary binds the alias once
+    # per ROW): cosine(va, vb) re-derives sqrt(dot(v,v)) for BOTH
+    # vectors per PAIR, tripling the interpreted-HOF work in the
+    # quadratic stage; precomputing (_vd, _nrm) per row leaves one dot
+    # per pair. Same float ops in the same order — bit-identical sims.
+    final = (
+        _assign_cells(reps, centroids, id_col, vec_col)
+        .repartition(n_parts, F.col("cell"))
+        .select(
+            "cell",
+            "neighbor_id",
+            F.transform(F.col("cvec"), lambda x: x.cast("double")).alias("_vd"),
+        )
+        .select(
+            "cell", "neighbor_id", "_vd", F.sqrt(dot(F.col("_vd"), F.col("_vd"))).alias("_nrm")
+        )
+    )
     a = final.select(
-        F.col("cell"), F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va")
+        F.col("cell"),
+        F.col("neighbor_id").alias("id_a"),
+        F.col("_vd").alias("va"),
+        F.col("_nrm").alias("na"),
     )
     b = final.select(
-        F.col("cell"), F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("vb")
+        F.col("cell"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("_vd").alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
     pruned = (
         a.join(b, "cell")
         .filter(F.col("id_b") < F.col("id_a"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 9) >= F.lit(tau))
+        .filter(
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9)
+            >= F.lit(tau)
+        )
         .select(F.col("id_a").alias("pruned_id"))
         .distinct()
     )
-    return (
-        final.join(
-            pruned.withColumn("_pruned", F.lit(True)),
-            final["neighbor_id"] == pruned["pruned_id"],
-            "left",
-        )
-        .select(
-            F.col("neighbor_id").alias(id_col),
-            F.col("cell").cast("long").alias("cluster"),
-            F.col("_pruned").isNull().alias("kept"),
-        )
+    rep_flags = final.join(
+        pruned.withColumn("_pruned", F.lit(True)),
+        final["neighbor_id"] == pruned["pruned_id"],
+        "left",
+    ).select(
+        F.col("neighbor_id").alias("_rep"),
+        F.col("cell").cast("long").alias("cluster"),
+        F.col("_pruned").isNull().alias("_rep_kept"),
+    )
+    # Fan the rep verdicts back out: every clique member shares the
+    # rep's cluster (identical vector ⇒ identical assignment) and only
+    # the rep itself can be kept.
+    members = groups.select(F.col("_rep"), F.explode("_ids").alias(id_col))
+    return members.join(rep_flags, "_rep").select(
+        F.col(id_col),
+        "cluster",
+        ((F.col(id_col) == F.col("_rep")) & F.col("_rep_kept")).alias("kept"),
     )

@@ -60,7 +60,7 @@ FLAGSHIPS = {
     "dup_source_matrix": "cross-source near-dup matrix on the collapse algebra: text-md5 groupBy, distinct-text MinHash/LSH (signature agg + bucket self-join — minhash_lsh's own exchanges), bounded pair↔multiplicity joins, one ≤sources²-group agg; no pair enumeration at any duplication factor. NOTE: since r11 the registered audit MATERIALIZES its bounded result inside the operator (owned-persist discipline — materialize, unpersist, return a local table), so the dumped plan is the result's LocalTableScan; the discovery pipeline's exchanges are measured in SCALE.md's shuffle-bytes and 30x-probe tables instead.",
     "ngram_novelty": "first-occurrence novelty: distinct-shingle explode → min-id-per-shingle agg (df ≥ 2 pruned — hapaxes can't be 'seen before', r12) → LEFT join back → per-doc counts; the pruned first-occurrence table is the only wide state and broadcast-eligible on Zipf corpora.",
     "winnow_fingerprint": "MOSS winnowing with STAGED array materialization (r12): grams and window-min fps are real columns between projections, so the interpreted HOF lambdas evaluate each array once per row — the expression-inlined form paid O(n_grams²) md5s per doc ×3 consumers (32.5 s → 1.3 s at sf0.1). Zero exchanges: everything sits inside the scan projection chain.",
-    "semdedup": "cluster-local pairwise prune over a NON-NULLABLE cell key (r12): coalesce(-1) on the assignment kills InferFiltersFromConstraints' isnotnull — previously pushdown re-inlined the full 27 k-char k-means assignment into pre-exchange filters on BOTH self-join sides (5 assignment evaluations per row; 4.5 s → 1.8 s at sf0.1). The pair join shuffles on cell only; the quadratic term is bounded by cluster population.",
+    "semdedup": "SemDeDup with the r12 exact-dup collapse: one groupBy on the raw vector (min-id rep + member-id list), rep-level cluster-local pairwise over hoisted (_vd, _nrm) columns, verdicts fanned back by explode — flat in duplication factor (30× probe: 271.6 s naive → 5.6 s). Cell key is NON-NULLABLE (kills the isnotnull filter re-inline) and the pair join sits on a numbered repartition(cell) so AQE cannot coalesce the quadratic stage to one task.",
 }
 
 

@@ -194,3 +194,59 @@ def test_ivf_nprobe_sweep_monotone_and_consistent_with_search(spark):
         exact.join(ncell, "neighbor_id").join(probed, ["query_id", "cell"], "semi").count()
     )
     assert reachable_direct == rows[p].n_reachable
+
+
+def test_semdedup_collapse_equals_naive_on_duplicate_cliques(spark):
+    """r12: the exact-dup collapse must be bit-identical to naive
+    cluster-local enumeration on a corpus of 6-way duplicate cliques —
+    the shape whose quadratic blowup the 30× probe caught (3.7 s →
+    271 s pre-fix). The naive form is computed inline here (the
+    pre-collapse algebra) rather than kept as a second code path."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.clustering import kmeans_lloyd, semdedup
+    from rt_bigdata_spark.operators.similarity import cosine
+
+    base = [
+        [1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0],  # near-dup pair, same cluster
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.05, 0.95, 0.0],
+    ]
+    rows = []
+    vid = 0
+    for rep in range(6):  # 6-way exact-dup cliques, interleaved ids
+        for v in base:
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    docs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {r.vec_id: (r.cluster, r.kept) for r in semdedup(docs, k=3, iters=1, tau=0.9).collect()}
+    assert len(got) == len(rows)
+
+    # naive enumeration: assignment from the SAME trained model, then
+    # raw cluster-local pairwise
+    assigned, cents = kmeans_lloyd(docs, k=3, iters=1)
+    asg = assigned.select(F.col("vec_id"), F.col("cluster"))
+    a = asg.alias("a").join(docs.alias("da"), F.col("a.vec_id") == F.col("da.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"), F.col("a.cluster").alias("c_a"), F.col("da.embedding").alias("va")
+    )
+    b = a.select(F.col("id_a").alias("id_b"), F.col("c_a").alias("c_b"), F.col("va").alias("vb"))
+    pruned = {
+        r.id_a
+        for r in a.join(b, (F.col("c_a") == F.col("c_b")) & (F.col("id_b") < F.col("id_a")))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 9) >= 0.9)
+        .select("id_a").distinct().collect()
+    }
+    naive = {r.vec_id: (r.cluster, r.vec_id not in pruned) for r in asg.collect()}
+    assert got == naive
+    # sanity: every non-minimum clique member is pruned
+    assert sum(1 for _, (c, kept) in got.items() if kept) <= len(base)
+
+
+def test_semdedup_rejects_tau_above_cosine_ceiling(spark):
+    import pytest as _pt
+
+    from rt_bigdata_spark.operators.clustering import semdedup
+
+    docs = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id: long, embedding: array<double>")
+    with _pt.raises(ValueError, match="<= 1.0"):
+        semdedup(docs, tau=1.2)

@@ -110,3 +110,56 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
     files = glob.glob(out + "/part-*.parquet")
     assert len(files) == 2
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_tokenize_mixed_cjk_bigrams_cross_engine(spark):
+    """U1 IK-segmenter stand-in (SURVEY §7.3): latin runs → words, CJK
+    runs → Lucene-CJK overlapping bigrams, single CJK chars →
+    unigrams. Asserted against the reference's own demo title
+    (KeywordUtil.scala:46) and pinned cross-engine with a DuckDB twin
+    so the convention can't drift engine-side."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.functions.text_fns import tokenize_mixed
+
+    rows = [
+        (1, "Apple iPhoneXSMax (A2104) 256GB 深空灰色 移动联通电信4G手机 双卡双待"),
+        (2, "hello, World!"),
+        (3, "中"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    got = {
+        r.id: r.t
+        for r in df.select(
+            "id", tokenize_mixed(F.coalesce(F.col("text"), F.lit(""))).alias("t")
+        ).collect()
+    }
+    assert got[1] == [
+        "apple", "iphonexsmax", "a2104", "256gb",
+        "深空", "空灰", "灰色",
+        "移动", "动联", "联通", "通电", "电信", "4g", "手机",
+        "双卡", "卡双", "双待",
+    ]
+    assert got[2] == ["hello", "world"]
+    assert got[3] == ["中"]  # single-char CJK run → unigram
+    assert got[4] == [] == got[5]  # NULL ≡ '' ≡ no tokens
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["id", "text"]))
+    oracle = {
+        int(i): list(toks)
+        for i, toks in con.execute(
+            """
+            SELECT id, flatten(list_transform(
+              regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+|[一-龥]+'),
+              r -> CASE WHEN regexp_matches(r, '^[一-龥]') AND length(r) >= 2
+                   THEN [substr(r, i, 2) FOR i IN generate_series(1, length(r) - 1)]
+                   ELSE [r] END))
+            FROM t ORDER BY id
+            """
+        ).fetchall()
+    }
+    assert oracle == got

@@ -11,6 +11,15 @@ hyperplane-LSH variant buckets the corpus once (map-side signature),
 then only scans matching buckets — the standard ANN trade at 100 TB.
 Dot products use ``zip_with``/``aggregate`` (JVM-side, codegen); cast
 to double first so accumulation is IEEE-double deterministic.
+
+INPUT CONTRACT (r12): every vector operator in this family (and in
+clustering.py / quantization.py) assumes WELL-FORMED embeddings —
+non-null, the declared dimension, finite components. Malformed rows
+don't crash Spark (null sims propagate, wrong dims zip short) but
+their cross-engine semantics are undefined, so at ingest run
+``embedding_validation_stats`` / ``valid_embeddings`` first — the
+gate a 100 TB pipeline puts before its vector stages, registered as
+the oracle-backed ``embedding_validation`` audit.
 """
 
 from __future__ import annotations
@@ -522,3 +531,47 @@ def ivf_nprobe_sweep(
             (F.col("n_reachable").cast("double") / F.col("n_true").cast("double")).alias("recall"),
         )
     )
+
+
+def embedding_validation_stats(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """ONE-row ingest audit of the vector input contract: total rows,
+    rows passing (non-null, exactly ``dim`` components, all finite),
+    and the three failure counts. Pure map-side classification + one
+    global aggregate — run it (or ``valid_embeddings``) before any
+    vector operator; the operators themselves assume validated input
+    (module docstring).
+
+    Finiteness is spelled ``x = x AND abs(x) <= DBL_MAX`` — NaN fails
+    the self-compare and ±Inf the magnitude bound — because neither
+    engine has a portable isfinite over array elements; the identical
+    ANSI spelling is what makes the audit hash-oracleable.
+    """
+    v = F.col(vec_col)
+    finite = F.forall(
+        v, lambda x: (x == x) & (F.abs(x) <= F.lit(1.7976931348623157e308))
+    )
+    is_null = v.isNull()
+    wrong_dim = ~is_null & (F.size(v) != dim)
+    nonfinite = ~is_null & (F.size(v) == dim) & ~finite
+    valid = ~is_null & (F.size(v) == dim) & finite
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(valid.cast("long")).cast("long").alias("n_valid"),
+        F.sum(is_null.cast("long")).cast("long").alias("n_null"),
+        F.sum(wrong_dim.cast("long")).cast("long").alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("long")).cast("long").alias("n_nonfinite"),
+    )
+
+
+def valid_embeddings(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """The enforcement half of the ingest gate: rows whose vector
+    satisfies the contract (non-null, ``dim`` components, finite).
+    The predicate matches embedding_validation_stats' ``n_valid``
+    classification exactly — gate with this, audit with that."""
+    v = F.col(vec_col)
+    finite = F.forall(
+        v, lambda x: (x == x) & (F.abs(x) <= F.lit(1.7976931348623157e308))
+    )
+    return df.filter(v.isNotNull() & (F.size(v) == dim) & finite)

@@ -2444,6 +2444,36 @@ _DSIR_BUCKETS = 1024
 _DSIR_TARGET_SOURCE = "src0"  # the "trusted reference slice" stand-in
 
 
+def q_embedding_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector ingest-contract audit (similarity.embedding_validation_
+    stats): one row of total/valid/null/wrong-dim/non-finite counts —
+    the gate a 100 TB pipeline runs before its vector stages (the
+    vector operators assume validated input per the similarity module
+    contract). On clean testdata n_valid == n_rows; the classification
+    expressions are identical ANSI on both engines, so the audit is
+    hash-oracled, not just rows-counted."""
+    from rt_bigdata_spark.operators.similarity import embedding_validation_stats
+
+    return embedding_validation_stats(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
+_ORACLE_EMB_VALIDATION = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding,
+                            x -> NOT (x = x AND abs(x) <= 1.7976931348623157e308))) = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding,
+                            x -> NOT (x = x AND abs(x) <= 1.7976931348623157e308))) > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+FROM embeddings
+"""
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data-selection scores (text_analysis.dsir_importance):
     hashed-bigram importance ratios ln p_target/p_raw per document,
@@ -3379,6 +3409,9 @@ for spec in [
     # round-5 third batch (text→vector bridge + embedding compression)
     QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=40),
     QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=40),
+    # r12: the vector ingest-contract audit — in-window for its first
+    # driver row (log_split, five greens, yielded)
+    QuerySpec("embedding_validation", q_embedding_validation, _ORACLE_EMB_VALIDATION, ("embedding", "audit"), priority=45),
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
     QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=80),

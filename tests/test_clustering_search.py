@@ -250,3 +250,31 @@ def test_semdedup_rejects_tau_above_cosine_ceiling(spark):
     docs = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id: long, embedding: array<double>")
     with _pt.raises(ValueError, match="<= 1.0"):
         semdedup(docs, tau=1.2)
+
+
+def test_embedding_validation_gate_classifies_all_failure_modes(spark):
+    """r12 vector ingest contract: nulls, wrong dims, NaN and ±Inf are
+    counted apart and excluded by valid_embeddings; the two halves of
+    the gate (audit + filter) must agree on every row."""
+    from rt_bigdata_spark.operators.similarity import (
+        embedding_validation_stats,
+        valid_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, [1.0]),                     # wrong dim
+        (4, [float("nan"), 1.0]),       # NaN
+        (5, [float("inf"), 0.0]),       # +Inf
+        (6, [0.5, -0.5]),
+        (7, [1.0, 2.0, 3.0]),           # wrong dim (too long)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    audit = embedding_validation_stats(df, dim=2).collect()[0]
+    assert (audit.n_rows, audit.n_valid, audit.n_null, audit.n_wrong_dim, audit.n_nonfinite) == (
+        7, 2, 1, 2, 2
+    )
+    kept = sorted(r.vec_id for r in valid_embeddings(df, dim=2).collect())
+    assert kept == [1, 6]
+    assert len(kept) == audit.n_valid

@@ -47,7 +47,8 @@ MUST_BE_IN_WINDOW = {
     # --- r11 keepers: 3-4 greens, held one more round ---
     "keyword_c2r",
     "session_stats", "sliding_stats",
-    "bounce_detection", "is_new_correction", "log_split", "order_wide",
+    "bounce_detection", "is_new_correction", "order_wide",
+    # (r12: log_split — five greens — yielded to embedding_validation)
     # (r12: the nine heaviest-green r11 keepers/pull-backs —
     # token_stats, visitor_stats, language_id, shipping_priority,
     # pricing_summary, uv_dedup, order_wide_enriched, ads_report,
@@ -60,8 +61,8 @@ MUST_BE_IN_WINDOW = {
     "corpus_profile", "payment_wide",
     "quality_gate", "sales_rollup", "top_k_products",
     "union_stats",
-    # --- r12 new registration (first driver row this round) ---
-    "source_novelty",
+    # --- r12 new registrations (first driver row this round) ---
+    "source_novelty", "embedding_validation",
     # --- r12 pre-clears (would be DUE r13; last green r07 — pulled
     # back one round early per the r11 verdict's rotate-early rule) ---
     "bigram_surprisal", "bpe_pairs", "corpus_diff", "doc_embedding",

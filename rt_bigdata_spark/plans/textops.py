@@ -3453,7 +3453,7 @@ for spec in [
     # r12: the per-feed operational read of the novelty curve (new
     # registrations start at priority=70 — CI-verified every run,
     # outside the driver window until the planner rotates it in)
-    QuerySpec("source_novelty", q_source_novelty, _ORACLE_SOURCE_NOVELTY, ("text", "profiling"), priority=45),
+    QuerySpec("source_novelty", q_source_novelty, _ORACLE_SOURCE_NOVELTY, ("text", "profiling"), bench=True, priority=45),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;

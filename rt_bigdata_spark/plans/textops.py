@@ -3348,7 +3348,7 @@ for spec in [
     # bpe_merges loop (still oracle-verified every CI run)
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=40),
     # (six greens r1-r7; yielded its slot in r8's second batch)
-    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=80),
+    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=40),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
     # r10: the SemDeDup τ tuning curve — new spec, must land in the
     # window (bpe_encode, thrice-green, yielded its slot;
@@ -3372,7 +3372,7 @@ for spec in [
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), bench=True, priority=80),
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=40),
     QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=80),
-    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=40),
+    QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=80),
     # round-6: the broadcast-threshold scale form of quality_gate
     QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=80),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
@@ -3388,7 +3388,7 @@ for spec in [
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=80),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=80),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=80),
-    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
+    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=40),
     QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), bench=True, priority=80),
     # round-5 additions (training-order / packing bookkeeping); three
     # more multi-round greens (payment_wide, uv_dedup, log_split)
@@ -3402,7 +3402,7 @@ for spec in [
     # corpus_profile, quality_gate, unigram_surprisal) yielded window
     # slots so these verify on their first round.
     QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=80),
-    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=80),
+    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=40),
     QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=80),
     QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=40),
@@ -3432,12 +3432,12 @@ for spec in [
     QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), bench=True, priority=10),
     # round-8: the terminal packed-sequence artifact (filtered_ann —
     # thrice-green r5-r7, indexed sibling stays in-window — yields its slot)
-    QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), bench=True, priority=10),
+    QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), bench=True, priority=80),
     # round-5 seventh batch (edit-robust fingerprinting; with
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)
     # (thrice-green r5-r7; yielded its slot in r8's second batch)
-    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), bench=True, priority=80),
+    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), bench=True, priority=40),
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
     QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=80),
@@ -3461,7 +3461,7 @@ for spec in [
     # re-shaped embedding_dedup keeps its place)
     # (thrice-green r5-r7; yielded its slot in r8's third batch —
     # media_dedup composes the same encoder and stays in-window)
-    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=80),
+    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=40),
     # round-6: the composed multimodal dedup pipeline (pseudo-encoder →
     # LSH cells → exact-cosine verify)
     QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=80),
@@ -3478,7 +3478,7 @@ for spec in [
     # thrice-green, dim_history/merge keep the SCD family). In: the
     # approximate-index recall audit, temperature sampling, and the
     # PQ-compressed vector store + its ADC search.
-    QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(), ("similarity", "approx", "audit"), bench=True, priority=10),
+    QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(), ("similarity", "approx", "audit"), bench=True, priority=80),
     # r10: the n_probe tuning curve — new spec, must land in the window
     # (media_resize, thrice-green, yielded its slot)
     QuerySpec(
@@ -3489,8 +3489,8 @@ for spec in [
         bench=True,
         priority=10,
     ),
-    QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=10),
-    QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=10),
+    QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=80),
+    QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=80),
     QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=10),
     # round-8 third batch: media_embedding (thrice-green r5-r7;
     # media_dedup composes it and stays in-window) yields its slot to

@@ -35,20 +35,28 @@ DRIVER_WINDOW = 50
 MUST_BE_IN_WINDOW = {
     # --- r11 keepers: <4 driver greens (or sweep/new families) ---
     "bpe_encode_tokens",
-    "packed_sequences", "ann_recall", "temperature_mix", "pq_codes",
     "pq_ann_topk", "ivfpq_topk", "ivfpq_rerank_topk", "pq_distortion",
     "ivfpq_cell_stats", "dup_cluster_sizes",
     "salted_enrichment",
     "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
     "embedding_tau_sweep",
+    # (r12 second rotation: packed_sequences, ann_recall,
+    # temperature_mix, pq_codes — now 4+ greens — yielded with
+    # bounce_detection, is_new_correction, order_wide, quality_gate,
+    # top_k_products, sliding_stats, payment_wide, union_stats to the
+    # r14 pre-clears below, leaving r13 AND r14 rotation-free)
     # --- r11 new registrations (scalar_datetime, json_props,
     # product_stats — thrice-green — yielded their slots) ---
     "dsir_importance", "dup_source_matrix", "ngram_novelty",
     # --- r11 keepers: 3-4 greens, held one more round ---
     "keyword_c2r",
-    "session_stats", "sliding_stats",
-    "bounce_detection", "is_new_correction", "order_wide",
+    "session_stats",
     # (r12: log_split — five greens — yielded to embedding_validation)
+    # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
+    "active_users", "customer_max_order", "customer_quartiles",
+    "embedding_dedup", "filtered_ann", "integrity_audit",
+    "media_embedding", "nation_trade", "point_in_time_join",
+    "sales_cube", "semdedup", "winnow_fingerprint",
     # (r12: the nine heaviest-green r11 keepers/pull-backs —
     # token_stats, visitor_stats, language_id, shipping_priority,
     # pricing_summary, uv_dedup, order_wide_enriched, ads_report,
@@ -58,9 +66,10 @@ MUST_BE_IN_WINDOW = {
     # (r12: unigram_surprisal — five greens, re-greened r11 — yielded
     # its slot to the new source_novelty registration, which must be
     # in-window for its FIRST driver row per the never-verified rule)
-    "corpus_profile", "payment_wide",
-    "quality_gate", "sales_rollup", "top_k_products",
-    "union_stats",
+    "corpus_profile", "sales_rollup",
+    # (r12 second rotation: payment_wide, quality_gate, top_k_products,
+    # union_stats — re-greened r11, 4+ greens — yielded to the r14
+    # pre-clears)
     # --- r12 new registrations (first driver row this round) ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears (would be DUE r13; last green r07 — pulled

@@ -87,6 +87,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
+                # advice-r12: heavy non-R1 queries run one fewer rep under
+                # the wall-clock control; emit the ACTUAL per-query rep
+                # count so cross-round comparisons can see which numbers
+                # are min-of-2 vs min-of-3
+                "rep_counts": rep_counts,
                 "total_r1_set": total_r1_set,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

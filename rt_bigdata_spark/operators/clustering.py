@@ -172,10 +172,27 @@ def semdedup(
     means and break exactness); only the quadratic stage collapses.
     Requires τ ≤ 1.0 — above cosine's ceiling the within-clique fold
     would diverge from naive enumeration, so it raises.
+
+    INPUT CONTRACT (enforced): vectors must be non-null — run
+    ``similarity.valid_embeddings`` first (module contract). The
+    exact-dup collapse would otherwise silently fold every NULL-vector
+    row into one cluster-(-1) clique and keep only the min id, where
+    pre-collapse semantics surfaced each with cluster NULL — rather
+    than pick either behavior for out-of-contract input, the plan
+    carries a per-row assert_true that fails the job on the first NULL
+    vector (no extra pass; the guard rides the existing scan).
     """
     if tau > 1.0:
         raise ValueError(f"tau must be <= 1.0 (cosine ceiling), got {tau}")
-    corpus = ensure_parallelism(corpus)
+    corpus = ensure_parallelism(corpus).filter(
+        F.assert_true(
+            F.col(vec_col).isNotNull(),
+            F.lit(
+                "semdedup: NULL vector — input contract requires "
+                "similarity.valid_embeddings() before clustering"
+            ),
+        ).isNull()
+    )
     centroids = _ivf_centroids(corpus, id_col, vec_col, k)
     for _ in range(iters):
         assigned = _assign_cells(corpus, centroids, id_col, vec_col)

@@ -546,11 +546,16 @@ def embedding_validation_stats(
     Finiteness is spelled ``x = x AND abs(x) <= DBL_MAX`` — NaN fails
     the self-compare and ±Inf the magnitude bound — because neither
     engine has a portable isfinite over array elements; the identical
-    ANSI spelling is what makes the audit hash-oracleable.
+    ANSI spelling is what makes the audit hash-oracleable. A NULL
+    *element* makes ``forall`` return NULL (three-valued logic), which
+    would drop the row out of every bucket — coalesce(False) routes it
+    to n_nonfinite, the bucket for "vector exists, right dim, bad
+    components".
     """
     v = F.col(vec_col)
-    finite = F.forall(
-        v, lambda x: (x == x) & (F.abs(x) <= F.lit(1.7976931348623157e308))
+    finite = F.coalesce(
+        F.forall(v, lambda x: (x == x) & (F.abs(x) <= F.lit(1.7976931348623157e308))),
+        F.lit(False),
     )
     is_null = v.isNull()
     wrong_dim = ~is_null & (F.size(v) != dim)
@@ -569,9 +574,13 @@ def valid_embeddings(df: DataFrame, dim: int, vec_col: str = "embedding") -> Dat
     """The enforcement half of the ingest gate: rows whose vector
     satisfies the contract (non-null, ``dim`` components, finite).
     The predicate matches embedding_validation_stats' ``n_valid``
-    classification exactly — gate with this, audit with that."""
+    classification exactly — gate with this, audit with that. The
+    coalesce(False) matters: a NULL element turns ``forall`` NULL and a
+    NULL filter predicate silently drops the row WITHOUT it being
+    counted anywhere by an un-coalesced audit (the advice-r12 bug)."""
     v = F.col(vec_col)
-    finite = F.forall(
-        v, lambda x: (x == x) & (F.abs(x) <= F.lit(1.7976931348623157e308))
+    finite = F.coalesce(
+        F.forall(v, lambda x: (x == x) & (F.abs(x) <= F.lit(1.7976931348623157e308))),
+        F.lit(False),
     )
     return df.filter(v.isNotNull() & (F.size(v) == dim) & finite)

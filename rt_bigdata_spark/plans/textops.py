@@ -2461,14 +2461,14 @@ _ORACLE_EMB_VALIDATION = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
                       AND len(list_filter(embedding,
-                            x -> NOT (x = x AND abs(x) <= 1.7976931348623157e308))) = 0
+                            x -> x IS NULL OR NOT (x = x AND abs(x) <= 1.7976931348623157e308))) = 0
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
        CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
                       AND len(list_filter(embedding,
-                            x -> NOT (x = x AND abs(x) <= 1.7976931348623157e308))) > 0
+                            x -> x IS NULL OR NOT (x = x AND abs(x) <= 1.7976931348623157e308))) > 0
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
 FROM embeddings
 """

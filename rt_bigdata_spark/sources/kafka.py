@@ -152,6 +152,22 @@ def kafka_json_source(
     return parse_json_value(kafka_source(spark, topic, bootstrap_servers, **kwargs), schema)
 
 
+def apply_default_topic(df: DataFrame, topic: str | None, default_topic: str | None) -> DataFrame:
+    """Dynamic-mode DEFAULT_TOPIC routing, factored out of kafka_sink so
+    the expression is unit-testable without a broker. Fixed-topic mode
+    (``topic`` set) and no-default mode pass through unchanged; in
+    dynamic mode null topic cells coalesce to the default, and a frame
+    with NO topic column gets the default on every row (KafkaUtil.scala:15
+    applies DEFAULT_TOPIC regardless of whether a route was attached —
+    advice-r12: previously such a frame fell through to a runtime
+    producer error)."""
+    if topic is None and default_topic is not None:
+        if "topic" in df.columns:
+            return df.withColumn("topic", F.coalesce(F.col("topic"), F.lit(default_topic)))
+        return df.withColumn("topic", F.lit(default_topic))
+    return df
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -167,10 +183,13 @@ def kafka_sink(
     ``default_topic`` (DEFAULT_TOPIC to mirror KafkaUtil.scala:15)
     coalesces null topic cells so unroutable rows land in the fallback
     topic instead of failing the batch; the built-in sink has no such
-    fallback of its own.
+    fallback of its own. When the frame carries NO ``topic`` column at
+    all, the default applies to every row (the reference's
+    DEFAULT_TOPIC holds whether or not a route was attached) — without
+    this the batch would defer the mismatch to a runtime producer
+    error.
     """
-    if topic is None and default_topic is not None and "topic" in df.columns:
-        df = df.withColumn("topic", F.coalesce(F.col("topic"), F.lit(default_topic)))
+    df = apply_default_topic(df, topic, default_topic)
     opts = kafka_sink_options(bootstrap_servers, topic, checkpoint_dir)
     writer = df.writeStream.format("kafka").options(**opts)
     if query_name:

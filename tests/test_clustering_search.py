@@ -269,12 +269,72 @@ def test_embedding_validation_gate_classifies_all_failure_modes(spark):
         (5, [float("inf"), 0.0]),       # +Inf
         (6, [0.5, -0.5]),
         (7, [1.0, 2.0, 3.0]),           # wrong dim (too long)
+        (8, [1.0, None]),               # NULL element: forall→NULL trap
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
     audit = embedding_validation_stats(df, dim=2).collect()[0]
     assert (audit.n_rows, audit.n_valid, audit.n_null, audit.n_wrong_dim, audit.n_nonfinite) == (
-        7, 2, 1, 2, 2
+        8, 2, 1, 2, 3
     )
+    # every row lands in exactly one bucket — the NULL-element row used
+    # to land in NONE (forall returned NULL, advice-r12)
+    assert audit.n_valid + audit.n_null + audit.n_wrong_dim + audit.n_nonfinite == audit.n_rows
     kept = sorted(r.vec_id for r in valid_embeddings(df, dim=2).collect())
     assert kept == [1, 6]
     assert len(kept) == audit.n_valid
+
+
+def test_embedding_validation_oracle_parity_on_malformed_vectors(spark, tmp_path):
+    """advice-r12: the registered DuckDB oracle must classify the
+    NULL-ELEMENT row exactly like Spark — DuckDB's list_filter drops
+    NULL-predicate elements, so without the explicit `x IS NULL OR`
+    arm the oracle counted [1.0, NULL] as n_valid while Spark's
+    un-coalesced forall counted it nowhere. Both sides now route it to
+    n_nonfinite; this test runs the REGISTERED oracle SQL on the same
+    malformed corpus Spark sees."""
+    import duckdb
+
+    from rt_bigdata_spark.operators.similarity import embedding_validation_stats
+    from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = [
+        (1, [1.0] * 64),
+        (2, None),
+        (3, [1.0]),
+        (4, [float("nan")] + [0.0] * 63),
+        (5, [1.0, None] + [0.0] * 62),  # NULL element
+        (6, [0.5] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = str(tmp_path / "embeddings.parquet")
+    df.write.mode("overwrite").parquet(out)
+
+    spark_row = embedding_validation_stats(
+        spark.read.parquet(out), dim=64
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{out}/*.parquet')"
+    )
+    res = con.execute(REGISTRY["embedding_validation"].oracle)
+    o_cols = [d[0] for d in res.description]
+    oracle = dict(zip(o_cols, res.fetchone()))
+    got = {c: getattr(spark_row, c) for c in o_cols}
+    assert got == oracle
+    assert got == {
+        "n_rows": 6, "n_valid": 2, "n_null": 1, "n_wrong_dim": 1, "n_nonfinite": 2,
+    }
+
+
+def test_semdedup_enforces_non_null_vector_contract(spark):
+    """advice-r12: out-of-contract NULL vectors must fail loudly at
+    execution (in-plan assert_true, no extra pass) instead of silently
+    folding into one cluster-(-1) clique under the exact-dup collapse."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(Exception, match="valid_embeddings"):
+        semdedup(df, k=2, iters=1, tau=0.9).collect()

@@ -16,6 +16,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from rt_bigdata_spark.sources.kafka import (
     DEFAULT_TOPIC,
+    apply_default_topic,
     kafka_sink_options,
     kafka_source_options,
     parse_json_value,
@@ -108,9 +109,31 @@ def test_dynamic_sink_coalesces_null_topic_to_default(spark):
     the writer — verify the expression (batch-side) rather than the
     writer (needs a broker): null topic cells route to DEFAULT_DATA,
     real ones pass through."""
-    # the same expression kafka_sink applies in dynamic mode
-    df = spark.createDataFrame(
-        [("a", "dwd_start_log"), ("b", None)], "value: string, topic: string"
-    ).withColumn("topic", F.coalesce(F.col("topic"), F.lit(DEFAULT_TOPIC)))
+    # the exact function kafka_sink applies in dynamic mode
+    df = apply_default_topic(
+        spark.createDataFrame(
+            [("a", "dwd_start_log"), ("b", None)], "value: string, topic: string"
+        ),
+        topic=None,
+        default_topic=DEFAULT_TOPIC,
+    )
     out = dict(df.collect())
     assert out == {"a": "dwd_start_log", "b": DEFAULT_TOPIC}
+
+
+def test_dynamic_sink_defaults_topic_when_column_absent(spark):
+    """advice-r12: a dynamic-mode frame with NO topic column at all must
+    still land every row in DEFAULT_TOPIC (KafkaUtil.scala:15 applies
+    the default regardless of routing) instead of deferring to a
+    runtime producer error."""
+    df = apply_default_topic(
+        spark.createDataFrame([("a",), ("b",)], "value: string"),
+        topic=None,
+        default_topic=DEFAULT_TOPIC,
+    )
+    assert "topic" in df.columns
+    assert {r.topic for r in df.collect()} == {DEFAULT_TOPIC}
+    # fixed-topic and no-default modes pass through untouched
+    src = spark.createDataFrame([("a",)], "value: string")
+    assert apply_default_topic(src, "fixed", DEFAULT_TOPIC).columns == ["value"]
+    assert apply_default_topic(src, None, None).columns == ["value"]

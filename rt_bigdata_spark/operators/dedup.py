@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    max_pairs_per_group: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by estimated Jaccard.
 
@@ -228,8 +229,46 @@ def minhash_lsh_pairs(
     signature-agreement estimate ≥ threshold. The only wide exchange is
     the bucket groupBy; candidate pairs are bucket-local. ``df_cap``
     passes through to the signature stage (stop-shingle control).
+
+    ``max_pairs_per_group`` (opt-in, r12 verdict item 6): the full
+    contract enumerates EVERY qualifying pair, which is Θ(Σ m_g²) on
+    exact-duplicate cliques of size m — correct but not what a 100 TB
+    run materializes. When set, docs with IDENTICAL signatures (the
+    exact-dup proxy; identical texts always qualify) collapse to their
+    min-id keeper: cross-clique pairs are emitted keeper↔keeper only,
+    and each clique contributes keeper→member spanning pairs (est 1.0 —
+    identical signatures agree in every position), truncated at
+    ``max_pairs_per_group`` members by ascending id. The result is a
+    SUBSET of the default output (property-tested) with the same
+    connected components whenever the cap covers every clique
+    (cap ≥ m-1); output size is linear in clique size instead of
+    quadratic.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, df_cap=df_cap)
+    if max_pairs_per_group is not None:
+        # Collapse identical signatures BEFORE banding: one hash-agg on
+        # the signature array, then the normal band/bucket machinery
+        # runs over keepers only. groups is consumed by three branches
+        # (two self-join sides + the star explode) — same caller-owned
+        # persist contract as the signature persist below.
+        groups = (
+            sig.groupBy("signature")
+            .agg(
+                F.min("doc").alias("rep"),
+                F.sort_array(F.collect_list("doc")).alias("members"),
+            )
+            .persist()
+        )
+        reps = groups.select(F.col("rep").alias("doc"), "signature")
+        cross = _lsh_pairs_from_signatures(reps, num_hashes, bands, threshold)
+        stars = groups.filter(F.size("members") >= 2).select(
+            F.col("rep").alias("doc_a"),
+            F.explode(F.slice("members", 2, max_pairs_per_group)).alias("doc_b"),
+            # identical arrays: size(filter(zip_with(eq)))/num_hashes is
+            # exactly num_hashes/num_hashes — lit(1.0) is bit-identical
+            F.lit(1.0).alias("est_jaccard"),
+        ).filter(F.col("est_jaccard") >= F.lit(threshold))  # subset under ANY threshold
+        return cross.unionByName(stars)
     # The self-join's two sides are planned as two full signature
     # pipelines (no exchange reuse under a broadcast join, and the
     # canonicalized sides don't unify under a merge hint either —
@@ -761,6 +800,7 @@ def embedding_near_dup_lsh(
     num_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    max_pairs_per_group: int | None = None,
 ) -> DataFrame:
     """Approximate embedding near-dup pairs: multi-table hyperplane LSH,
     pairs formed only within a (table, bucket) cell.
@@ -780,8 +820,51 @@ def embedding_near_dup_lsh(
     planning/codegen before any row moves; as a single constant the
     bucket computation is three small higher-order functions regardless
     of dimensionality.
+
+    ``max_pairs_per_group`` (opt-in, r12 verdict item 6): like
+    ``minhash_lsh_pairs``, the full pair contract is Θ(Σ m_g²) on
+    bit-identical-vector cliques. When set, identical vectors collapse
+    to their min-id keeper first; cross-clique pairs are keeper↔keeper,
+    and each clique adds keeper→member spanning pairs (sim computed
+    with the IDENTICAL float expression the pair path uses —
+    round(dot(v,v)/(nrm·nrm), 9) — so values are bit-equal to the full
+    output's), truncated at ``max_pairs_per_group`` members by
+    ascending id. A subset of the default output (property-tested),
+    same connected components when the cap covers every clique.
     """
     from rt_bigdata_spark.operators.similarity import dot
+
+    if max_pairs_per_group is not None:
+        groups = (
+            ensure_parallelism(df)
+            .groupBy(F.col(vec_col).alias("_vec"))
+            .agg(
+                F.min(id_col).alias("rep"),
+                F.sort_array(F.collect_list(id_col)).alias("members"),
+            )
+            .persist()
+        )
+        reps = groups.select(F.col("rep").alias(id_col), F.col("_vec").alias(vec_col))
+        cross = embedding_near_dup_lsh(
+            reps, threshold, id_col, vec_col, num_planes, num_tables, dim, seed
+        )
+        nrm = F.sqrt(dot(F.col("_vd"), F.col("_vd")))
+        sim_self = F.round(dot(F.col("_vd"), F.col("_vd")) / (nrm * nrm), 9)
+        stars = (
+            groups.filter(F.size("members") >= 2)
+            .select(
+                "rep",
+                "members",
+                F.transform(F.col("_vec"), lambda x: x.cast("double")).alias("_vd"),
+            )
+            .select(
+                F.col("rep").alias("id_a"),
+                F.explode(F.slice("members", 2, max_pairs_per_group)).alias("id_b"),
+                sim_self.alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+        )
+        return cross.unionByName(stars)
 
     sig = _emb_lsh_cells(
         ensure_parallelism(df), id_col, vec_col, num_planes, num_tables, dim, seed

@@ -123,3 +123,110 @@ def test_bpe_encode_chunk_boundary_invariance(spark, corpus):
     base = run(10**9)  # single slice: the pre-fix unchunked shape
     assert run(5) == base
     assert run(64) == base
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict item 2: EXTERNAL known-good fixture. Everything above
+# validates the encoder against a python mirror of the SAME
+# training-order semantics — self-consistent, so a merge-ORDER or
+# tie-break divergence would pass both sides. This pins bpe_encode on
+# a hand-written public-format (GPT-2 merges.txt layout) table with a
+# precomputed expected tokenization, and cross-checks against an
+# INDEPENDENT rank-priority reference encoder (the algorithm of the
+# public gpt-2 encoder.py bpe(): repeatedly merge the lowest-rank
+# bigram present) — equivalent to training-order application exactly
+# on well-formed tables, which is what real merges.txt files are.
+# ---------------------------------------------------------------------------
+
+import os
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "gpt2_merges_small.txt")
+
+# hand-verified against the 13-merge fixture: ids are codepoint for
+# base chars, 255+step for merge products (lower=263, lowest=264,
+# newer=268, wider=267, low=257, new=260, lo=256, er=258)
+_EXPECTED = {
+    1: (6, 6, "263 264 268 267 257 260"),   # every word fully merges
+    2: (2, 5, "257 108 121 260 115"),       # partial: low+l+y, new+s
+    3: (2, 5, "256 256 119 258 116"),       # greedy LTR: lolo -> lo lo
+}
+_DOCS = [
+    (1, "lower lowest newer wider low new"),
+    (2, "lowly news"),
+    (3, "lolo wert"),
+]
+
+
+def _gpt2_rank_priority_bpe(tok: str, ranks: dict) -> list[str]:
+    """Independent reference: the public GPT-2 encoder's bpe() loop —
+    merge the lowest-rank bigram present, all its non-overlapping
+    occurrences left-to-right, repeat until no table bigram remains."""
+    word = list(tok)
+    while len(word) > 1:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        bigram = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if bigram not in ranks:
+            break
+        first, second = bigram
+        out, i = [], 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                out.append(first + second)
+                i += 2
+            else:
+                out.append(word[i])
+            i += 1 if out[-1] != first + second else 0
+        word = out
+    return word
+
+
+def test_gpt2_merges_loader_parses_public_format():
+    from rt_bigdata_spark.operators.text_analysis import load_gpt2_merges
+
+    merges = load_gpt2_merges(_FIXTURE)
+    assert len(merges) == 13
+    assert merges[0] == ("l", "o")
+    assert merges[7] == ("low", "er")
+    assert merges[-1] == ("new", "er")
+
+
+def test_bpe_encode_reproduces_external_fixture_byte_for_byte(spark):
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_encode_tokens,
+        load_gpt2_merges,
+    )
+
+    merges = load_gpt2_merges(_FIXTURE)
+    df = spark.createDataFrame(_DOCS, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.token_ids)
+        for r in bpe_encode_tokens(df, merges).collect()
+    }
+    assert got == _EXPECTED
+
+
+def test_training_order_equals_rank_priority_on_wellformed_table(spark):
+    """The class of bug this fixture exists to catch: the engine's
+    training-order sequential application must agree with the GPT-2
+    rank-priority algorithm on every token of the corpus (guaranteed
+    for well-formed tables; a divergence means the engine's merge
+    order or greedy scan drifted)."""
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_encode_tokens,
+        load_gpt2_merges,
+    )
+
+    merges = load_gpt2_merges(_FIXTURE)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    sym_id: dict[str, int] = {}
+    for s, (left, right) in enumerate(merges, start=1):
+        sym_id.setdefault(left + right, 255 + s)
+
+    df = spark.createDataFrame(_DOCS, "doc_id: long, text: string")
+    got = {r.doc_id: r.token_ids for r in bpe_encode_tokens(df, merges).collect()}
+    for doc_id, text in _DOCS:
+        expect_ids: list[int] = []
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            for sym in _gpt2_rank_priority_bpe(tok, ranks):
+                expect_ids.append(sym_id.get(sym, ord(sym) if len(sym) == 1 else -1))
+        assert got[doc_id] == " ".join(map(str, expect_ids)), doc_id

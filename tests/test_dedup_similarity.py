@@ -491,3 +491,123 @@ def test_null_text_convention_for_shingle_family(spark):
         for r in con.execute(REGISTRY["ngram_novelty"].oracle).fetchall()
     }
     assert oracle[2] == out[2] and oracle[3] == out[3]
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict item 6: max_pairs_per_group — the capped spanning-pair
+# form a 100 TB run materializes instead of the Θ(Σ m_g²) full pair set
+# ---------------------------------------------------------------------------
+
+
+def _components(pairs: set[tuple[int, int]], nodes: set[int]) -> set[frozenset[int]]:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, set[int]] = {}
+    for n in nodes:
+        comps.setdefault(find(n), set()).add(n)
+    return {frozenset(v) for v in comps.values()}
+
+
+def _dup_corpus(spark):
+    """3 exact-dup cliques (sizes 4, 3, 2) + 2 singletons + a genuine
+    near-dup pair (not exact): the shapes the cap must handle."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "pack my box with five dozen liquor jugs before the long winter night",
+        "how vexingly quick daft zebras jump when the circus music starts",
+    ]
+    rows = []
+    did = 0
+    for ci, m in enumerate((4, 3, 2)):
+        for _ in range(m):
+            did += 1
+            rows.append((did, base[ci]))
+    rows.append((did + 1, "completely unrelated text about sparkling distributed engines"))
+    rows.append((did + 2, base[0] + " tonight"))  # near-dup of clique 0, not exact
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_minhash_lsh_pair_cap_is_spanning_subset(spark):
+    from rt_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _dup_corpus(spark)
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5, max_pairs_per_group=100
+        ).collect()
+    }
+    # subset with identical values
+    for k, v in capped.items():
+        assert k in full and full[k] == v, k
+    # strictly smaller on this corpus: clique C(4,2)+C(3,2)+C(2,2)=10
+    # within-pairs shrink to 3+2+1=6 spanning pairs
+    assert len(capped) < len(full)
+    # cap >= clique-1 ⇒ identical connected components
+    nodes = {r.doc_id for r in docs.collect()}
+    assert _components(set(capped), nodes) == _components(set(full), nodes)
+    # every clique's within-pairs are the keeper→member star
+    assert {(1, 2), (1, 3), (1, 4), (5, 6), (5, 7), (8, 9)} <= set(capped)
+    assert (2, 3) in full and (2, 3) not in capped
+
+
+def test_minhash_lsh_pair_cap_truncates_at_cap(spark):
+    from rt_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _dup_corpus(spark)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5, max_pairs_per_group=1
+        ).collect()
+    }
+    # size-4 clique {1,2,3,4}: exactly ONE within-pair, the lowest member
+    within = {p for p in capped if p[0] == 1 and p[1] in (2, 3, 4)}
+    assert within == {(1, 2)}
+
+
+def test_embedding_lsh_pair_cap_is_spanning_subset(spark):
+    from rt_bigdata_spark.operators.dedup import embedding_near_dup_lsh
+
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    base = [[round(rng.uniform(-1, 1), 3) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    vid = 0
+    for ci, m in enumerate((4, 3, 2)):
+        for _ in range(m):
+            vid += 1
+            rows.append((vid, base[ci]))
+    rows.append((vid + 1, [1.0] + [0.0] * (dim - 1)))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    kw = dict(threshold=0.9, num_planes=4, num_tables=3, dim=dim)
+    full = {
+        (r.id_a, r.id_b): r.sim for r in embedding_near_dup_lsh(df, **kw).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup_lsh(df, max_pairs_per_group=100, **kw).collect()
+    }
+    for k, v in capped.items():
+        assert k in full and full[k] == v, k  # bit-identical sims
+    assert len(capped) < len(full)
+    nodes = {r.vec_id for r in df.collect()}
+    assert _components(set(capped), nodes) == _components(set(full), nodes)
+    assert {(1, 2), (1, 3), (1, 4), (5, 6), (5, 7), (8, 9)} <= set(capped)

@@ -99,15 +99,21 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def _decode_real(media_type: str, content: bytes):
     """Real-codec plug point. Images decode through PIL when it is
     installed (import-gated — the test container ships no codecs, so
-    the gate, not the decode, is what runs here); audio/video still
-    need torchaudio / pyav and stay honest NotImplementedError stubs.
+    the gate, not the decode, is what runs here); audio decodes PCM
+    WAV through the stdlib ``wave`` module (always available — r12
+    verdict item 8), raising NotImplementedError for compressed
+    containers; video still needs pyav and stays an honest
+    NotImplementedError stub.
 
-    Returns the decoded representation: for images, raw interleaved
-    RGB pixel bytes plus (width, height) — the canonical form every
+    Returns the decoded representation: the canonical bytes every
     downstream kernel (resize witness, feature extraction) consumes,
-    chosen because it is ENCODING-INVARIANT: the same pixels saved as
-    PNG or BMP decode to identical bytes, so content-addressed dedup
-    keys off what the image IS, not how it was compressed.
+    plus a dims tuple. Canonical = ENCODING-INVARIANT: for images, raw
+    interleaved RGB pixels + (width, height) — the same pixels saved
+    as PNG or BMP decode identically; for audio, the raw PCM sample
+    frames + (n_channels, framerate) — the same samples in a WAV with
+    or without extra RIFF metadata chunks decode identically, so
+    content-addressed dedup keys off what the media IS, not its
+    container framing.
     """
     if media_type == "image":
         try:
@@ -120,6 +126,19 @@ def _decode_real(media_type: str, content: bytes):
             ) from exc
         img = Image.open(io.BytesIO(content)).convert("RGB")
         return img.tobytes(), img.size
+    if media_type == "audio":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(content)) as w:
+                pcm = w.readframes(w.getnframes())
+                return pcm, (w.getnchannels(), w.getframerate())
+        except wave.Error as exc:
+            raise NotImplementedError(
+                f"audio decode handles PCM WAV only (stdlib wave): {exc}; "
+                "compressed codecs need torchaudio/pyav — use stub=True"
+            ) from exc
     raise NotImplementedError(f"no {media_type} codec installed; use extract_features(stub=True)")
 
 
@@ -223,7 +242,11 @@ def resize_media(
                     # bytes (PIL, NEAREST — see _resize_real), the
                     # dedup-ready fingerprint of the resized image
                     if mtype != "image":
-                        _decode_real(mtype, raw)  # honest NotImplementedError
+                        # resize is an image kernel; audio WAV now
+                        # DECODES (stdlib wave) but has no resize
+                        raise NotImplementedError(
+                            f"resize is image-only; got {mtype} — use stub=True"
+                        )
                     sigs.append(hashlib.md5(_resize_real(raw, width, height)).hexdigest())
                     continue
                 h = hashlib.md5(raw).hexdigest()

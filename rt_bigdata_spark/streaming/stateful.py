@@ -341,30 +341,45 @@ def _funnel_fn_factory(steps: tuple[str, ...]):
     click depending on arbitrary tie order. NULL users are dropped,
     mirroring the batch operator.
     """
-    rank = {s: i for i, s in enumerate(steps)}
-
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         stage, reach_ts = (state.get if state.exists else (0, None))
-        rows: list[dict[str, Any]] = []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pooled = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            pooled = pooled.assign(
-                _rk=pooled["event_type"].map(rank).fillna(len(steps)).astype("int64")
-            )
-            for r in pooled.sort_values(["ts", "_rk"], kind="stable").itertuples(index=False):
-                if stage >= len(steps):
-                    break
-                if r.event_type == steps[stage] and (reach_ts is None or r.ts >= reach_ts):
-                    stage += 1
-                    reach_ts = r.ts
-                    rows.append(
-                        {"user_id": key[0], "funnel_stage": stage, "reached_ts": r.ts}
-                    )
+        rows, stage, reach_ts = _funnel_scan(key[0], pdfs, steps, stage, reach_ts)
         state.update((stage, reach_ts))
         yield pd.DataFrame(rows, columns=[f.name for f in FUNNEL_OUT_SCHEMA.fields])
 
     return fn
+
+
+def _funnel_scan(
+    user_id,
+    pdfs: "Iterable[pd.DataFrame]",
+    steps: tuple[str, ...],
+    stage: int,
+    reach_ts,
+) -> tuple[list[dict], int, "int | None"]:
+    """The ONE funnel-advance kernel shared by the v1
+    (applyInPandasWithState) and v2 (transformWithState) engines — the
+    stateful shared-kernel rule: pool the group's Arrow chunks, sort
+    once on (ts, step-rank), advance on next-step matches at-or-after
+    the current reach time. Returns (emitted rows, stage, reach_ts)."""
+    rank = {s: i for i, s in enumerate(steps)}
+    rows: list[dict[str, Any]] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pooled = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pooled = pooled.assign(
+            _rk=pooled["event_type"].map(rank).fillna(len(steps)).astype("int64")
+        )
+        for r in pooled.sort_values(["ts", "_rk"], kind="stable").itertuples(index=False):
+            if stage >= len(steps):
+                break
+            if r.event_type == steps[stage] and (reach_ts is None or r.ts >= reach_ts):
+                stage += 1
+                reach_ts = r.ts
+                rows.append(
+                    {"user_id": user_id, "funnel_stage": stage, "reached_ts": r.ts}
+                )
+    return rows, stage, reach_ts
 
 
 def track_funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:

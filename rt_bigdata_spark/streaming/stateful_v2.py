@@ -43,10 +43,12 @@ from pyspark.sql.streaming.stateful_processor import (
 from rt_bigdata_spark.streaming.stateful import (
     BOUNCE_OUT_SCHEMA,
     BOUNCE_TIMEOUT_MS,
+    FUNNEL_OUT_SCHEMA,
     IS_NEW_OUT_SCHEMA,
     UV_OUT_SCHEMA,
     _DAY_MS,
     _bounce_scan,
+    _funnel_scan,
     _is_new_scan,
     _uv_scan,
 )
@@ -54,6 +56,7 @@ from rt_bigdata_spark.streaming.stateful import (
 _UV_COLS = [f.name for f in UV_OUT_SCHEMA.fields]
 _BOUNCE_COLS = [f.name for f in BOUNCE_OUT_SCHEMA.fields]
 _IS_NEW_COLS = [f.name for f in IS_NEW_OUT_SCHEMA.fields]
+_FUNNEL_COLS = [f.name for f in FUNNEL_OUT_SCHEMA.fields]
 
 
 class IsNewProcessor(StatefulProcessor):
@@ -151,6 +154,83 @@ class BounceProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Streaming funnel progression (the T3 CEP generalization,
+    ``stateful.track_funnel``) on the v2 engine: state = (stage,
+    reach_ts) per user; events advance the funnel via the SAME pooled
+    (ts, step-rank)-sorted scan kernel as v1 (``_funnel_scan`` — the
+    shared-kernel rule, so the two engines cannot drift). The ordered-
+    sequence pattern maps to Flink CEP begin/followedBy; an optional
+    ``abandon_timeout_ms`` registers an event-time timer when a user
+    first advances and, if the funnel is still incomplete when it
+    fires, emits a terminal row (user_id, funnel_stage = -stage,
+    reached_ts = expiry) — Flink CEP's ``within()`` timed-out-match
+    channel, the piece v1's single implicit timeout cannot express
+    alongside per-key progression state."""
+
+    def __init__(self, steps: tuple[str, ...], abandon_timeout_ms: int | None = None) -> None:
+        self._steps = tuple(steps)
+        self._timeout = abandon_timeout_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("funnel", "stage LONG, reach_ts LONG")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        held = self._state.get()
+        stage, reach_ts = held if held is not None else (0, None)
+        prior_stage = stage
+        out, stage, reach_ts = _funnel_scan(key[0], rows, self._steps, stage, reach_ts)
+        self._state.update((stage, reach_ts))
+        if (
+            self._timeout is not None
+            and prior_stage == 0
+            and 0 < stage < len(self._steps)
+        ):
+            # first advance: the abandonment clock starts at stage 1
+            # (within() anchors at the pattern's first match)
+            self._handle.registerTimer(reach_ts + self._timeout)
+        yield pd.DataFrame(out, columns=_FUNNEL_COLS)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        held = self._state.get()
+        out: list[dict] = []
+        if held is not None and 0 < held[0] < len(self._steps):
+            out.append(
+                {
+                    "user_id": key[0],
+                    "funnel_stage": -held[0],
+                    "reached_ts": expiredTimerInfo.getExpiryTimeInMs(),
+                }
+            )
+        yield pd.DataFrame(out, columns=_FUNNEL_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def track_funnel_v2(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    abandon_timeout_ms: int | None = None,
+) -> DataFrame:
+    """T3-generalization funnel on transformWithState. Timer-less by
+    default (parity with ``stateful.track_funnel``); with
+    ``abandon_timeout_ms`` set, ``events`` must carry a watermarked
+    ``eventTime`` column and incomplete funnels emit a negative-stage
+    abandonment row when the timer fires."""
+    return events.filter(events["user_id"].isNotNull()).groupBy("user_id").transformWithStateInPandas(
+        FunnelProcessor(tuple(steps), abandon_timeout_ms),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="EventTime" if abandon_timeout_ms is not None else "None",
+    )
 
 
 def correct_is_new_v2(events: DataFrame) -> DataFrame:

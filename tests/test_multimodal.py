@@ -217,3 +217,77 @@ def test_resize_media_stub_witness_and_codec_guard(spark, media):
     # image file") — stub=False must fail loudly either way.
     with _pt.raises(Exception, match="PIL|codec|identify"):
         resize_media(media, 32, 32, stub=False).collect()
+
+
+# --- real audio decode: PCM WAV via stdlib wave (r12 verdict item 8) ---------
+
+
+def _wav_bytes(pcm: bytes, channels: int = 1, rate: int = 8000, width: int = 2) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_audio_decode_real_wav_exact_bytes():
+    """_decode_real('audio', …) returns the EXACT PCM sample bytes that
+    were encoded (container-invariant canonical form) plus
+    (channels, framerate); non-WAV bytes raise the honest guard."""
+    import struct
+
+    from rt_bigdata_spark.operators.multimodal import _decode_real
+
+    pcm = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 42, -42, 0)
+    wav = _wav_bytes(pcm, channels=1, rate=8000)
+    decoded, dims = _decode_real("audio", wav)
+    assert decoded == pcm
+    assert dims == (1, 8000)
+
+    # stereo round-trips too
+    pcm2 = struct.pack("<8h", 1, 2, 3, 4, 5, 6, 7, 8)
+    decoded2, dims2 = _decode_real("audio", _wav_bytes(pcm2, channels=2, rate=44100))
+    assert decoded2 == pcm2 and dims2 == (2, 44100)
+
+    with pytest.raises(NotImplementedError, match="PCM WAV only"):
+        _decode_real("audio", b"\x00\x01not-a-riff-container")
+    with pytest.raises(NotImplementedError, match="codec"):
+        _decode_real("video", wav)
+
+
+def test_audio_features_through_spark_real_path(spark):
+    """stub=False over audio rows runs the real WAV decode inside the
+    Arrow kernel: features equal _fake_features of the PCM bytes (not
+    of the container bytes — a header change must not re-key), checked
+    through the actual mapInPandas path."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.multimodal import _fake_features
+
+    pcm = bytes(range(64))
+    wav = _wav_bytes(pcm, channels=1, rate=16000)
+    # same samples, different container framing: lower framerate only
+    wav_other_rate = _wav_bytes(pcm, channels=1, rate=8000)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(wav_other_rate))],
+        "media_id: long, media_type: string, content: binary",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(4).cast("long").alias("duration_ms"),
+            F.lit("pcm_s16le").alias("codec"),
+        ),
+    )
+    out = {r.media_id: list(r.features) for r in extract_features(media, stub=False).collect()}
+    # FEATURES_SCHEMA stores float32 — compare at float32 precision
+    expect = pytest.approx(_fake_features(pcm), abs=1e-7)
+    assert out[1] == expect
+    assert out[2] == expect  # container header differs, samples identical
+    assert out[1] == out[2]  # ...so the keys are bit-identical

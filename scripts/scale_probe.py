@@ -72,6 +72,88 @@ def build(spark, src: str, out: str, factor: int, exact_dups: bool = False) -> N
         scaled.drop("__rep").write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
 
+def hot_key_rewrite(spark, out: str, hot_share: float) -> None:
+    """Rewrite ~``hot_share`` of the scaled events' user_id to ONE hot
+    key (c_custkey=1 — present in the dim, so joins hit): the genuinely
+    skewed JOIN-KEY shape the dup-heavy replica (which skews text, not
+    keys) doesn't produce. Deterministic (rand seed) so reruns measure
+    the same corpus."""
+    path = os.path.join(out, "events.parquet")
+    ev = spark.read.parquet(path)
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.rand(seed=5) < hot_share, F.lit(1).cast("long")).otherwise(F.col("user_id")),
+    )
+    tmp = path + ".hot"
+    hot.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def run_hot_key_adjudication(spark, out: str) -> dict:
+    """Salted-vs-unsalted join adjudication on the hot-key replica
+    (r12 verdict item 3): the events→customer enrichment join + agg
+    (the salted_enrichment shape) timed under
+    - broadcast        : dim under the threshold — skew is irrelevant
+                         (the real answer whenever the dim fits);
+    - plain_aqe_skew   : shuffle join, AQE skew-join ON (the session
+                         default) — what a 100 TB dim-too-big join does;
+    - plain_no_skew    : shuffle join, AQE skew handling OFF — the
+                         naive baseline the hot key actually hurts;
+    - salted_4/16/64   : scale.salted_join at three widths (shuffle
+                         join forced) — proves the width that matters.
+    Broadcast is disabled for every shuffle variant so the probe
+    measures the skewed exchange, not the dim broadcast."""
+    from rt_bigdata_spark.operators.scale import salted_join
+
+    events = spark.read.parquet(os.path.join(out, "events.parquet")).select(
+        "user_id", "event_type", "value"
+    )
+    dim = spark.read.parquet(os.path.join(out, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def agg(joined):
+        return joined.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(2):  # min-of-2: variant gaps here are ~0.3-1 s
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    conf = spark.conf
+    results: dict[str, float] = {}
+    # warm the scans once
+    events.count(); dim.count()
+
+    results["broadcast"] = timed(lambda: agg(events.join(F.broadcast(dim), "user_id")))
+
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        results["plain_aqe_skew"] = timed(lambda: agg(events.join(dim, "user_id")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        results["plain_no_skew"] = timed(lambda: agg(events.join(dim, "user_id")))
+        for width in (4, 16, 64):
+            results[f"salted_{width}"] = timed(
+                lambda w=width: agg(salted_join(events, dim, "user_id", salt_buckets=w))
+            )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -82,6 +164,11 @@ def main() -> None:
                     help="replicate document texts WITHOUT the per-copy "
                     "suffix: exact-dup cliques of size `factor` (worst "
                     "case for LSH-pair consumers)")
+    ap.add_argument("--hot-key", action="store_true",
+                    help="rewrite ~20%% of the scaled events' user_id to "
+                    "ONE key and run the salted-vs-unsalted join "
+                    "adjudication instead of the bench specs")
+    ap.add_argument("--hot-share", type=float, default=0.2)
     ap.add_argument("--only", default=None,
                     help="comma-separated spec names: probe only these "
                     "(default: every bench spec)")
@@ -92,6 +179,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     if not args.skip_build:
         build(spark, args.src, args.out, args.factor, exact_dups=args.exact_dups)
+        if args.hot_key:
+            hot_key_rewrite(spark, args.out, args.hot_share)
+
+    if args.hot_key:
+        variants = run_hot_key_adjudication(spark, args.out)
+        print(json.dumps({
+            "factor": args.factor, "hot_share": args.hot_share, "variants": variants,
+        }))
+        spark.stop()
+        return
 
     specs = [s for s in REGISTRY.values() if s.bench]
     if args.only:

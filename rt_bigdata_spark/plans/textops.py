@@ -3348,7 +3348,7 @@ for spec in [
     # bpe_merges loop (still oracle-verified every CI run)
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=40),
     # (six greens r1-r7; yielded its slot in r8's second batch)
-    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=40),
+    QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=80),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
     # r10: the SemDeDup τ tuning curve — new spec, must land in the
     # window (bpe_encode, thrice-green, yielded its slot;
@@ -3429,7 +3429,7 @@ for spec in [
     QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=80),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
-    QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), bench=True, priority=10),
+    QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), bench=True, priority=80),
     # round-8: the terminal packed-sequence artifact (filtered_ann —
     # thrice-green r5-r7, indexed sibling stays in-window — yields its slot)
     QuerySpec("packed_sequences", q_packed_sequences, _packed_sequences_oracle(), ("text", "tokenizer", "packing"), bench=True, priority=80),
@@ -3491,11 +3491,11 @@ for spec in [
     ),
     QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=80),
     QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=80),
-    QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=10),
+    QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=80),
     # round-8 third batch: media_embedding (thrice-green r5-r7;
     # media_dedup composes it and stays in-window) yields its slot to
     # the IVF-PQ compressed-index probe.
-    QuerySpec("ivfpq_topk", q_ivfpq_topk, _ivfpq_oracle(), ("similarity", "quantization", "index"), priority=10),
+    QuerySpec("ivfpq_topk", q_ivfpq_topk, _ivfpq_oracle(), ("similarity", "quantization", "index"), priority=80),
     QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), bench=True, priority=10),
     QuerySpec("pq_distortion", q_pq_distortion, _pq_distortion_oracle(), ("quantization", "profiling"), priority=10),
     QuerySpec("ivfpq_cell_stats", q_ivfpq_cell_stats, _ivfpq_cell_stats_oracle(), ("quantization", "profiling", "index"), priority=10),

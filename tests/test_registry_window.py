@@ -34,8 +34,10 @@ DRIVER_WINDOW = 50
 # oracle-verified every CI run by tests/test_oracle_parity.py.
 MUST_BE_IN_WINDOW = {
     # --- r11 keepers: <4 driver greens (or sweep/new families) ---
-    "bpe_encode_tokens",
-    "pq_ann_topk", "ivfpq_topk", "ivfpq_rerank_topk", "pq_distortion",
+    # (r13 rotation: bpe_encode_tokens, pq_ann_topk, ivfpq_topk,
+    # embedding_dedup — 4+ greens incl. r12 — yielded their slots to
+    # the r13 pre-clears below, keeping r14 AND r15 rotation-free)
+    "ivfpq_rerank_topk", "pq_distortion",
     "ivfpq_cell_stats", "dup_cluster_sizes",
     "salted_enrichment",
     "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
@@ -54,9 +56,12 @@ MUST_BE_IN_WINDOW = {
     # (r12: log_split — five greens — yielded to embedding_validation)
     # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
     "active_users", "customer_max_order", "customer_quartiles",
-    "embedding_dedup", "filtered_ann", "integrity_audit",
+    "filtered_ann", "integrity_audit",
     "media_embedding", "nation_trade", "point_in_time_join",
     "sales_cube", "semdedup", "winnow_fingerprint",
+    # --- r13 pre-clears for r15 (would be DUE r15; last green r08) ---
+    "event_pivot", "order_priority", "province_stats_sql",
+    "value_histogram",
     # (r12: the nine heaviest-green r11 keepers/pull-backs —
     # token_stats, visitor_stats, language_id, shipping_priority,
     # pricing_summary, uv_dedup, order_wide_enriched, ads_report,

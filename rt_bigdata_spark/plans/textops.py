@@ -237,11 +237,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.1)
 
 
-def _minhash_cand_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_cand_ctes(
+    num_hashes: int = 32, bands: int = 8, sig_source: str = "sigl", extra_ctes: str = ""
+) -> str:
     """Shared DuckDB twin of the minhash candidate pipeline (same
     permutation family h_i(x) = (x·(2i+1) + i²+1) mod p, same
     band/bucket keys) up to the ``cand`` CTE — used by the
-    minhash_lsh oracle and the threshold-sweep oracle."""
+    minhash_lsh oracle, the threshold-sweep oracle, and (banding over
+    ``sig_source='rsig'``, the per-signature-group keepers) the
+    spanning-pairs oracle."""
     from rt_bigdata_spark.operators.dedup import _MINHASH_PRIME as p
 
     r = num_hashes // bands
@@ -263,11 +267,11 @@ sig AS (
   FROM hashed GROUP BY doc_id
 ),
 sigl AS (SELECT doc_id, {sig_list} AS sig FROM sig),
-banded AS (
+{extra_ctes}banded AS (
   SELECT doc_id, sig, g.b AS band,
          md5(array_to_string(list_transform(sig[g.b * {r} + 1 : g.b * {r} + {r}],
                                             x -> CAST(x AS VARCHAR)), ',')) AS bucket
-  FROM sigl CROSS JOIN generate_series(0, {bands - 1}) AS g(b)
+  FROM {sig_source} CROSS JOIN generate_series(0, {bands - 1}) AS g(b)
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -283,6 +287,49 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, threshold: float =
 WITH {_minhash_cand_ctes(num_hashes, bands)}
 SELECT doc_a, doc_b, MIN(est) AS est_jaccard
 FROM cand WHERE est >= {threshold} GROUP BY doc_a, doc_b
+"""
+
+
+_SPANNING_CAP = 64
+
+
+def q_minhash_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair set a 100 TB dedup run actually MATERIALIZES
+    (dedup.minhash_lsh_pairs with max_pairs_per_group, r12 verdict
+    item 6): exact-dup cliques (identical signatures) collapse to
+    keeper↔keeper cross pairs + keeper→member spanning stars capped at
+    {cap}/clique — a subset of minhash_lsh's full output with the same
+    connected components, linear instead of quadratic in clique size
+    (8.2×/52× measured at dup-heavy 30×, SCALE.md r13). Same
+    threshold as the full-form query so the two driver rows
+    adjudicate the same corpus."""
+    from rt_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.1, max_pairs_per_group=_SPANNING_CAP)
+
+
+def _minhash_spanning_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.1, cap: int = _SPANNING_CAP
+) -> str:
+    """DuckDB twin of the capped form: group identical signatures,
+    band over the keepers only, union the truncated keeper→member
+    stars (est exactly 1.0 — identical signature arrays agree in every
+    position on both engines)."""
+    groups_ctes = f"""groups AS (
+  SELECT sig, MIN(doc_id) AS rep, list_sort(list(doc_id)) AS members
+  FROM sigl GROUP BY sig
+),
+rsig AS (SELECT rep AS doc_id, sig FROM groups),
+"""
+    return f"""
+WITH {_minhash_cand_ctes(num_hashes, bands, sig_source="rsig", extra_ctes=groups_ctes)}
+SELECT doc_a, doc_b, MIN(est) AS est_jaccard
+FROM cand WHERE est >= {threshold} GROUP BY doc_a, doc_b
+UNION ALL
+SELECT rep AS doc_a, UNNEST(members[2:{cap + 1}]) AS doc_b,
+       CAST(1.0 AS DOUBLE) AS est_jaccard
+FROM groups WHERE len(members) >= 2 AND 1.0 >= {threshold}
 """
 
 
@@ -3330,6 +3377,7 @@ for spec in [
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=40),
+    QuerySpec("minhash_spanning", q_minhash_spanning, _minhash_spanning_oracle(), ("dedup", "approx", "cap"), bench=True, priority=40),
     # r10: threshold-sensitivity audit — new spec, must land in the
     # window (contamination, thrice-green, yielded its slot)
     QuerySpec(

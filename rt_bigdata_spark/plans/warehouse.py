@@ -2396,7 +2396,9 @@ for spec in [
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
     QuerySpec("province_stats", q_province_stats, _ORACLE_PROVINCE, ("agg", "join", "A3", "J3"), bench=True, priority=80),
     QuerySpec("keyword_stats", q_keyword_stats, _ORACLE_KEYWORD, ("udtf", "U1", "J5", "A4"), bench=True, priority=80),
-    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=40),
+    # r13: keyword_c2r (5 driver greens, last r12) yielded its window
+    # slot to the new minhash_spanning registration
+    QuerySpec("keyword_c2r", q_keyword_c2r, _ORACLE_C2R, ("udtf", "U2"), priority=80),
     # r10: the last reference job to get a composed app-level mirror
     # (verdict r9 item 3) — new spec, must land in the window
     QuerySpec(

@@ -51,8 +51,12 @@ MUST_BE_IN_WINDOW = {
     # product_stats — thrice-green — yielded their slots) ---
     "dsir_importance", "dup_source_matrix", "ngram_novelty",
     # --- r11 keepers: 3-4 greens, held one more round ---
-    "keyword_c2r",
+    # (r13: keyword_c2r — five greens — yielded to the new
+    # minhash_spanning registration, which must be in-window for its
+    # FIRST driver row per the never-verified rule)
     "session_stats",
+    # --- r13 new registration (first driver row this round) ---
+    "minhash_spanning",
     # (r12: log_split — five greens — yielded to embedding_validation)
     # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
     "active_users", "customer_max_order", "customer_quartiles",

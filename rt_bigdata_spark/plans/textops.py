@@ -659,21 +659,34 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_lsh_oracle(
-    threshold: float = 0.35, num_planes: int = 6, num_tables: int = 4, dim: int = 64, seed: int = 42
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    cell_source: str = "e",
+    extra_ctes: str = "",
+    tail: str | None = None,
 ) -> str:
+    """DuckDB twin of the hyperplane-LSH pair pipeline. ``cell_source``
+    / ``extra_ctes`` / ``tail`` parameterize the spanning-pairs variant
+    (cells over per-vector-group keepers + star union); defaults are
+    the full-form oracle unchanged."""
     from rt_bigdata_spark.operators.similarity import lcg_planes
 
     cells = "\n  UNION ALL ".join(
-        f"SELECT id, v, nrm, {t} AS t, {_duck_bucket('v', lcg_planes(num_planes, dim, seed + t))} AS bkt FROM e"
+        f"SELECT id, v, nrm, {t} AS t, {_duck_bucket('v', lcg_planes(num_planes, dim, seed + t))} AS bkt FROM {cell_source}"
         for t in range(num_tables)
     )
+    if tail is None:
+        tail = f"SELECT id_a, id_b, MIN(sim) AS sim FROM cand WHERE sim >= {threshold} GROUP BY id_a, id_b"
     return f"""
 WITH e AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+  SELECT vec_id AS id, embedding AS raw, embedding::DOUBLE[] AS v,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
 ),
-cells AS (
+{extra_ctes}cells AS (
   {cells}
 ),
 cand AS (
@@ -681,8 +694,45 @@ cand AS (
          ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 9) AS sim
   FROM cells a JOIN cells b ON a.t = b.t AND a.bkt = b.bkt AND a.id < b.id
 )
-SELECT id_a, id_b, MIN(sim) AS sim FROM cand WHERE sim >= {threshold} GROUP BY id_a, id_b
+{tail}
 """
+
+
+def q_embedding_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding twin of ``minhash_spanning`` (r12 verdict item 6):
+    ``embedding_near_dup_lsh`` with ``max_pairs_per_group`` —
+    bit-identical-vector cliques collapse to keeper↔keeper cross pairs
+    plus capped keeper→member stars whose sims are computed with the
+    IDENTICAL float expression as the pair path (bit-equal to the full
+    output's). Subset of ``embedding_dedup_lsh``'s output with the
+    same connected components; 52× at dup-heavy 30× (SCALE.md r13)."""
+    from rt_bigdata_spark.operators.dedup import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        max_pairs_per_group=_SPANNING_CAP,
+    )
+
+
+def _emb_spanning_oracle(threshold: float = 0.35, cap: int = _SPANNING_CAP) -> str:
+    groups_ctes = """groups AS (
+  SELECT raw, MIN(id) AS rep, list_sort(list(id)) AS members
+  FROM e GROUP BY raw
+),
+reps AS (SELECT e.* FROM e JOIN groups g ON e.id = g.rep),
+"""
+    tail = f"""SELECT id_a, id_b, MIN(sim) AS sim FROM cand WHERE sim >= {threshold} GROUP BY id_a, id_b
+UNION ALL
+SELECT id_a, id_b, sim FROM (
+  SELECT g.rep AS id_a, UNNEST(g.members[2:{cap + 1}]) AS id_b,
+         ROUND(list_inner_product(e.v, e.v) / (e.nrm * e.nrm), 9) AS sim
+  FROM groups g JOIN e ON e.id = g.rep
+  WHERE len(g.members) >= 2
+) WHERE sim >= {threshold}"""
+    return _emb_lsh_oracle(
+        threshold=threshold, cell_source="reps", extra_ctes=groups_ctes, tail=tail
+    )
 
 
 _TAU_GRID = (0.35, 0.5, 0.7, 0.85, 0.95)
@@ -3378,6 +3428,7 @@ for spec in [
     # quality_gate_threshold (still benched + oracle-verified every CI run)
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=40),
     QuerySpec("minhash_spanning", q_minhash_spanning, _minhash_spanning_oracle(), ("dedup", "approx", "cap"), bench=True, priority=40),
+    QuerySpec("embedding_spanning", q_embedding_spanning, _emb_spanning_oracle(), ("dedup", "approx", "cap"), bench=True, priority=40),
     # r10: threshold-sensitivity audit — new spec, must land in the
     # window (contamination, thrice-green, yielded its slot)
     QuerySpec(
@@ -3388,7 +3439,9 @@ for spec in [
         bench=True,
         priority=10,
     ),
-    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), bench=True, priority=40),
+    # r13: simhash (4 driver greens, last r12) yielded its window slot
+    # to the new embedding_spanning registration
+    QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), bench=True, priority=80),
     # ann_lsh_topk: twice-green (r4, r5) — yielded its slot to the r6
     # media_dedup composition (still oracle-verified every CI run)
     QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=40),

@@ -3427,8 +3427,10 @@ for spec in [
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=40),
-    QuerySpec("minhash_spanning", q_minhash_spanning, _minhash_spanning_oracle(), ("dedup", "approx", "cap"), bench=True, priority=40),
-    QuerySpec("embedding_spanning", q_embedding_spanning, _emb_spanning_oracle(), ("dedup", "approx", "cap"), bench=True, priority=40),
+    # spanning forms measure 0.9 s / 1.5 s at sf0.1 — sub-3 s tail, excluded
+    # from the bench tier per the r12 headline-set policy (BASELINE.md)
+    QuerySpec("minhash_spanning", q_minhash_spanning, _minhash_spanning_oracle(), ("dedup", "approx", "cap"), priority=40),
+    QuerySpec("embedding_spanning", q_embedding_spanning, _emb_spanning_oracle(), ("dedup", "approx", "cap"), priority=40),
     # r10: threshold-sensitivity audit — new spec, must land in the
     # window (contamination, thrice-green, yielded its slot)
     QuerySpec(

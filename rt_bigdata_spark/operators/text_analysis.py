@@ -609,6 +609,67 @@ def bpe_encode_tokens(
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    group_col: str = "source",
+    chunk: int = 64,
+) -> DataFrame:
+    """Per-``group_col`` tokenizer FERTILITY audit: how many model
+    tokens the trained BPE table spends per word and how many
+    characters each token carries — the corpus-health numbers a
+    multilingual/multi-source mix is tuned on (a source whose
+    fertility is 2× the corpus mean is under-served by the tokenizer
+    and will train at half the effective context).
+
+    Output: ``(source, n_words, n_bpe_tokens, n_chars, fertility,
+    chars_per_token)`` with fertility = n_bpe_tokens/n_words and
+    chars_per_token = n_chars/n_bpe_tokens — exact-integer sums, one
+    unrounded IEEE division each (cross-engine bit-stable). n_chars
+    counts TOKEN characters (Σ len(token) over occurrences), not raw
+    text bytes, so whitespace conventions can't skew the ratio.
+
+    Scale shape: the merge chain runs on the distinct-token VOCABULARY
+    (the ``_bpe_vocab_chain`` shared kernel — O(vocab × merges),
+    corpus-size-independent), joins back per token TYPE, and reduces
+    to one row per source: one scan, the vocab distinct, and one
+    low-cardinality group agg whose partial combine collapses each
+    task to O(sources) rows before the exchange.
+    """
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    doc_toks = ensure_parallelism(df).select(
+        F.col(group_col).alias("_grp"), F.explode(toks).alias("tok")
+    )
+    vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
+    enc = vocab.select(
+        "tok",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).alias("_n_sym"),
+        F.length("tok").alias("_n_chr"),
+    )
+    agg = (
+        doc_toks.join(enc, "tok")
+        .groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum("_n_chr").cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        F.col("_grp").alias(group_col),
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def load_gpt2_merges(path: str) -> "list[tuple[str, str]]":
     """Parse a merge table in the public GPT-2 ``merges.txt`` layout —
     optional ``#version`` header, then one ``left right`` pair per

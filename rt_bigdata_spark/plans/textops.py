@@ -2249,6 +2249,71 @@ GROUP BY doc_id
 """
 
 
+def _bpe_steps_sql(n_merges: int) -> str:
+    """The unrolled v0→vN merge-chain CTE text shared verbatim with
+    _bpe_encode_oracle / _bpe_encode_tokens_oracle (kept inline there
+    for byte-stability of the long-green oracles; new oracles compose
+    this helper)."""
+    steps = []
+    for s in range(1, n_merges + 1):
+        prev = "v0" if s == 1 else f"v{s - 1}"
+        steps.append(f"""
+p{s} AS MATERIALIZED (
+  SELECT syms[i + 1] AS l, syms[i + 2] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(seq), '  ') AS syms, c FROM {prev}) t,
+       UNNEST(range(len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+b{s} AS MATERIALIZED (SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1),
+v{s} AS MATERIALIZED (
+  SELECT tok,
+         replace(seq,
+                 ' ' || (SELECT l FROM b{s}) || '  ' || (SELECT r FROM b{s}) || ' ',
+                 ' ' || (SELECT l FROM b{s}) || (SELECT r FROM b{s}) || ' ') AS seq, c
+  FROM {prev}
+)""")
+    return ",".join(steps)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility audit
+    (text_analysis.tokenizer_fertility): model tokens per word and
+    characters per token under the corpus-trained 8-merge BPE table —
+    the number a multilingual/multi-source mix is balanced on (a
+    high-fertility source is under-served by the tokenizer). Trained
+    model = the same bounded driver-side collect as every bpe query."""
+    from rt_bigdata_spark.operators.text_analysis import bpe_merges, tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
+    ]
+    return tokenizer_fertility(docs, merges)
+
+
+def _tokenizer_fertility_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    return f"""
+WITH doc_toks AS (SELECT source, UNNEST({_DUCK_TOKS_COALESCED}) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS c FROM doc_toks GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT tok, '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS seq, c FROM vocab
+),
+{_bpe_steps_sql(n_merges)},
+enc AS (SELECT tok, len(string_split(trim(seq), '  ')) AS n_sym, length(tok) AS n_chr
+        FROM v{n_merges})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE) AS chars_per_token
+FROM doc_toks JOIN enc USING (tok)
+GROUP BY source
+"""
+
+
 _PACK_SEQ_LEN = 128
 
 
@@ -3446,7 +3511,10 @@ for spec in [
     QuerySpec("simhash", q_simhash, _ORACLE_SIMHASH, ("dedup", "approx"), bench=True, priority=80),
     # ann_lsh_topk: twice-green (r4, r5) — yielded its slot to the r6
     # media_dedup composition (still oracle-verified every CI run)
-    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=40),
+    # r13: ann_lsh_topk (4 driver greens, last r12) yielded its window
+    # slot to the new tokenizer_fertility registration
+    QuerySpec("ann_lsh_topk", q_ann_lsh_topk, _ann_lsh_oracle(), ("similarity", "approx"), priority=80),
+    QuerySpec("tokenizer_fertility", q_tokenizer_fertility, _tokenizer_fertility_oracle(), ("text", "tokenizer", "audit"), priority=40),
     # ann_ivf_topk: twice-green (r4, r5) — yielded its slot to the r6
     # bpe_merges loop (still oracle-verified every CI run)
     QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=40),

@@ -230,3 +230,32 @@ def test_training_order_equals_rank_priority_on_wellformed_table(spark):
             for sym in _gpt2_rank_priority_bpe(tok, ranks):
                 expect_ids.append(sym_id.get(sym, ord(sym) if len(sym) == 1 else -1))
         assert got[doc_id] == " ".join(map(str, expect_ids)), doc_id
+
+
+def test_tokenizer_fertility_on_external_fixture(spark):
+    """Fertility audit semantics pinned on the hand-verified fixture:
+    doc 1's words all merge to single tokens (fertility 1.0); 'lowly'
+    (3 tokens / 1 word) and 'news' (2/1) give source-level ratios that
+    are exact-integer arithmetic. chars_per_token counts token chars,
+    so both engines agree without whitespace conventions."""
+    from rt_bigdata_spark.operators.text_analysis import (
+        load_gpt2_merges,
+        tokenizer_fertility,
+    )
+
+    merges = load_gpt2_merges(_FIXTURE)
+    df = spark.createDataFrame(
+        [(1, "fully", "lower lowest newer wider low new"),
+         (2, "partial", "lowly news")],
+        "doc_id: long, source: string, text: string",
+    )
+    out = {r.source: r for r in tokenizer_fertility(df, merges).collect()}
+    f = out["fully"]
+    assert (f.n_words, f.n_bpe_tokens, f.n_chars) == (6, 6, 27)
+    assert f.fertility == 1.0
+    assert f.chars_per_token == 27 / 6
+    p = out["partial"]
+    # lowly -> low+l+y (3), news -> new+s (2)
+    assert (p.n_words, p.n_bpe_tokens, p.n_chars) == (2, 5, 9)
+    assert p.fertility == 2.5
+    assert p.chars_per_token == 9 / 5

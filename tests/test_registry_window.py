@@ -56,8 +56,8 @@ MUST_BE_IN_WINDOW = {
     # FIRST driver row per the never-verified rule)
     "session_stats",
     # --- r13 new registrations (first driver row this round;
-    # keyword_c2r and simhash — 5 and 4 greens — yielded the slots) ---
-    "minhash_spanning", "embedding_spanning",
+    # keyword_c2r, simhash, ann_lsh_topk — 5/4/4 greens — yielded) ---
+    "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
     # (r12: log_split — five greens — yielded to embedding_validation)
     # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
     "active_users", "customer_max_order", "customer_quartiles",
@@ -88,9 +88,9 @@ MUST_BE_IN_WINDOW = {
     "dq_orders", "embedding_project", "event_transitions",
     "user_sessions", "winnow_pairs",
     # --- r11 pre-clears (due r12; last green r05) ---
-    # (r13: simhash — four greens, re-greened r12 — yielded to
-    # embedding_spanning)
-    "ann_ivf_topk", "ann_lsh_topk", "customer_activity", "minhash_lsh",
+    # (r13: simhash and ann_lsh_topk — four greens each, re-greened
+    # r12 — yielded to embedding_spanning / tokenizer_fertility)
+    "ann_ivf_topk", "customer_activity", "minhash_lsh",
     "purchase_attribution", "rolling_revenue", "sales_grouping_sets",
 }
 

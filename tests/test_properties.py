@@ -443,3 +443,64 @@ def test_dsir_importance_matches_python_reference(spark):
         for doc_id, cs in feat.items()
     }
     assert got == want
+
+
+# --- r13: spanning-pair subset invariants on random corpora -----------------
+
+# Word-ish texts with a dup-amplifying twist: a small base vocabulary of
+# sentences, each repeated 1-4 times — random exact-dup cliques, the
+# structure max_pairs_per_group exists for. Plain random text almost
+# never collides; explicit repetition forces the collapse path.
+_SENTENCES = st.lists(
+    st.text(alphabet="abcdefg ", min_size=5, max_size=40),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(sentences=_SENTENCES, reps=st.lists(st.integers(1, 4), min_size=2, max_size=6))
+def test_minhash_spanning_subset_invariants_hold_on_random_corpora(
+    spark, sentences, reps
+):
+    """For ANY corpus: capped output ⊆ full output with identical
+    values; identical connected components when the cap covers every
+    clique; per-clique within-pairs bounded by the cap."""
+    from rt_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    did = 0
+    for s, r in zip(sentences, reps):
+        for _ in range(r):
+            did += 1
+            rows.append((did, s))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kw = dict(num_hashes=16, bands=4, threshold=0.3)
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, **kw).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, max_pairs_per_group=100, **kw).collect()
+    }
+    for k, v in capped.items():
+        assert k in full and full[k] == v, k
+
+    def comps(pairs):
+        parent = {n: n for n in range(1, did + 1)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in range(1, did + 1):
+            groups.setdefault(find(n), set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
+    assert comps(set(capped)) == comps(set(full))

@@ -56,8 +56,10 @@ MUST_BE_IN_WINDOW = {
     # FIRST driver row per the never-verified rule)
     "session_stats",
     # --- r13 new registrations (first driver row this round;
-    # keyword_c2r, simhash, ann_lsh_topk — 5/4/4 greens — yielded) ---
+    # keyword_c2r, simhash, ann_lsh_topk, corpus_profile —
+    # 5/4/4/4 greens — yielded) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
+    "quality_classifier_trained",
     # (r12: log_split — five greens — yielded to embedding_validation)
     # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
     "active_users", "customer_max_order", "customer_quartiles",
@@ -76,7 +78,9 @@ MUST_BE_IN_WINDOW = {
     # (r12: unigram_surprisal — five greens, re-greened r11 — yielded
     # its slot to the new source_novelty registration, which must be
     # in-window for its FIRST driver row per the never-verified rule)
-    "corpus_profile", "sales_rollup",
+    # (r13: corpus_profile — four greens, re-greened r12 — yielded to
+    # quality_classifier_trained)
+    "sales_rollup",
     # (r12 second rotation: payment_wide, quality_gate, top_k_products,
     # union_stats — re-greened r11, 4+ greens — yielded to the r14
     # pre-clears)

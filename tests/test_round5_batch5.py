@@ -1001,7 +1001,9 @@ def test_trained_weights_fixture_swaps_into_classifier(spark):
 
     from rt_bigdata_spark.operators.text_analysis import load_classifier_weights
 
-    path = os.path.join(os.path.dirname(__file__), "fixtures", "quality_weights.json")
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "rt_bigdata_spark", "models", "quality_weights.json"
+    )
     weights = load_classifier_weights(path)
     model = json.load(open(path))
     assert len(weights) == model["dim"] == 64

@@ -322,6 +322,81 @@ def _lsh_pairs_from_signatures(
     )
 
 
+def minhash_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands_grid: "tuple[int, ...]" = (4, 8, 16, 32),
+    jaccard_df_cap: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH RECALL audit — the missing member of the audit
+    family (threshold sweep tunes the est filter, this tunes the
+    BANDING): per candidate band count, the fraction of TRUE near-dup
+    pairs (exact n-gram Jaccard ≥ ``jaccard_threshold``) whose
+    signatures collide in at least one band, i.e. would be discovered
+    at all. Output: (bands, n_true, n_reachable, recall).
+
+    The ``ivf_nprobe_sweep`` trick transplanted to text: reachability
+    at band count b (r = num_hashes/b rows per band) is a pure
+    function of the pair's two signatures — ∃ band whose r positions
+    all agree — so the whole grid rides ONE signature pass + ONE
+    bounded join of the exact truth set against the signature table.
+    No per-grid-point LSH run, no candidate enumeration: the quadratic
+    exact-Jaccard arm is the only corpus-scale work, and it is the
+    same df-capped verify arm ``ngram_jaccard_pairs`` already bounds.
+    More bands ⇒ shorter bands ⇒ recall is monotone non-decreasing in
+    b (property the test pins); bands=num_hashes (r=1) reaches every
+    pair sharing ANY minhash position.
+    """
+    for b in bands_grid:
+        _band_width(num_hashes, b)  # validates divisibility
+    true_pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=jaccard_threshold, df_cap=jaccard_df_cap
+    ).select("doc_a", "doc_b")
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    pairsig = (
+        true_pairs.join(sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sa")), "doc_a")
+        .join(sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sb")), "doc_b")
+    )
+    def _reach(b: int, r: int):
+        # closure factories, not default-arg lambdas: pyspark derives
+        # the HOF's arity from the python signature
+        def band_match(band):
+            def pos_eq(i):
+                return F.element_at(F.col("sa"), (band * r + i).cast("int")) == F.element_at(
+                    F.col("sb"), (band * r + i).cast("int")
+                )
+
+            return F.forall(F.sequence(F.lit(1), F.lit(r)), pos_eq)
+
+        return F.exists(F.sequence(F.lit(0), F.lit(b - 1)), band_match)
+
+    arms = []
+    for b in sorted(set(int(b) for b in bands_grid)):
+        arms.append(
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                _reach(b, num_hashes // b).alias("reach"),
+            )
+        )
+    expanded = pairsig.select(F.explode(F.array(*arms)).alias("g")).select("g.bands", "g.reach")
+    return (
+        expanded.groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.col("reach").cast("long")).cast("long").alias("n_reachable"),
+        )
+        .select(
+            "bands",
+            "n_true",
+            "n_reachable",
+            (F.col("n_reachable").cast("double") / F.col("n_true").cast("double")).alias("recall"),
+        )
+    )
+
+
 def near_dup_source_matrix(
     df: DataFrame,
     text_col: str = "text",

@@ -290,6 +290,70 @@ FROM cand WHERE est >= {threshold} GROUP BY doc_a, doc_b
 """
 
 
+_RECALL_JT = 0.5
+_RECALL_GRID = (4, 8, 16, 32)
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding RECALL audit (dedup.minhash_recall): per band
+    count, the fraction of exact-Jaccard-≥0.5 pairs whose signatures
+    collide in ≥1 band — the curve that picks the banding before a
+    100 TB dedup commits to it (the text-side sibling of
+    ``ivf_nprobe_sweep``/``ann_recall``). One signature pass, one
+    bounded truth-set join; reachability per grid point is an
+    expression over the pair's signatures, never a per-point LSH
+    run."""
+    from rt_bigdata_spark.operators.dedup import minhash_recall
+
+    return minhash_recall(
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=_RECALL_JT,
+        bands_grid=_RECALL_GRID,
+        jaccard_df_cap=_JACCARD_DF_CAP,
+    )
+
+
+def _minhash_recall_oracle(num_hashes: int = 32) -> str:
+    from rt_bigdata_spark.operators.dedup import _MINHASH_PRIME as p
+
+    mh_cols = ",\n         ".join(
+        f"MIN((h * {2 * i + 1} + {i * i + 1}) % {p}) AS mh_{i}" for i in range(num_hashes)
+    )
+    sig_list = "[" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + "]"
+    grid = ", ".join(str(b) for b in _RECALL_GRID)
+    return f"""
+WITH {_JACCARD_CTES},
+mh_hashed AS (SELECT doc_id, {_duck_md5_32("shingle")} % {p} AS h FROM sh_all),
+mh_sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM mh_hashed GROUP BY doc_id
+),
+mh_sigl AS (SELECT doc_id, {sig_list} AS sig FROM mh_sig),
+tp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= {_RECALL_JT}),
+ps AS (
+  SELECT a.sig AS sa, b.sig AS sb
+  FROM tp JOIN mh_sigl a ON a.doc_id = tp.doc_a
+          JOIN mh_sigl b ON b.doc_id = tp.doc_b
+),
+grid AS (SELECT UNNEST([{grid}]) AS bands),
+reach AS (
+  SELECT g.bands,
+         len(list_filter(range(0, g.bands),
+               band -> len(list_filter(range(1, {num_hashes} // g.bands + 1),
+                             i -> sa[band * ({num_hashes} // g.bands) + i]
+                                  = sb[band * ({num_hashes} // g.bands) + i]))
+                        = {num_hashes} // g.bands)) > 0 AS r
+  FROM grid g CROSS JOIN ps
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_reachable,
+       CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM reach GROUP BY bands
+"""
+
+
 _SPANNING_CAP = 64
 
 
@@ -3531,6 +3595,7 @@ for spec in [
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
+    QuerySpec("minhash_recall", q_minhash_recall, _minhash_recall_oracle(), ("dedup", "audit", "approx"), priority=40),
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)

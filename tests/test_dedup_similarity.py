@@ -611,3 +611,39 @@ def test_embedding_lsh_pair_cap_is_spanning_subset(spark):
     nodes = {r.vec_id for r in df.collect()}
     assert _components(set(capped), nodes) == _components(set(full), nodes)
     assert {(1, 2), (1, 3), (1, 4), (5, 6), (5, 7), (8, 9)} <= set(capped)
+
+
+def test_minhash_recall_monotone_and_reaches_one_at_r1(spark):
+    """Banding recall properties: monotone non-decreasing in bands
+    (shorter bands collide more), recall 1.0 at r=1 whenever every
+    true pair agrees in >=1 minhash position, constant n_true across
+    the grid, and a planted exact-dup pair is reachable at EVERY
+    banding (identical signatures collide in all bands)."""
+    from rt_bigdata_spark.operators.dedup import minhash_recall
+
+    docs = _dup_corpus(spark)
+    rows = {
+        int(r.bands): r
+        for r in minhash_recall(
+            docs, jaccard_threshold=0.5, num_hashes=16, bands_grid=(2, 4, 8, 16)
+        ).collect()
+    }
+    assert set(rows) == {2, 4, 8, 16}
+    recalls = [rows[b].recall for b in sorted(rows)]
+    assert recalls == sorted(recalls)
+    assert len({r.n_true for r in rows.values()}) == 1
+    assert rows[2].n_true > 0
+    # exact-dup cliques (identical sigs) are reachable even at the
+    # strictest banding, so recall can never be 0 on this corpus
+    assert rows[2].recall > 0.0
+    assert rows[16].recall >= rows[2].recall
+
+
+def test_minhash_recall_validates_band_divisibility(spark):
+    import pytest as _pt
+
+    from rt_bigdata_spark.operators.dedup import minhash_recall
+
+    docs = _dup_corpus(spark)
+    with _pt.raises(ValueError, match="divide"):
+        minhash_recall(docs, num_hashes=16, bands_grid=(3,)).collect()

@@ -56,10 +56,10 @@ MUST_BE_IN_WINDOW = {
     # FIRST driver row per the never-verified rule)
     "session_stats",
     # --- r13 new registrations (first driver row this round;
-    # keyword_c2r, simhash, ann_lsh_topk, corpus_profile —
-    # 5/4/4/4 greens — yielded) ---
+    # keyword_c2r, simhash, ann_lsh_topk, corpus_profile,
+    # purchase_attribution — 5/4/4/4/4 greens — yielded) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
-    "quality_classifier_trained",
+    "quality_classifier_trained", "minhash_recall",
     # (r12: log_split — five greens — yielded to embedding_validation)
     # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
     "active_users", "customer_max_order", "customer_quartiles",
@@ -92,10 +92,11 @@ MUST_BE_IN_WINDOW = {
     "dq_orders", "embedding_project", "event_transitions",
     "user_sessions", "winnow_pairs",
     # --- r11 pre-clears (due r12; last green r05) ---
-    # (r13: simhash and ann_lsh_topk — four greens each, re-greened
-    # r12 — yielded to embedding_spanning / tokenizer_fertility)
+    # (r13: simhash, ann_lsh_topk, purchase_attribution — four greens
+    # each, re-greened r12 — yielded to embedding_spanning /
+    # tokenizer_fertility / minhash_recall)
     "ann_ivf_topk", "customer_activity", "minhash_lsh",
-    "purchase_attribution", "rolling_revenue", "sales_grouping_sets",
+    "rolling_revenue", "sales_grouping_sets",
 }
 
 # Pre-r10 window history (kept for the rotation ledger in comments):

@@ -318,6 +318,34 @@ def ivf_topk(
     return _topk_scored(c, q, k)
 
 
+def load_ivf_centroids(path: str) -> list[list[float]]:
+    """Load committed offline-trained IVF centroids from a JSON model
+    artifact ``{"n_centroids": K, "dim": D, "centroids": [[...], ...]}``
+    (written by ``scripts/train_ivf_model.py`` — pyspark.ml k-means on
+    the public sf0.001 embeddings; the ``load_classifier_weights``
+    pattern applied to vectors, r13 verdict item 1). The rounded values
+    in the file ARE the model: both ``ivf_topk`` and the DuckDB oracle
+    consume them verbatim, so correctness never depends on re-training
+    reproducibility. Validates shape and finiteness plus near-unit L2
+    norms (the centroids are stored normalized; a corrupted export
+    fails here, not mid-job)."""
+    import json as _json
+    import math as _math
+
+    with open(path, encoding="utf-8") as fh:
+        model = _json.load(fh)
+    cents = [[float(x) for x in c] for c in model["centroids"]]
+    if len(cents) != model["n_centroids"]:
+        raise ValueError(f"{len(cents)} centroids != n_centroids {model['n_centroids']}")
+    for c in cents:
+        if len(c) != model["dim"]:
+            raise ValueError(f"centroid dim {len(c)} != dim {model['dim']}")
+        nrm = _math.sqrt(sum(x * x for x in c))
+        if not _math.isfinite(nrm) or abs(nrm - 1.0) > 1e-6:
+            raise ValueError(f"centroid not unit-normalized (|c|={nrm})")
+    return cents
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -563,6 +563,84 @@ WHERE rk <= {k}
 """
 
 
+def _ivf_model_path() -> str:
+    import os as _os
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "models",
+        "ivf_centroids.json",
+    )
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION branch of the IVF index, driver-verified end to
+    end (r13 verdict item 1 — the ``quality_classifier_trained``
+    pattern applied to vectors): the same ``ivf_topk`` plan with
+    centroids loaded from the committed offline-trained model artifact
+    (rt_bigdata_spark/models/ivf_centroids.json — pyspark.ml k-means||
+    on the public sf0.001 embeddings via scripts/train_ivf_model.py;
+    provenance in the file) instead of the deterministic first-n
+    seeding. The swap is literally a different list of literals: cell
+    assignment stays one map-side broadcast pass, the oracle inlines
+    the SAME rounded values, and nothing depends on re-training
+    reproducibility. Reference anchor: the dim-lookup→index pattern of
+    OrderWideAp.scala:143-236, enrichment as retrieval."""
+    from rt_bigdata_spark.operators.similarity import load_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, centroids=load_ivf_centroids(_ivf_model_path()))
+
+
+def _ann_ivf_trained_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """DuckDB twin of q_ann_ivf_trained: identical to _ann_ivf_oracle
+    except the cent CTE is the committed model's centroid literals
+    (data-independent), not the first-n derivation. Tie rules unchanged:
+    assignment takes the FIRST maximal centroid (array_position ↔
+    ORDER BY ip DESC, cell ASC); probe order is
+    reverse(array_sort(struct(s, c))) ↔ ORDER BY ip DESC, cell DESC."""
+    from rt_bigdata_spark.operators.similarity import load_ivf_centroids
+
+    cents = load_ivf_centroids(_ivf_model_path())
+    values = ",\n    ".join(
+        f"(CAST({i + 1} AS BIGINT), {_duck_plane(c)}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(cell, cv) AS (VALUES
+    {values}
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS cvec, cell FROM (
+    SELECT e.vec_id, e.v AS v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qvec, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_inner_product(q.v, c.cv) DESC, c.cell DESC) AS pr
+    FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cent c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_inner_product(p.qvec, a.cvec)
+               / (sqrt(list_inner_product(p.qvec, p.qvec)) * sqrt(list_inner_product(a.cvec, a.cvec))),
+               9) AS sim
+  FROM assign a JOIN probe p ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
+
+
 def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search (the retrieval shape of a
     training-data/RAG pipeline): restrict the corpus RELATIONALLY
@@ -3589,6 +3667,21 @@ WHERE rk <= {k}
 
 
 for spec in [
+    # r14 ROTATION LEDGER: half of the 36-spec r9-green cohort (due r16)
+    # pulled back at priority=40 (bm25_search, bpe_merges, bpe_encode,
+    # concat_pack, contamination, contrastive_samples, dedup_keepers,
+    # heavy_hitters, media_dedup, media_features, media_frames,
+    # media_resize, semantic_clusters here; cohort_retention,
+    # dim_history, dim_history_merge, event_funnel,
+    # province_stats_approx in warehouse.py); the other half rotates in
+    # at r15. Nineteen r13-green occupants yielded at priority=80
+    # (ann_ivf_topk, media_embedding, dup_cluster_sizes, filtered_ann,
+    # semdedup, winnow_fingerprint, pq_distortion, minhash_lsh,
+    # ivfpq_rerank_topk, ivfpq_cell_stats here + warehouse's
+    # session_stats, sales_grouping_sets, rolling_revenue,
+    # salted_enrichment, sales_rollup, customer_activity,
+    # point_in_time_join, active_users, keyword_stats_4product). The
+    # per-spec comments below this point are the PRIOR rounds' ledger.
     QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
@@ -3599,7 +3692,7 @@ for spec in [
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
-    QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=40),
+    QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
     # spanning forms measure 0.9 s / 1.5 s at sf0.1 — sub-3 s tail, excluded
     # from the bench tier per the r12 headline-set policy (BASELINE.md)
     QuerySpec("minhash_spanning", q_minhash_spanning, _minhash_spanning_oracle(), ("dedup", "approx", "cap"), priority=40),
@@ -3625,7 +3718,10 @@ for spec in [
     QuerySpec("tokenizer_fertility", q_tokenizer_fertility, _tokenizer_fertility_oracle(), ("text", "tokenizer", "audit"), priority=40),
     # ann_ivf_topk: twice-green (r4, r5) — yielded its slot to the r6
     # bpe_merges loop (still oracle-verified every CI run)
-    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=40),
+    QuerySpec("ann_ivf_topk", q_ann_ivf_topk, _ann_ivf_oracle(), ("similarity", "approx"), priority=80),
+    # r14: the trained-centroid IVF production path (r13 verdict item 1)
+    # — new spec, must land in the window on its first round
+    QuerySpec("ann_ivf_trained", q_ann_ivf_trained, _ann_ivf_trained_oracle(), ("similarity", "approx", "model"), priority=10),
     # (six greens r1-r7; yielded its slot in r8's second batch)
     QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=80),
     QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
@@ -3642,9 +3738,9 @@ for spec in [
     ),
     # first oracle-backed rows (r6): hex-chain kernel + hex frame bytes
     # made both SQL-expressible after five rounds of rows-only checks
-    QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
-    QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=80),
-    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=80),
+    QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=40),
+    QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=40),
+    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=40),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
@@ -3666,15 +3762,15 @@ for spec in [
     # (demoted to 80; still oracle-verified every CI run).
     QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=80),
     QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=80),
-    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=80),
+    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=40),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=80),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=80),
-    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=40),
+    QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
     QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), bench=True, priority=80),
     # round-5 additions (training-order / packing bookkeeping); three
     # more multi-round greens (payment_wide, uv_dedup, log_split)
     # yielded window slots so these verify on their first round.
-    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=80),
+    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=40),
     QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=80),
     QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=80),
     QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=80),
@@ -3682,9 +3778,9 @@ for spec in [
     # five multi-round greens (text_quality, ann_cosine_topk,
     # corpus_profile, quality_gate, unigram_surprisal) yielded window
     # slots so these verify on their first round.
-    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=80),
-    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=40),
-    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
+    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=40),
+    QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=80),
+    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=40),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=80),
     QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=40),
     # round-5 third batch (text→vector bridge + embedding compression)
@@ -3695,7 +3791,7 @@ for spec in [
     QuerySpec("embedding_validation", q_embedding_validation, _ORACLE_EMB_VALIDATION, ("embedding", "audit"), priority=45),
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
-    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=80),
+    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=40),
     # round-5 fifth batch (model-based filtering + sub-document exact
     # substrings); with event_transitions/events_rollup in warehouse,
     # four multi-round greens (order_wide_enriched, shipping_priority,
@@ -3707,8 +3803,8 @@ for spec in [
     # r1-r4 — yields its slot alongside warehouse's keyword_stats)
     QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=40),
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
-    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=80),
-    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=80),
+    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=40),
+    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=40),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
     QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), bench=True, priority=80),
@@ -3719,10 +3815,10 @@ for spec in [
     # warehouse's dq_orders, visitor_stats + province_stats — green
     # r1-r4 — yield their slots)
     # (thrice-green r5-r7; yielded its slot in r8's second batch)
-    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), bench=True, priority=40),
+    QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), bench=True, priority=80),
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
-    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=80),
+    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=40),
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
     QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=40),
@@ -3737,16 +3833,16 @@ for spec in [
     # outside the driver window until the planner rotates it in)
     QuerySpec("source_novelty", q_source_novelty, _ORACLE_SOURCE_NOVELTY, ("text", "profiling"), bench=True, priority=45),
     # (doc_curation — green r1-r4 — yields its slot)
-    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=80),
+    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=40),
     # round-5 eleventh batch (first hash-matched multimodal row;
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)
     # (thrice-green r5-r7; yielded its slot in r8's third batch —
     # media_dedup composes the same encoder and stays in-window)
-    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=40),
+    QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=80),
     # round-6: the composed multimodal dedup pipeline (pseudo-encoder →
     # LSH cells → exact-cosine verify)
-    QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=80),
+    QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=40),
     # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
     # — green r4 — yields its slot)
     QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), bench=True, priority=40),
@@ -3778,9 +3874,9 @@ for spec in [
     # media_dedup composes it and stays in-window) yields its slot to
     # the IVF-PQ compressed-index probe.
     QuerySpec("ivfpq_topk", q_ivfpq_topk, _ivfpq_oracle(), ("similarity", "quantization", "index"), priority=80),
-    QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), bench=True, priority=10),
-    QuerySpec("pq_distortion", q_pq_distortion, _pq_distortion_oracle(), ("quantization", "profiling"), priority=10),
-    QuerySpec("ivfpq_cell_stats", q_ivfpq_cell_stats, _ivfpq_cell_stats_oracle(), ("quantization", "profiling", "index"), priority=10),
-    QuerySpec("dup_cluster_sizes", q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES, ("dedup", "profiling", "iterative"), bench=True, priority=10),
+    QuerySpec("ivfpq_rerank_topk", q_ivfpq_rerank_topk, _ivfpq_rerank_oracle(k=10, shortlist=_IVFPQ_SHORTLIST), ("similarity", "quantization", "index"), bench=True, priority=80),
+    QuerySpec("pq_distortion", q_pq_distortion, _pq_distortion_oracle(), ("quantization", "profiling"), priority=80),
+    QuerySpec("ivfpq_cell_stats", q_ivfpq_cell_stats, _ivfpq_cell_stats_oracle(), ("quantization", "profiling", "index"), priority=80),
+    QuerySpec("dup_cluster_sizes", q_dup_cluster_sizes, _ORACLE_DUP_CLUSTER_SIZES, ("dedup", "profiling", "iterative"), bench=True, priority=80),
 ]:
     register(spec)

@@ -192,8 +192,11 @@ class FunnelProcessor(StatefulProcessor):
             and 0 < stage < len(self._steps)
         ):
             # first advance: the abandonment clock starts at stage 1
-            # (within() anchors at the pattern's first match)
-            self._handle.registerTimer(reach_ts + self._timeout)
+            # (within() anchors at the pattern's FIRST match, so the
+            # timer keys off the stage-1 row of this batch — NOT
+            # reach_ts, which is the LAST stage reached when a user
+            # advances multiple stages in one batch)
+            self._handle.registerTimer(out[0]["reached_ts"] + self._timeout)
         yield pd.DataFrame(out, columns=_FUNNEL_COLS)
 
     def handleExpiredTimer(
@@ -209,10 +212,73 @@ class FunnelProcessor(StatefulProcessor):
                     "reached_ts": expiredTimerInfo.getExpiryTimeInMs(),
                 }
             )
+            # Flink CEP within(): a timed-out partial match is
+            # DISCARDED — the abandonment row is terminal for this
+            # attempt. Clear the state (mirrors BounceProcessor's
+            # _pending.clear()) so post-timeout events cannot keep
+            # advancing the dead attempt; they may start a FRESH
+            # pattern attempt from stage 0, which is exactly the NFA
+            # restart CEP performs after a timeout.
+            self._state.clear()
         yield pd.DataFrame(out, columns=_FUNNEL_COLS)
 
     def close(self) -> None:
         pass
+
+
+_DEDUP_DOC_COLS = ["doc_id", "text"]
+DEDUP_DOC_OUT_SCHEMA = "doc_id LONG, text STRING"
+
+
+class DocSeenProcessor(StatefulProcessor):
+    """Exact streaming id-dedup for the curation ingest path on the v2
+    engine: keyed by doc_id, one boolean of state — the FIRST
+    occurrence passes through, every redelivery (at-least-once source,
+    replayed extract, duplicated upstream shard) is dropped before the
+    expensive near-dup/index sinks run. This is the id-level front gate
+    of the curation chain (content-level near-dups intentionally pass:
+    they carry DIFFERENT ids and are the near-dup store's job); the
+    reference's analog is the Flink keyed ValueState dedup the UV
+    filter builds on (UniqueVisitApp.scala:87-116), generalized from
+    (mid, day) to a curation key. ``ttl_ms`` bounds state exactly like
+    the UV filter's StateTtlConfig — at 100 TB the seen-set for an
+    unbounded id space must expire or tier to the RocksDB store."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", "value BYTE", ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        out: list[dict] = []
+        if self._seen.get() is None:
+            for pdf in rows:
+                if len(pdf):
+                    r = pdf.iloc[0]
+                    out.append({"doc_id": key[0], "text": r["text"]})
+                    self._seen.update((1,))
+                    break
+        yield pd.DataFrame(out, columns=_DEDUP_DOC_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_docs_v2(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Streaming exact-id dedup of (doc_id, text) rows on
+    transformWithState: first occurrence per doc_id passes, replays
+    drop. Plugs in FRONT of the curation sink chain
+    (near_dup_maintenance_sink → keepers → ivf_index_maintenance_sink)
+    so redeliveries never reach the stores."""
+    return docs.filter(docs["doc_id"].isNotNull()).groupBy("doc_id").transformWithStateInPandas(
+        DocSeenProcessor(ttl_ms),
+        outputStructType=DEDUP_DOC_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    )
 
 
 def track_funnel_v2(

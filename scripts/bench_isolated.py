@@ -87,9 +87,25 @@ def _run_once(tree: str, names: list[str], sf_dir: str) -> dict[str, float]:
     )
 
 
+def _artifact_queries(path: str) -> dict[str, float]:
+    """Per-query timings from either artifact shape: bench.py's own
+    output ({"queries": ...}) or the driver's wrapper
+    ({"parsed": {"queries": ...}} — ``parsed`` may be null when the
+    driver truncated the line; fail loudly then, the caller should
+    name queries explicitly with --queries)."""
+    d = json.load(open(path))
+    q = d.get("queries") or (d.get("parsed") or {}).get("queries")
+    if not q:
+        raise SystemExit(
+            f"{path} carries no per-query map (driver-truncated artifact?); "
+            "pass --queries explicitly"
+        )
+    return q
+
+
 def _pick_movers(old_path: str, new_path: str, threshold: float, top: int) -> list[str]:
-    old = json.load(open(old_path)).get("queries", {})
-    new = json.load(open(new_path)).get("queries", {})
+    old = _artifact_queries(old_path)
+    new = _artifact_queries(new_path)
     movers = sorted(
         ((n, new[n] / old[n]) for n in new if n in old and old[n] > 0),
         key=lambda kv: -kv[1],

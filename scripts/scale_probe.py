@@ -42,11 +42,22 @@ FACTS = {
 }
 
 
-def build(spark, src: str, out: str, factor: int, exact_dups: bool = False) -> None:
+def build(
+    spark,
+    src: str,
+    out: str,
+    factor: int,
+    exact_dups: bool = False,
+    only_tables: set[str] | None = None,
+) -> None:
+    """``only_tables`` (optional) restricts the replica to a subset —
+    the iterative-family probe needs ONLY documents+embeddings at 100×,
+    and replicating the unused fact tables would dominate the build."""
     os.makedirs(out, exist_ok=True)
     # one key-space stride shared by orders+lineitem so FKs stay aligned
     strides: dict[str, int] = {}
-    for name in TESTDATA_TABLES:
+    tables = [t for t in TESTDATA_TABLES if only_tables is None or t in only_tables]
+    for name in tables:
         df = load_table(spark, src, name)
         if name not in FACTS:
             df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))

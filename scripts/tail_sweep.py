@@ -1,0 +1,82 @@
+"""Full-registry timing sweep (r13 verdict item 4 — mechanizes the
+one-off r12 sweep that caught the two winnow O(n²) plans hiding below
+the ≥3 s bench threshold).
+
+``bench.py`` times only the headline (``bench=True``) set; ~80 sub-3 s
+specs never get a recorded number, so a quadratic plan that is merely
+*slow-ish* at sf0.1 can sit there unmeasured until it becomes a 100 TB
+scale-killer. This sweep times EVERY registered spec once (min-of-1:
+the tripwire threshold is 2× on top of median-drift normalization, far
+above single-run noise) and commits the table as ``TAIL_SWEEP_r{N}.json``;
+``tests/test_tail_sweep.py`` then trips if any spec grew >2× between
+the two most recent committed sweeps after dividing out the
+container-load envelope (the uniform drift BASELINE.md documents at up
+to ~1.3×).
+
+    python scripts/tail_sweep.py              # sweep at sf0.1, write artifact
+    python scripts/tail_sweep.py --sf-dir ... # other scale
+    python scripts/tail_sweep.py --round 14   # pin the artifact round
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def next_round() -> int:
+    """The round currently being built = latest committed driver round + 1."""
+    rounds = [
+        int(re.search(r"r(\d+)", f.stem).group(1))
+        for f in ROOT.glob("CORRECTNESS_r*.json")
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--round", type=int, default=None)
+    args = ap.parse_args()
+    rnd = args.round if args.round is not None else next_round()
+
+    from rt_bigdata_spark.plans.registry import REGISTRY, _ensure_loaded
+    from rt_bigdata_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("rt_bigdata_spark-tail-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warmup absorbs JVM/codegen/parquet-footer startup (same as bench.py).
+    REGISTRY["pricing_summary"].spark(spark, args.sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for i, spec in enumerate(REGISTRY.values()):
+        t0 = time.perf_counter()
+        spec.spark(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        print(f"[{i + 1}/{len(REGISTRY)}] {spec.name}: {timings[spec.name]}s", file=sys.stderr)
+
+    out = ROOT / f"TAIL_SWEEP_r{rnd}.json"
+    out.write_text(json.dumps({
+        "round": rnd,
+        "sf_dir": args.sf_dir,
+        "n_specs": len(timings),
+        "total": round(sum(timings.values()), 3),
+        "queries": dict(sorted(timings.items())),
+    }, indent=1))
+    print(f"wrote {out} ({len(timings)} specs, total {sum(timings.values()):.1f}s)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -260,6 +260,30 @@ def test_audio_decode_real_wav_exact_bytes():
         _decode_real("video", wav)
 
 
+def test_audio_decode_malformed_riff_routes_to_guard():
+    """stdlib wave raises EOFError on truncated chunks and struct.error
+    on corrupt headers (not just wave.Error) — all malformed RIFF bytes
+    must route through the same NotImplementedError contract so the
+    Arrow kernels classify them as undecodable, not crash (r13 ADVICE
+    low #3)."""
+    import struct
+
+    from rt_bigdata_spark.operators.multimodal import _decode_real
+
+    pcm = struct.pack("<4h", 1, 2, 3, 4)
+    wav = _wav_bytes(pcm)
+    # truncate INSIDE the fmt chunk: wave gets a valid RIFF/WAVE magic
+    # then hits EOF mid-chunk → EOFError from the chunk reader
+    truncated = wav[:16]
+    with pytest.raises(NotImplementedError, match="PCM WAV only"):
+        _decode_real("audio", truncated)
+    # corrupt the fmt chunk header size so struct unpacking misparses
+    corrupt = bytearray(wav)
+    corrupt[16:20] = b"\x02\x00\x00\x00"  # fmt chunk claims 2 bytes
+    with pytest.raises(NotImplementedError, match="PCM WAV only"):
+        _decode_real("audio", bytes(corrupt))
+
+
 def test_audio_features_through_spark_real_path(spark):
     """stub=False over audio rows runs the real WAV decode inside the
     Arrow kernel: features equal _fake_features of the PCM bytes (not
@@ -291,3 +315,94 @@ def test_audio_features_through_spark_real_path(spark):
     assert out[1] == expect
     assert out[2] == expect  # container header differs, samples identical
     assert out[1] == out[2]  # ...so the keys are bit-identical
+
+
+# --- real video container indexing: AVI/MJPEG via stdlib RIFF walk -----------
+# (r13 verdict item 8 — the third _decode_real modality)
+
+
+def _avi_bytes(frames: list[bytes], width: int = 4, height: int = 2,
+               with_index: bool = True, extra_info: bool = False) -> bytes:
+    """Minimal valid AVI muxer (stdlib struct): RIFF('AVI ' LIST hdrl
+    (avih) LIST movi(00dc...) [idx1] [LIST INFO]). Enough container to
+    pin the walker's canonical-form contract."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<10I", 33333, 0, 0, 0, len(frames), 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    idx = chunk(b"idx1", b"\x00" * (16 * len(frames))) if with_index else b""
+    info = chunk(b"LIST", b"INFO" + chunk(b"ISFT", b"testmux\x00")) if extra_info else b""
+    body = b"AVI " + hdrl + movi + idx + info
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_decode_avi_exact_frame_bytes():
+    """_decode_real('video', …) returns the EXACT ordered frame payload
+    bytes (container-invariant canonical form) plus (w, h, n_frames);
+    re-muxing the same frames with no idx1 and extra INFO metadata
+    decodes identically; non-AVI bytes raise the honest guard."""
+    from rt_bigdata_spark.operators.multimodal import _decode_real
+
+    frames = [b"\xff\xd8frame-one\xff\xd9", b"\xff\xd8frame-two!\xff\xd9"]
+    avi = _avi_bytes(frames, width=6, height=4)
+    decoded, dims = _decode_real("video", avi)
+    assert decoded == b"".join(frames)
+    assert dims == (6, 4, 2)
+
+    # container-invariance: same frames, different muxer framing
+    remuxed = _avi_bytes(frames, width=6, height=4, with_index=False, extra_info=True)
+    assert remuxed != avi
+    decoded2, dims2 = _decode_real("video", remuxed)
+    assert decoded2 == decoded and dims2 == dims
+
+    with pytest.raises(NotImplementedError, match="AVI/MJPEG"):
+        _decode_real("video", b"\x00\x01not-a-riff")
+    # a WAV is RIFF but not AVI — must route to the same guard
+    with pytest.raises(NotImplementedError, match="AVI/MJPEG"):
+        _decode_real("video", _wav_bytes(b"\x01\x00\x02\x00"))
+
+
+def test_video_decode_malformed_avi_routes_to_guard():
+    """Truncated movi chunks and short avih headers route through the
+    NotImplementedError contract, not raw struct/EOF errors."""
+    from rt_bigdata_spark.operators.multimodal import _decode_real
+
+    avi = _avi_bytes([b"\xff\xd8payload\xff\xd9"])
+    with pytest.raises(NotImplementedError, match="AVI/MJPEG"):
+        _decode_real("video", avi[:40])  # truncated inside hdrl
+    # corrupt a frame chunk size so it overruns the container
+    import struct
+
+    pos = avi.index(b"00dc") + 4
+    corrupt = avi[:pos] + struct.pack("<I", 1 << 30) + avi[pos + 4:]
+    with pytest.raises(NotImplementedError, match="AVI/MJPEG"):
+        _decode_real("video", corrupt)
+
+
+def test_video_features_through_spark_real_path(spark):
+    """stub=False over video rows runs the real AVI indexing inside the
+    Arrow kernel: features equal _fake_features of the concatenated
+    frame payloads (not the container bytes)."""
+    from rt_bigdata_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_features,
+        extract_features,
+    )
+
+    frames = [b"\xff\xd8abc\xff\xd9", b"\xff\xd8defg\xff\xd9"]
+    avi = _avi_bytes(frames)
+    rows = [(1, "video", bytearray(avi), {"duration_ms": 66})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media, stub=False).collect()
+    assert len(out) == 1
+    # FEATURES_SCHEMA stores float32 — compare at float32 precision
+    assert out[0].features == pytest.approx(_fake_features(b"".join(frames)), abs=1e-7)
+    assert out[0].n_bytes == len(avi)

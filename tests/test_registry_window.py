@@ -33,70 +33,50 @@ DRIVER_WINDOW = 50
 # province_stats, source_mix). Every rotated-out spec stays
 # oracle-verified every CI run by tests/test_oracle_parity.py.
 MUST_BE_IN_WINDOW = {
-    # --- r11 keepers: <4 driver greens (or sweep/new families) ---
-    # (r13 rotation: bpe_encode_tokens, pq_ann_topk, ivfpq_topk,
-    # embedding_dedup — 4+ greens incl. r12 — yielded their slots to
-    # the r13 pre-clears below, keeping r14 AND r15 rotation-free)
-    "ivfpq_rerank_topk", "pq_distortion",
-    "ivfpq_cell_stats", "dup_cluster_sizes",
-    "salted_enrichment",
-    "keyword_stats_4product", "dedup_threshold_sweep", "ivf_nprobe_sweep",
-    "embedding_tau_sweep",
-    # (r12 second rotation: packed_sequences, ann_recall,
-    # temperature_mix, pq_codes — now 4+ greens — yielded with
-    # bounce_detection, is_new_correction, order_wide, quality_gate,
-    # top_k_products, sliding_stats, payment_wide, union_stats to the
-    # r14 pre-clears below, leaving r13 AND r14 rotation-free)
-    # --- r11 new registrations (scalar_datetime, json_props,
-    # product_stats — thrice-green — yielded their slots) ---
+    # r14 ROTATION — pre-clearing HALF of the 36-spec r9-green cohort
+    # (due r16 under the staleness ratchet; the other half rotates in
+    # at r15). Yielding their slots at priority=80: the nineteen
+    # 4-6-green occupants re-greened r13 (session_stats, ann_ivf_topk,
+    # media_embedding, dup_cluster_sizes, sales_grouping_sets,
+    # rolling_revenue, salted_enrichment, ivfpq_cell_stats,
+    # filtered_ann, semdedup, winnow_fingerprint, pq_distortion,
+    # sales_rollup, minhash_lsh, customer_activity, ivfpq_rerank_topk,
+    # point_in_time_join, active_users, keyword_stats_4product — next
+    # due r20). Every rotated-out spec stays oracle-verified every CI
+    # run by tests/test_oracle_parity.py.
+    # --- sweep/new families kept from r13 (<4 greens) ---
+    "dedup_threshold_sweep", "ivf_nprobe_sweep", "embedding_tau_sweep",
     "dsir_importance", "dup_source_matrix", "ngram_novelty",
-    # --- r11 keepers: 3-4 greens, held one more round ---
-    # (r13: keyword_c2r — five greens — yielded to the new
-    # minhash_spanning registration, which must be in-window for its
-    # FIRST driver row per the never-verified rule)
-    "session_stats",
-    # --- r13 new registrations (first driver row this round;
-    # keyword_c2r, simhash, ann_lsh_topk, corpus_profile,
-    # purchase_attribution — 5/4/4/4/4 greens — yielded) ---
+    # --- r13 new registrations (1 driver green, held in-window) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
     "quality_classifier_trained", "minhash_recall",
-    # (r12: log_split — five greens — yielded to embedding_validation)
-    # --- r12 pre-clears for r14 (would be DUE r14; last green r08) ---
-    "active_users", "customer_max_order", "customer_quartiles",
-    "filtered_ann", "integrity_audit",
-    "media_embedding", "nation_trade", "point_in_time_join",
-    "sales_cube", "semdedup", "winnow_fingerprint",
-    # --- r13 pre-clears for r15 (would be DUE r15; last green r08) ---
+    # --- r14 new registration (first driver row this round: the
+    # trained-centroid IVF production path, r13 verdict item 1; its
+    # seeded sibling ann_ivf_topk — five greens — yielded its slot) ---
+    "ann_ivf_trained",
+    # --- r12 pre-clears re-greened r13, held one more round (3 or
+    # fewer non-vacuous greens) ---
+    "customer_max_order", "customer_quartiles", "integrity_audit",
+    "nation_trade", "sales_cube",
+    # --- r13 pre-clears for r15 (re-greened r13; last green before
+    # that r08) ---
     "event_pivot", "order_priority", "province_stats_sql",
     "value_histogram",
-    # (r12: the nine heaviest-green r11 keepers/pull-backs —
-    # token_stats, visitor_stats, language_id, shipping_priority,
-    # pricing_summary, uv_dedup, order_wide_enriched, ads_report,
-    # cluster_split — yielded their slots to the r13 pre-clears below;
-    # all stay CI-oracle-verified every run)
-    # --- r11 staleness pull-backs (last green r04, re-greened r11) ---
-    # (r12: unigram_surprisal — five greens, re-greened r11 — yielded
-    # its slot to the new source_novelty registration, which must be
-    # in-window for its FIRST driver row per the never-verified rule)
-    # (r13: corpus_profile — four greens, re-greened r12 — yielded to
-    # quality_classifier_trained)
-    "sales_rollup",
-    # (r12 second rotation: payment_wide, quality_gate, top_k_products,
-    # union_stats — re-greened r11, 4+ greens — yielded to the r14
-    # pre-clears)
-    # --- r12 new registrations (first driver row this round) ---
+    # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
-    # --- r12 pre-clears (would be DUE r13; last green r07 — pulled
-    # back one round early per the r11 verdict's rotate-early rule) ---
+    # --- r12 pre-clears (re-greened r12/r13) ---
     "bigram_surprisal", "bpe_pairs", "corpus_diff", "doc_embedding",
     "dq_orders", "embedding_project", "event_transitions",
     "user_sessions", "winnow_pairs",
-    # --- r11 pre-clears (due r12; last green r05) ---
-    # (r13: simhash, ann_lsh_topk, purchase_attribution — four greens
-    # each, re-greened r12 — yielded to embedding_spanning /
-    # tokenizer_fertility / minhash_recall)
-    "ann_ivf_topk", "customer_activity", "minhash_lsh",
-    "rolling_revenue", "sales_grouping_sets",
+    # --- r14 pre-clears for r16: first half of the r9-green cohort
+    # (last green r09; the heavier/riskier families go first so a
+    # surprise has a spare round before the ratchet fires) ---
+    "bm25_search", "bpe_encode", "bpe_merges", "cohort_retention",
+    "concat_pack", "contamination", "contrastive_samples",
+    "dedup_keepers", "dim_history", "dim_history_merge",
+    "event_funnel", "heavy_hitters", "media_dedup", "media_features",
+    "media_frames", "media_resize", "province_stats_approx",
+    "semantic_clusters",
 }
 
 # Pre-r10 window history (kept for the rotation ledger in comments):

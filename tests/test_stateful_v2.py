@@ -518,6 +518,51 @@ def test_funnel_processor_abandonment_timer():
     assert h3.timers == set()
 
 
+def test_funnel_timer_anchors_at_first_advance_in_batch():
+    """within() anchors at the pattern's FIRST match: a user who
+    advances multiple stages in one batch (view@1000, click@50000)
+    gets the abandonment timer at stage-1 ts + timeout (61000), not at
+    the last-reached ts (110000) — r13 ADVICE low #2."""
+    from rt_bigdata_spark.streaming.stateful_v2 import FunnelProcessor
+
+    h = FakeHandle()
+    proc = FunnelProcessor(("view", "click", "purchase"), abandon_timeout_ms=60_000)
+    proc.init(h)
+    _feed(
+        proc, (7,),
+        [
+            {"user_id": 7, "event_type": "view", "ts": 1000},
+            {"user_id": 7, "event_type": "click", "ts": 50_000},
+        ],
+    )
+    assert h.timers == {61_000}
+    # firing while at stage 2 emits the -2 terminal row
+    fired = pd.concat(list(proc.handleExpiredTimer((7,), None, FakeExpiredTimer(61_000))))
+    assert list(fired["funnel_stage"]) == [-2]
+
+
+def test_funnel_abandonment_discards_partial_match():
+    """Flink CEP within(): a timed-out partial match is DISCARDED —
+    after the terminal negative-stage row, later events must not keep
+    advancing the dead attempt; they start a FRESH attempt from stage
+    0 (r13 ADVICE medium)."""
+    from rt_bigdata_spark.streaming.stateful_v2 import FunnelProcessor
+
+    h = FakeHandle()
+    proc = FunnelProcessor(("view", "click", "purchase"), abandon_timeout_ms=60_000)
+    proc.init(h)
+    _feed(proc, (9,), [{"user_id": 9, "event_type": "view", "ts": 1000}])
+    fired = pd.concat(list(proc.handleExpiredTimer((9,), None, FakeExpiredTimer(61_000))))
+    assert list(fired["funnel_stage"]) == [-1]
+    assert h.states["funnel"].value is None  # state cleared on abandonment
+    # a post-timeout click can NOT advance the dead attempt to stage 2
+    assert _feed(proc, (9,), [{"user_id": 9, "event_type": "click", "ts": 70_000}]).empty
+    # ...but a fresh view starts a NEW attempt at stage 1 with a new timer
+    out = _feed(proc, (9,), [{"user_id": 9, "event_type": "view", "ts": 80_000}])
+    assert list(out["funnel_stage"]) == [1]
+    assert 140_000 in h.timers
+
+
 @pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
 def test_funnel_v2_stream_matches_batch(rocksdb, tmp_path):
     """track_funnel_v2 over two micro-batches on the real TWS + RocksDB
@@ -577,3 +622,68 @@ def test_funnel_v2_stream_matches_batch(rocksdb, tmp_path):
     }
     assert stream_stages == {u: s for u, s in batch.items() if s > 0}
     assert batch == {1: 3, 2: 1, 3: 1, 4: 2}
+
+
+# --- unit + integration: curation id-dedup on v2 (r13 verdict item 6) --------
+
+
+def test_doc_seen_processor_drops_redeliveries():
+    """First occurrence per doc_id passes with its text; in-batch and
+    cross-batch redeliveries drop. Content dups under DIFFERENT ids are
+    NOT this gate's job (they pass — the near-dup store drops them)."""
+    from rt_bigdata_spark.streaming.stateful_v2 import DocSeenProcessor
+
+    h = FakeHandle()
+    proc = DocSeenProcessor()
+    proc.init(h)
+    out = _feed(
+        proc, (5,),
+        [
+            {"doc_id": 5, "text": "first text"},
+            {"doc_id": 5, "text": "in-batch redelivery"},
+        ],
+    )
+    assert list(out["text"]) == ["first text"]
+    # cross-batch redelivery drops
+    assert _feed(proc, (5,), [{"doc_id": 5, "text": "replayed"}]).empty
+    # a different id is a fresh key (content equality is irrelevant
+    # here) — fresh handle: the real engine scopes state per key, the
+    # fake holds one value per state NAME
+    h2 = FakeHandle()
+    proc2 = DocSeenProcessor()
+    proc2.init(h2)
+    out2 = _feed(proc2, (1005,), [{"doc_id": 1005, "text": "first text"}])
+    assert list(out2["doc_id"]) == [1005]
+
+
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
+def test_dedup_docs_v2_stream(rocksdb, tmp_path):
+    from rt_bigdata_spark.streaming.stateful_v2 import dedup_docs_v2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src), "b1.json", [
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": 2, "text": "b"},
+        {"doc_id": 2, "text": "b-redelivered"},
+    ])
+    stream = rocksdb.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    q = (
+        dedup_docs_v2(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_docs_v2")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(src), "b2.json", [
+            {"doc_id": 1, "text": "a-replayed"},
+            {"doc_id": 3, "text": "c"},
+        ])
+        q.processAllAvailable()
+        got = {(r.doc_id, r.text) for r in rocksdb.sql("select * from dedup_docs_v2").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+    finally:
+        q.stop()

@@ -73,8 +73,14 @@ def main() -> None:
     result: dict = {"factor": args.factor, "n_docs": n_docs, "n_vecs": n_vecs}
 
     # --- connected components: per-round cost over a forced-depth graph
-    # (replica near-dup edges ∪ one 16-node path on synthetic ids) -----
-    pairs = minhash_lsh_pairs(docs).select(
+    # (replica near-dup edges ∪ one 16-node path on synthetic ids).
+    # SPANNING pairs, not the full pair set: at dup-heavy 100× the full
+    # form is quadratic in clique size (~25M pairs from 5k cliques of
+    # 100 — the r12 cliff the r13 spanning form closed; feeding CC the
+    # full set OOM'd an 8g heap right here on the first probe run) and
+    # CC components are IDENTICAL over the spanning subset
+    # (property-tested). This is the production composition at scale. --
+    pairs = minhash_lsh_pairs(docs, max_pairs_per_group=8).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     base = int(docs.agg(F.max("doc_id")).first()[0]) + 1

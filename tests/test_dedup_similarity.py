@@ -153,6 +153,45 @@ def test_ivf_indexed_matches_inline_and_partition_prunes(spark, vectors, tmp_pat
     assert pf_lines and all("cell" in line for line in pf_lines), plan
 
 
+def test_trained_centroid_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The PRODUCTION composition end-to-end: build_ivf_index with the
+    COMMITTED trained centroids (models/ivf_centroids.json), probe via
+    ivf_topk_indexed — must equal the registered q_ann_ivf_trained
+    (inline form) exactly, and the probe scan must partition-prune on
+    cell. Proves the driver-verified spec and the materialized 100 TB
+    path are the same answers under the same model artifact."""
+    import contextlib
+    import io
+
+    from rt_bigdata_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+    )
+    from rt_bigdata_spark.plans.textops import _ivf_model_path, q_ann_ivf_trained
+    from rt_bigdata_spark.sources.tables import load_table
+
+    cents = load_ivf_centroids(_ivf_model_path())
+    inline = {
+        (r.query_id, r.neighbor_id, r.rk, r.sim)
+        for r in q_ann_ivf_trained(spark, sf_dir).collect()
+    }
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_trained_index")
+    build_ivf_index(emb, path, centroids=cents)
+    out = ivf_topk_indexed(spark, path, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4)
+    indexed = {(r.query_id, r.neighbor_id, r.rk, r.sim) for r in out.collect()}
+    assert indexed == inline
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf_lines = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf_lines and all("cell" in line for line in pf_lines), plan
+
+
 def test_embedding_near_dup_exact_and_lsh(spark, vectors):
     from rt_bigdata_spark.operators.dedup import embedding_near_dup_lsh, embedding_near_dup_pairs
 

@@ -567,6 +567,101 @@ def bpe_merges(
     )
 
 
+def bpe_merges_incremental(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """``bpe_merges`` with the standard incremental pair-count-delta
+    trainer (the production form every real BPE trainer uses — and the
+    closure of SCALE.md r14's watch item: the re-count form's per-step
+    cost grows with merge count because EVERY step re-explodes the full
+    vocabulary's pairs; at a production 32 k-merge vocab that re-scan
+    dominates).
+
+    State across steps: the vocab (seq, c) AND a maintained global
+    pair-count table. Per step:
+    1. argmax over the COUNTS TABLE (1-row collect — no vocab scan);
+    2. the merge touches only vocab rows whose seq CONTAINS the merged
+       pair — recompute just those rows' pair multisets before/after
+       the replace and apply the delta to the counts table;
+    3. untouched rows pass through by reference.
+    The explode+agg work per step is O(affected rows + pair-table agg)
+    instead of O(vocab); the before/after delta is computed on whole
+    rows, so greedy non-overlapping replace semantics (``a a a`` →
+    ``aa a``) are exact by construction — no adjacency bookkeeping to
+    get wrong.
+
+    MEASURED HONESTLY (SCALE.md r14): at 500 k docs / ≤24 merges the
+    re-count form is FASTER (0.17 s/step vs 1.3) — both forms
+    re-materialize the vocab cache per step (the localCheckpoint that
+    keeps lineage flat), so the delta machinery (two pair aggs over
+    affected rows + a counts-table re-agg) only pays once the full
+    pair explode dominates that floor: very large vocabularies deep
+    into a 32 k-merge schedule where the affected fraction is tiny.
+    Use the re-count form by default; switch when profiling shows the
+    per-step pair explode is the bottleneck.
+
+    Output is IDENTICAL to ``bpe_merges`` (same argmax, same
+    deterministic (cnt DESC, l, r) tie-break, same replace) —
+    property-tested equal on random corpora; the registered spec keeps
+    the re-count form (its unrolled-CTE oracle mirrors that shape 1:1),
+    and this form is the drop-in for merge counts where the re-scan
+    would bite."""
+    toks = ensure_parallelism(df).select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    seq = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    vocab = vocab.select(seq.alias("seq"), "c").localCheckpoint(eager=False)
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        syms = F.split(F.trim(F.col("seq")), "  ")
+        pair_structs = F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(F.get(syms, i).alias("l"), F.get(syms, i + 1).alias("r")),
+        )
+        return (
+            v.filter(F.size(syms) >= 2)
+            .select(F.explode(pair_structs).alias("p"), "c")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    counts = pair_counts(vocab).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = counts.orderBy(F.col("cnt").desc(), F.col("l"), F.col("r")).limit(1).collect()
+        if not best or int(best[0].cnt) <= 0:
+            break
+        left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((step, left, right, cnt))
+        hit = F.col("seq").contains(f" {left}  {right} ")
+        affected = vocab.filter(hit)
+        merged = affected.select(
+            F.replace(
+                F.col("seq"), F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            ).alias("seq"),
+            "c",
+        )
+        # counts += pairs(after) − pairs(before), over affected rows only
+        delta = pair_counts(merged).unionByName(
+            pair_counts(affected).select("l", "r", (-F.col("cnt")).alias("cnt"))
+        )
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=False)
+        )
+        vocab = vocab.filter(~hit).unionByName(merged).localCheckpoint(eager=False)
+
+    return df.sparkSession.createDataFrame(
+        merges, "step: long, left: string, right: string, pair_count: long"
+    )
+
+
 def bpe_encode_counts(
     df: DataFrame,
     merges: "list[tuple[str, str]]",

@@ -259,3 +259,43 @@ def test_tokenizer_fertility_on_external_fixture(spark):
     assert (p.n_words, p.n_bpe_tokens, p.n_chars) == (2, 5, 9)
     assert p.fertility == 2.5
     assert p.chars_per_token == 9 / 5
+
+
+def test_incremental_trainer_equals_recount_form(spark):
+    """The pair-count-delta trainer (bpe_merges_incremental — the
+    SCALE.md r14 watch-item closure) must produce the IDENTICAL merge
+    table as the re-count form: same argmax per step, same
+    (cnt DESC, l, r) tie-break, same counts — on corpora exercising
+    overlapping runs (aaa), repeated merges touching earlier outputs
+    (ab+ab chains), multi-occurrence rows, and ties."""
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_merges,
+        bpe_merges_incremental,
+    )
+
+    corpora = [
+        ["aaa aaab abab", "banana bandana", "aaa aaa"],
+        ["xy xy xyz zyx", "mississippi", "abcabcabc"],
+        ["tie atie btie", "tie tie", "eit eit eit"],  # tie-break pressure
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+        full = [tuple(r) for r in bpe_merges(df, n_merges=12).orderBy("step").collect()]
+        inc = [tuple(r) for r in bpe_merges_incremental(df, n_merges=12).orderBy("step").collect()]
+        assert inc == full, (texts, inc, full)
+
+
+def test_incremental_trainer_equals_recount_on_real_docs(spark):
+    """Same equality on the public sf0.001 documents at the registered
+    spec's n_merges=8 — the corpus whose merge table the driver
+    hash-checks."""
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_merges,
+        bpe_merges_incremental,
+    )
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = [tuple(r) for r in bpe_merges(docs, n_merges=8).orderBy("step").collect()]
+    inc = [tuple(r) for r in bpe_merges_incremental(docs, n_merges=8).orderBy("step").collect()]
+    assert inc == full

@@ -687,3 +687,69 @@ def test_dedup_docs_v2_stream(rocksdb, tmp_path):
         assert got == {(1, "a"), (2, "b"), (3, "c")}
     finally:
         q.stop()
+
+
+@pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
+def test_funnel_v2_abandonment_on_real_stream(rocksdb, tmp_path):
+    """The r13 ADVICE fixes on the REAL TWS+RocksDB engine with
+    event-time watermarks: (a) a user advancing TWO stages in one batch
+    anchors the abandonment timer at the stage-1 ts (fires at 61000,
+    not 110000); (b) after the terminal negative-stage row the partial
+    match is DISCARDED — a later click cannot advance the dead attempt,
+    and a later view starts a FRESH attempt at stage 1."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.streaming.stateful import FUNNEL_EVENT_SCHEMA
+    from rt_bigdata_spark.streaming.stateful_v2 import track_funnel_v2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # b1: view@1000 + click@50000 in ONE batch → timer must anchor @61000
+    _write_batch(str(src), "b1.json", [
+        {"user_id": 7, "event_type": "view", "ts": 1000},
+        {"user_id": 7, "event_type": "click", "ts": 50_000},
+    ])
+    stream = (
+        rocksdb.readStream.schema(FUNNEL_EVENT_SCHEMA)
+        .json(str(src))
+        .withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+        .withWatermark("eventTime", "1 second")
+    )
+    q = (
+        track_funnel_v2(stream, abandon_timeout_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("funnel_v2_abandon")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # b2: unrelated user far ahead → watermark passes 61000 → fires
+        _write_batch(str(src), "b2.json", [
+            {"user_id": 99, "event_type": "view", "ts": 200_000},
+        ])
+        q.processAllAvailable()
+        # b3: post-timeout click must NOT advance the dead attempt to 3
+        _write_batch(str(src), "b3.json", [
+            {"user_id": 7, "event_type": "click", "ts": 290_000},
+        ])
+        q.processAllAvailable()
+        # b4: a fresh view restarts a NEW attempt at stage 1
+        _write_batch(str(src), "b4.json", [
+            {"user_id": 7, "event_type": "view", "ts": 300_000},
+        ])
+        q.processAllAvailable()
+        rows = {
+            (r.funnel_stage, r.reached_ts)
+            for r in rocksdb.sql(
+                "select * from funnel_v2_abandon where user_id = 7"
+            ).collect()
+        }
+        assert (1, 1000) in rows and (2, 50_000) in rows
+        assert (-2, 61_000) in rows  # timer anchored at stage-1 ts + timeout
+        assert (1, 300_000) in rows  # fresh attempt after discard
+        assert not any(s == 3 for s, _ in rows)  # dead attempt never completed
+        assert not any(s == -2 and t != 61_000 for s, t in rows)
+    finally:
+        q.stop()

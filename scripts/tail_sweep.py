@@ -31,6 +31,40 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 
+def find_movers(
+    prev: dict[str, float],
+    new: dict[str, float],
+    floor_sec: float = 1.0,
+    ratio_trip: float = 2.0,
+    skip: frozenset[str] = frozenset(),
+) -> tuple[float, dict[str, dict]]:
+    """The tripwire kernel (unit-tested in tests/test_tail_sweep.py):
+    returns (median_drift, movers). Uniform container-load drift
+    (BASELINE.md documents up to ~1.3× round-over-round on UNTOUCHED
+    queries) cancels via the median ratio across all common specs; a
+    mover is a spec whose drift-adjusted ratio exceeds ``ratio_trip``
+    AND whose new time clears ``floor_sec`` (sub-floor timings are
+    startup-noise-dominated — the tail median is ~0.5 s at sf0.1)."""
+    common = sorted(n for n in set(prev) & set(new) if prev[n] > 0)
+    if not common:
+        return 1.0, {}
+    ratios = sorted(new[n] / prev[n] for n in common)
+    median_drift = ratios[len(ratios) // 2]
+    movers = {
+        n: {
+            "prev": prev[n],
+            "new": new[n],
+            "raw_ratio": round(new[n] / prev[n], 2),
+            "drift_adjusted": round(new[n] / prev[n] / median_drift, 2),
+        }
+        for n in common
+        if new[n] >= floor_sec
+        and new[n] / prev[n] / median_drift > ratio_trip
+        and n not in skip
+    }
+    return median_drift, movers
+
+
 def next_round() -> int:
     """The round currently being built = latest committed driver round + 1."""
     rounds = [

@@ -3,17 +3,24 @@
 got >2× slower between the two most recent sweeps — AFTER dividing out
 the uniform container-load drift — fails the build until adjudicated
 (r13 verdict item 4; the r12 one-off sweep caught two winnow O(n²)
-plans exactly this way)."""
+plans exactly this way). The comparison kernel itself
+(``tail_sweep.find_movers``) is unit-tested below on synthetic
+artifacts so the tripwire's semantics don't wait for a second real
+sweep to be exercised."""
 
 from __future__ import annotations
 
 import json
 import re
+import sys
 from pathlib import Path
 
 import pytest
 
 ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from scripts.tail_sweep import find_movers  # noqa: E402
 
 # A spec may legitimately get slower (deliberately heavier parameters,
 # a correctness fix that adds work). Adjudicate by listing it here with
@@ -24,9 +31,6 @@ ADJUDICATED: dict[tuple[int, int, str], str] = {
     # unchanged, paired bench_isolated table in BASELINE.md r15",
 }
 
-# Sub-absolute-floor timings are startup-noise-dominated at sf0.1
-# (BASELINE.md: the tail median is ~0.5 s and single-run noise there
-# swamps ratios); only trips where the NEW time is at least this slow.
 FLOOR_SEC = 1.0
 RATIO_TRIP = 2.0
 
@@ -61,28 +65,62 @@ def test_no_query_doubled_between_sweeps():
         pytest.skip("fewer than two sweeps committed — nothing to compare")
     (r_prev, prev), (r_new, new) = sweeps[-2], sweeps[-1]
     p, q = prev["queries"], new["queries"]
-    common = sorted(set(p) & set(q))
-    assert len(common) >= 50, "sweeps share too few specs to compare"
-    # Uniform container-load drift (BASELINE.md documents up to ~1.3×
-    # round-over-round on UNTOUCHED queries) cancels via the median
-    # ratio; the tripwire is about a SPECIFIC plan getting slower.
-    ratios = sorted(q[n] / p[n] for n in common if p[n] > 0)
-    median_drift = ratios[len(ratios) // 2]
-    movers = {
-        n: {
-            "prev": p[n],
-            "new": q[n],
-            "raw_ratio": round(q[n] / p[n], 2),
-            "drift_adjusted": round(q[n] / p[n] / median_drift, 2),
-        }
-        for n in common
-        if q[n] >= FLOOR_SEC
-        and p[n] > 0
-        and q[n] / p[n] / median_drift > RATIO_TRIP
-        and (r_prev, r_new, n) not in ADJUDICATED
-    }
+    assert len(set(p) & set(q)) >= 50, "sweeps share too few specs to compare"
+    skip = frozenset(
+        n for (rp, rn, n) in ADJUDICATED if (rp, rn) == (r_prev, r_new)
+    )
+    median_drift, movers = find_movers(p, q, FLOOR_SEC, RATIO_TRIP, skip)
     assert not movers, (
         f"specs >{RATIO_TRIP}x slower r{r_prev}->r{r_new} after dividing "
         f"out median drift {median_drift:.2f}: {json.dumps(movers, indent=1)}; "
         "fix the plan or adjudicate in ADJUDICATED with a reason"
     )
+
+
+# --- unit tests of the tripwire kernel on synthetic sweeps -------------------
+
+
+def test_find_movers_uniform_drift_cancels():
+    """A container-load round (everything ×1.3) must trip NOTHING: the
+    median ratio absorbs it — this is exactly the BENCH_r13 pattern the
+    r13 verdict called out (uniform 1.05-1.31× on untouched queries)."""
+    prev = {f"q{i}": 0.5 + i * 0.1 for i in range(60)}
+    new = {n: t * 1.3 for n, t in prev.items()}
+    drift, movers = find_movers(prev, new)
+    assert abs(drift - 1.3) < 1e-9
+    assert movers == {}
+
+
+def test_find_movers_trips_a_real_regression_through_drift():
+    """One spec going quadratic (×8) while the fleet drifts ×1.2 must
+    trip on THAT spec alone, with the drift divided out."""
+    prev = {f"q{i}": 1.0 for i in range(60)}
+    new = {n: 1.2 for n in prev}
+    new["q7"] = 8.0
+    drift, movers = find_movers(prev, new)
+    assert list(movers) == ["q7"]
+    assert movers["q7"]["drift_adjusted"] == pytest.approx(8.0 / 1.2, abs=0.01)
+
+
+def test_find_movers_floor_masks_subsecond_noise_and_skip_applies():
+    """A 0.1 s → 0.5 s 'regression' is startup noise below the floor —
+    not a trip; an adjudicated spec above the floor is skipped."""
+    prev = {f"q{i}": 1.0 for i in range(60)}
+    prev["tiny"] = 0.1
+    new = dict(prev)
+    new["tiny"] = 0.5  # 5x but new < FLOOR_SEC
+    _, movers = find_movers(prev, new)
+    assert movers == {}
+    new["big"] = prev["big"] = 2.0
+    new["big"] = 9.0
+    _, movers = find_movers(prev, new)
+    assert list(movers) == ["big"]
+    _, movers = find_movers(prev, new, skip=frozenset({"big"}))
+    assert movers == {}
+
+
+def test_find_movers_new_specs_and_zero_times_are_ignored():
+    prev = {"a": 1.0, "z": 0.0}
+    new = {"a": 1.1, "b": 50.0, "z": 5.0}  # b has no prev; z prev=0
+    _, movers = find_movers(prev, new)
+    assert movers == {}

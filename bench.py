@@ -90,11 +90,15 @@ def main() -> None:
                 # advice-r12: heavy non-R1 queries run one fewer rep under
                 # the wall-clock control; emit the ACTUAL per-query rep
                 # count so cross-round comparisons can see which numbers
-                # are min-of-2 vs min-of-3
-                "rep_counts": rep_counts,
+                # are min-of-2 vs min-of-3. Only DEVIATIONS from `reps`
+                # are listed (r14: BENCH_r13's driver artifact truncated
+                # the full line to `parsed: null` — every byte counts;
+                # absent name ⇒ the query ran all `reps` reps).
+                "rep_counts": {n: c for n, c in rep_counts.items() if c != reps},
                 "total_r1_set": total_r1_set,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

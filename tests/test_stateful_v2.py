@@ -753,3 +753,17 @@ def test_funnel_v2_abandonment_on_real_stream(rocksdb, tmp_path):
         assert not any(s == -2 and t != 61_000 for s, t in rows)
     finally:
         q.stop()
+
+
+def test_doc_seen_processor_ttl_is_wired_to_native_state_ttl():
+    """ttl_ms bounds the seen-set via native state TTL (the
+    100 TB requirement for an unbounded id space) — same wiring
+    contract as UniqueVisitProcessor."""
+    from rt_bigdata_spark.streaming.stateful_v2 import DocSeenProcessor
+
+    h = FakeHandle()
+    DocSeenProcessor(ttl_ms=86_400_000).init(h)
+    assert h.states["seen"].ttl_ms == 86_400_000
+    h2 = FakeHandle()
+    DocSeenProcessor().init(h2)
+    assert h2.states["seen"].ttl_ms is None

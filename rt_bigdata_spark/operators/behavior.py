@@ -365,3 +365,119 @@ def active_users_hll(
             "stickiness_approx"
         ),
     )
+
+
+def activity_buckets(
+    events: DataFrame,
+    n_buckets: int = 16,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user activity time series in matrix form: ``(user_id,
+    bucket, c)`` — event counts over ``n_buckets`` equal slices of the
+    corpus's GLOBAL time span (the EDBT'19 streaming-similarity shape:
+    fixed-dimension series so similarity reduces to vector math).
+
+    Bucketing is INTEGER-exact and engine-portable:
+    ``bucket = ((us − min_us) · n) div (max_us − min_us + 1)`` on epoch
+    microseconds — no float division, no boundary ties. The global span
+    is a 1-row aggregate broadcast onto the scan (the corpus-stats
+    totals-join pattern, bm25's); the only shuffle is the
+    (user, bucket) count hash-agg, map-side combinable. Output is the
+    sparse matrix (zero buckets absent) — consumers that need density
+    handle it relationally (``similar_activity_topk`` via COALESCE
+    after the bucket join) rather than materializing dense arrays."""
+    # NTZ→TIMESTAMP cast for unix_micros (UTC session; epoch-identical
+    # to the oracle's epoch_us on naive timestamps — sessionize's rule)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = ensure_parallelism(events).select(F.col(user_col).alias("user_id"), us.alias("us"))
+    span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(span))
+        # SQL DIV: exact BIGINT division — a float `/` + floor could
+        # flip a boundary where the true quotient is an exact integer
+        .select(
+            "user_id",
+            F.expr(f"CAST(((us - lo) * {int(n_buckets)}) DIV (hi - lo + 1) AS BIGINT)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def similar_activity_topk(
+    events: DataFrame,
+    k: int = 5,
+    n_buckets: int = 16,
+    probe_ids_below: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Behavioral similarity search: for each probe user, the top-k
+    users with the most similar activity time series — Pearson
+    correlation of the bucketed count series, computed RELATIONALLY
+    from integer sums so both engines produce bit-identical values:
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Every Σ term is an exact integer (counts), summed as BIGINT — the
+    classic float-summation-order drift cannot occur; ONE double
+    division + sqrt at the end, rounded 9 dp (the engine-wide
+    similarity discipline). Missing buckets are implicit zeros: Σxy
+    over the INNER bucket join equals the dense dot product because
+    zero terms contribute nothing, and Σx/Σx² come from the sparse
+    rows alone. Zero-variance (flat) series carry no signal and are
+    excluded on both sides — Pearson is undefined there.
+
+    Scale shape: one (user, bucket) hash-agg over the events scan; the
+    probe side (``probe_ids_below`` users × n_buckets rows) broadcasts
+    onto the corpus matrix via the bucket equi-join, so scoring is one
+    map-side pass + a per-probe top-k window — the brute_force_topk
+    plan with the cosine kernel swapped for integer-exact Pearson. At
+    ANN scale the same series feed the hyperplane-LSH/IVF machinery
+    (a series IS an embedding once z-normalized).
+    """
+    n = n_buckets
+    mat = activity_buckets(events, n_buckets, user_col, ts_col)
+    stats = mat.groupBy("user_id").agg(
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    # integer variance numerator: n·Σx² − (Σx)²  (exact in BIGINT)
+    stats = stats.withColumn("varn", F.lit(n) * F.col("sxx") - F.col("sx") * F.col("sx")).filter(
+        F.col("varn") > 0
+    )
+    probes = stats.filter(F.col("user_id") < probe_ids_below).select(
+        F.col("user_id").alias("query_id"), F.col("sx").alias("qsx"), F.col("varn").alias("qvarn")
+    )
+    pm = mat.filter(F.col("user_id") < probe_ids_below).select(
+        F.col("user_id").alias("query_id"), "bucket", F.col("c").alias("qc")
+    )
+    sxy = (
+        mat.join(F.broadcast(pm), "bucket")
+        .filter(F.col("user_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("user_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("sxy"))
+    )
+    scored = (
+        sxy.join(
+            stats.select(F.col("user_id").alias("neighbor_id"), "sx", "varn"), "neighbor_id"
+        )
+        .join(F.broadcast(probes), "query_id")
+        .withColumn(
+            "sim",
+            F.round(
+                (F.lit(n) * F.col("sxy") - F.col("sx") * F.col("qsx")).cast("double")
+                / F.sqrt((F.col("varn") * F.col("qvarn")).cast("double")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

@@ -3784,7 +3784,7 @@ for spec in [
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=80),
     QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=40),
     # round-5 third batch (text→vector bridge + embedding compression)
-    QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=40),
+    QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=80),
     QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=40),
     # r12: the vector ingest-contract audit — in-window for its first
     # driver row (log_split, five greens, yielded)

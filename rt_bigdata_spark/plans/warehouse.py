@@ -2391,6 +2391,67 @@ FROM dau d JOIN wau w ON d.day = w.win_end
 """
 
 
+_SIM_USERS_K = 5
+_SIM_USERS_BUCKETS = 16
+_SIM_USERS_PROBES = 5
+
+
+def q_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral similarity search (behavior.similar_activity_topk,
+    r14): top-5 users whose bucketed activity time series best
+    correlates with each probe user's — Pearson over 16 global time
+    buckets, computed relationally from integer sums (every Σ term
+    exact BIGINT; one double division + sqrt, rounded 9 dp). The
+    retrieval shape of the EDBT'19 time-series-similarity line on the
+    engine's own events table; at ANN scale the same series feed the
+    LSH/IVF machinery as embeddings."""
+    from rt_bigdata_spark.operators.behavior import similar_activity_topk
+
+    return similar_activity_topk(
+        load_table(spark, sf_dir, "events"),
+        k=_SIM_USERS_K,
+        n_buckets=_SIM_USERS_BUCKETS,
+        probe_ids_below=_SIM_USERS_PROBES,
+    )
+
+
+_ORACLE_SIMILAR_USERS = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+span AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+mat AS (
+  SELECT user_id,
+         ((us - lo) * {_SIM_USERS_BUCKETS}) // (hi - lo + 1) AS bucket,
+         COUNT(*) AS c
+  FROM ev CROSS JOIN span
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, SUM(c) AS sx,
+         {_SIM_USERS_BUCKETS} * SUM(c * c) - SUM(c) * SUM(c) AS varn
+  FROM mat GROUP BY user_id
+  HAVING {_SIM_USERS_BUCKETS} * SUM(c * c) - SUM(c) * SUM(c) > 0
+),
+sxy AS (
+  SELECT p.user_id AS query_id, m.user_id AS neighbor_id, SUM(m.c * p.c) AS sxy
+  FROM mat m JOIN mat p ON m.bucket = p.bucket
+  WHERE p.user_id < {_SIM_USERS_PROBES} AND m.user_id <> p.user_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(CAST({_SIM_USERS_BUCKETS} * s.sxy - n.sx * q.sx AS DOUBLE)
+               / sqrt(CAST(n.varn * q.varn AS DOUBLE)), 9) AS sim
+  FROM sxy s
+  JOIN stats n ON n.user_id = s.neighbor_id
+  JOIN stats q ON q.user_id = s.query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {_SIM_USERS_K}
+"""
+
+
 for spec in [
     QuerySpec("pricing_summary", q_pricing_summary, _ORACLE_PRICING, ("agg", "A6", "A8"), bench=True, priority=80),
     QuerySpec("visitor_stats", q_visitor_stats, _ORACLE_VISITOR, ("agg", "window", "A1"), bench=True, priority=80),
@@ -2486,6 +2547,9 @@ for spec in [
     # HLL audit, which hash-checks the exact columns too, keeps the
     # family in-window)
     QuerySpec("active_users", q_active_users, _ORACLE_ACTIVE_USERS, ("behavior", "agg", "distinct"), priority=80),
+    # r14: behavioral time-series similarity search — new spec, must
+    # land in the window (doc_embedding, five greens, yielded)
+    QuerySpec("similar_users", q_similar_users, _ORACLE_SIMILAR_USERS, ("behavior", "similarity"), priority=40),
     QuerySpec("active_users_hll", q_active_users_hll, _ORACLE_ACTIVE_USERS_HLL, ("behavior", "agg", "approx"), bench=True, priority=80),
 ]:
     register(spec)

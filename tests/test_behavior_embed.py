@@ -153,3 +153,43 @@ def test_cms_candidate_mode_and_depth_one(spark):
     assert rows["hash"] == full["hash"] and rows["join"] == full["join"]
     d1 = cms_heavy_hitters(docs, threshold_frac=0.0, depth=1, width=64, candidates=cand)
     assert {r.token for r in d1.collect()} >= {"hash", "join"}
+
+
+def test_similar_activity_topk_hand_fixture(spark):
+    """Integer-exact Pearson over bucketed series on a hand-computable
+    fixture (4 buckets over a 40 s span): a user with the probe's exact
+    shape scores r=1.0, the inverted shape r=-1.0, and a FLAT user
+    (zero variance — Pearson undefined) is excluded entirely."""
+    import datetime as dt
+
+    from rt_bigdata_spark.operators.behavior import activity_buckets, similar_activity_topk
+
+    def at(sec: int) -> dt.datetime:
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = []
+    # probe user 0: counts per quarter [3, 1, 2, 0]
+    for s in (1, 2, 3, 11, 21, 22):
+        rows.append((0, at(s)))
+    # user 10: same shape → r = 1.0
+    for s in (4, 5, 6, 12, 23, 24):
+        rows.append((10, at(s)))
+    # user 11: inverted shape [0, 2, 1, 3] → r = -1.0
+    for s in (13, 14, 25, 31, 32, 33):
+        rows.append((11, at(s)))
+    # user 12: flat [2, 2, 2, 2] → excluded; also pins the global span
+    for s in (0, 5, 10, 15, 20, 25, 30, 39):
+        rows.append((12, at(s)))
+    ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+
+    mat = {
+        (r.user_id, r.bucket): r.c
+        for r in activity_buckets(ev, n_buckets=4).collect()
+    }
+    assert [mat.get((0, b), 0) for b in range(4)] == [3, 1, 2, 0]
+    assert [mat.get((12, b), 0) for b in range(4)] == [2, 2, 2, 2]
+
+    out = similar_activity_topk(ev, k=3, n_buckets=4, probe_ids_below=5)
+    got = [(r.neighbor_id, r.sim, r.rk) for r in out.orderBy("rk").collect()]
+    # flat user 12 is ineligible; only two neighbors remain
+    assert got == [(10, 1.0, 1), (11, -1.0, 2)]

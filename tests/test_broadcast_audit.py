@@ -35,6 +35,11 @@ PKG_ROOT = pathlib.Path(rt_bigdata_spark.__file__).parent
 # corpus / fact-table SF.
 ALLOWED: dict[tuple[str, str], str] = {
     ("operators/behavior.py", "active_users_hll"): "day list — O(active days), calendar-bounded",
+    ("operators/behavior.py", "activity_buckets"): "1-row global (lo, hi) time span",
+    ("operators/behavior.py", "similar_activity_topk"): (
+        "probe matrix (probe_ids_below users × n_buckets rows) and the probe "
+        "stats row set — both bounded by the probe-set parameter, never the corpus"
+    ),
     ("operators/curation_rules.py", "contamination_pairs"): (
         "probe 8-gram set — filtered to id < probe_ids_below (eval-suite sized, "
         "not corpus sized); the probes!=None branch documents the AQE escape for big lists"

@@ -224,6 +224,10 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "dsir_importance",  # broadcast 1-row feature totals (r_tot,
         # t_tot) onto the num_buckets-row stats table — the
         # unigram_surprisal/bm25 1-row-stats shape
+        "similar_users",  # broadcast 1-row global time span (lo, hi)
+        # onto the events scan — the bm25 corpus-stats shape; the
+        # similarity join itself is a bucket EQUI-join vs a bounded
+        # probe matrix (probes × n_buckets rows)
     }
     offenders = [
         n for n, pl in plans.items()

@@ -64,10 +64,14 @@ MUST_BE_IN_WINDOW = {
     "value_histogram",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
-    # --- r12 pre-clears (re-greened r12/r13) ---
-    "bigram_surprisal", "bpe_pairs", "corpus_diff", "doc_embedding",
+    # --- r12 pre-clears (re-greened r12/r13; r14: doc_embedding —
+    # five greens — yielded to the new similar_users registration) ---
+    "bigram_surprisal", "bpe_pairs", "corpus_diff",
     "dq_orders", "embedding_project", "event_transitions",
     "user_sessions", "winnow_pairs",
+    # --- r14 second new registration: behavioral time-series
+    # similarity search over the events table ---
+    "similar_users",
     # --- r14 pre-clears for r16: first half of the r9-green cohort
     # (last green r09; the heavier/riskier families go first so a
     # surprise has a spare round before the ratchet fires) ---

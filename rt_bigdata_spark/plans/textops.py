@@ -3724,7 +3724,7 @@ for spec in [
     QuerySpec("ann_ivf_trained", q_ann_ivf_trained, _ann_ivf_trained_oracle(), ("similarity", "approx", "model"), priority=10),
     # (six greens r1-r7; yielded its slot in r8's second batch)
     QuerySpec("embedding_dedup", q_embedding_dedup, _emb_lsh_oracle(threshold=0.4), ("dedup", "approx"), bench=True, priority=80),
-    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
+    QuerySpec("embedding_dedup_lsh", q_embedding_dedup_lsh, _emb_lsh_oracle(), ("dedup", "approx"), bench=True, priority=40),
     # r10: the SemDeDup τ tuning curve — new spec, must land in the
     # window (bpe_encode, thrice-green, yielded its slot;
     # bpe_encode_tokens keeps the tokenizer family in-window)
@@ -3748,10 +3748,10 @@ for spec in [
     # r13: corpus_profile (4 driver greens, last r12) yielded its
     # window slot to the new quality_classifier_trained registration
     QuerySpec("corpus_profile", q_corpus_profile, _ORACLE_PROFILE, ("profiling", "agg"), priority=80),
-    QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=80),
+    QuerySpec("corpus_profile_approx", q_corpus_profile_approx, _ORACLE_PROFILE_APPROX, ("profiling", "agg", "approx"), priority=40),
     QuerySpec("quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE, ("profiling", "window_fn"), priority=80),
     # round-6: the broadcast-threshold scale form of quality_gate
-    QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=80),
+    QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=40),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
     QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=80),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
@@ -3760,29 +3760,29 @@ for spec in [
     # they are the only oracle-backed specs that have never had a
     # driver row. Seven multi-round-green trivials yielded their slots
     # (demoted to 80; still oracle-verified every CI run).
-    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=80),
-    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=80),
+    QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=40),
+    QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=40),
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=40),
-    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=80),
-    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=80),
+    QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=40),
+    QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=40),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
-    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), bench=True, priority=80),
+    QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), bench=True, priority=40),
     # round-5 additions (training-order / packing bookkeeping); three
     # more multi-round greens (payment_wide, uv_dedup, log_split)
     # yielded window slots so these verify on their first round.
-    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=40),
-    QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=80),
-    QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=80),
-    QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=80),
+    QuerySpec("concat_pack", q_concat_pack, _ORACLE_CONCAT_PACK, ("packing",), priority=80),
+    QuerySpec("paragraph_dedup", q_paragraph_dedup, _ORACLE_PARAGRAPH_DEDUP, ("dedup", "text"), bench=True, priority=40),
+    QuerySpec("global_shuffle", q_global_shuffle, _ORACLE_GLOBAL_SHUFFLE, ("sampling", "order"), priority=40),
+    QuerySpec("mix_schedule", q_mix_schedule, _mix_schedule_oracle(), ("sampling", "order"), priority=40),
     # round-5 second batch (semantic clustering, search, versioning);
     # five multi-round greens (text_quality, ann_cosine_topk,
     # corpus_profile, quality_gate, unigram_surprisal) yielded window
     # slots so these verify on their first round.
-    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=40),
+    QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=80),
     QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=80),
-    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=40),
-    QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=80),
-    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=40),
+    QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
+    QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=40),
+    QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=80),
     # round-5 third batch (text→vector bridge + embedding compression)
     QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=80),
     QuerySpec("embedding_project", q_embedding_project, _embedding_project_oracle(), ("embedding",), priority=40),
@@ -3791,14 +3791,14 @@ for spec in [
     QuerySpec("embedding_validation", q_embedding_validation, _ORACLE_EMB_VALIDATION, ("embedding", "audit"), priority=45),
     # round-5 fourth batch (bounded-state sketch estimator; sales_rollup
     # — green r1-r4 — yielded its slot)
-    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=40),
+    QuerySpec("heavy_hitters", q_heavy_hitters, _heavy_hitters_oracle(), ("text", "approx", "sketch"), priority=80),
     # round-5 fifth batch (model-based filtering + sub-document exact
     # substrings); with event_transitions/events_rollup in warehouse,
     # four multi-round greens (order_wide_enriched, shipping_priority,
     # supplier_volume, product_stats — green r1-r4) yield their slots.
-    QuerySpec("quality_classifier", q_quality_classifier, _quality_classifier_oracle(), ("text", "quality", "model"), bench=True, priority=80),
+    QuerySpec("quality_classifier", q_quality_classifier, _quality_classifier_oracle(), ("text", "quality", "model"), bench=True, priority=40),
     QuerySpec("quality_classifier_trained", q_quality_classifier_trained, _quality_classifier_trained_oracle(), ("text", "quality", "model"), priority=40),
-    QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=80),
+    QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=40),
     # round-5 sixth batch (tokenizer induction; order_wide — green
     # r1-r4 — yields its slot alongside warehouse's keyword_stats)
     QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=40),
@@ -3818,10 +3818,10 @@ for spec in [
     QuerySpec("winnow_fingerprint", q_winnow_fingerprint, _ORACLE_WINNOW, ("text", "dedup"), bench=True, priority=80),
     # round-5 eighth batch (retrieval-training sample mining;
     # cluster_split — green r1-r4 — yields its slot)
-    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=40),
+    QuerySpec("contrastive_samples", q_contrastive_samples, _ORACLE_CONTRASTIVE, ("similarity", "sampling", "training"), priority=80),
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
-    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=40),
+    QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
     # r11 additions: never driver-verified -> must enter the window now
     # (scalar_datetime, json_props, product_stats — thrice-green —
     # yielded their slots).
@@ -3833,7 +3833,7 @@ for spec in [
     # outside the driver window until the planner rotates it in)
     QuerySpec("source_novelty", q_source_novelty, _ORACLE_SOURCE_NOVELTY, ("text", "profiling"), bench=True, priority=45),
     # (doc_curation — green r1-r4 — yields its slot)
-    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=40),
+    QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=80),
     # round-5 eleventh batch (first hash-matched multimodal row;
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)
@@ -3848,7 +3848,7 @@ for spec in [
     QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), bench=True, priority=40),
     # round-6 first batch: the 100 TB token-budget shape (same oracle as
     # the exact form — subset-equivalence by the prefix property)
-    QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=80),
+    QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=40),
     # round-8 second batch: four multi-round greens yield their slots
     # (embedding_dedup — six greens r1-r7, LSH sibling stays in-window;
     # winnow_fingerprint — thrice-green r5-r7; warehouse's active_users

@@ -54,33 +54,38 @@ MUST_BE_IN_WINDOW = {
     # trained-centroid IVF production path, r13 verdict item 1; its
     # seeded sibling ann_ivf_topk — five greens — yielded its slot) ---
     "ann_ivf_trained",
-    # --- r12 pre-clears re-greened r13, held one more round (3 or
-    # fewer non-vacuous greens) ---
-    "customer_max_order", "customer_quartiles", "integrity_audit",
-    "nation_trade", "sales_cube",
-    # --- r13 pre-clears for r15 (re-greened r13; last green before
-    # that r08) ---
+    # --- r12 pre-clears re-greened r13, held one more round ---
+    "customer_max_order", "integrity_audit", "nation_trade",
+    # --- r13 pre-clears re-greened r14 (4 greens, held one more round) ---
     "event_pivot", "order_priority", "province_stats_sql",
     "value_histogram",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
-    # --- r12 pre-clears (re-greened r12/r13; r14: doc_embedding —
-    # five greens — yielded to the new similar_users registration) ---
-    "bigram_surprisal", "bpe_pairs", "corpus_diff",
-    "dq_orders", "embedding_project", "event_transitions",
-    "user_sessions", "winnow_pairs",
+    # --- r12 pre-clears still <6 greens ---
+    "bpe_pairs", "embedding_project", "winnow_pairs",
     # --- r14 second new registration: behavioral time-series
     # similarity search over the events table ---
     "similar_users",
-    # --- r14 pre-clears for r16: first half of the r9-green cohort
-    # (last green r09; the heavier/riskier families go first so a
-    # surprise has a spare round before the ratchet fires) ---
-    "bm25_search", "bpe_encode", "bpe_merges", "cohort_retention",
-    "concat_pack", "contamination", "contrastive_samples",
-    "dedup_keepers", "dim_history", "dim_history_merge",
-    "event_funnel", "heavy_hitters", "media_dedup", "media_features",
-    "media_frames", "media_resize", "province_stats_approx",
-    "semantic_clusters",
+    # --- r14 pre-clears re-greened r14, held (<6 greens) ---
+    "bpe_encode", "bpe_merges", "contamination", "media_dedup",
+    "media_features", "media_frames", "media_resize",
+    # --- r15 ROTATION (verdict r14 item 1) — second half of the
+    # r9-green cohort pulled back at priority=40, one round before the
+    # r16 staleness ratchet fires. Yielding their slots at priority=80:
+    # the eighteen 5-6-green occupants re-greened r14 (bm25_search,
+    # bigram_surprisal, cohort_retention, concat_pack, corpus_diff,
+    # contrastive_samples, customer_quartiles, dedup_keepers,
+    # dim_history, dim_history_merge, dq_orders, event_funnel,
+    # event_transitions, heavy_hitters, province_stats_approx,
+    # sales_cube, semantic_clusters, user_sessions — next due r21,
+    # beyond the r20 horizon). Every rotated-out spec stays
+    # oracle-verified every CI run by tests/test_oracle_parity.py. ---
+    "corpus_profile_approx", "doc_chunks", "embedding_dedup_lsh",
+    "event_anomalies", "events_rollup", "events_rollup_daily",
+    "filtered_ann_indexed", "global_shuffle", "mix_schedule",
+    "paragraph_dedup", "pii_scrub", "quality_classifier",
+    "quality_gate_threshold", "repetition_stats", "stratified_sample",
+    "substring_dedup", "token_budget", "token_budget_threshold",
 }
 
 # Pre-r10 window history (kept for the rotation ledger in comments):

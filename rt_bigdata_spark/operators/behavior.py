@@ -423,13 +423,30 @@ def similar_activity_topk(
         r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
 
     Every Σ term is an exact integer (counts), summed as BIGINT — the
-    classic float-summation-order drift cannot occur; ONE double
-    division + sqrt at the end, rounded 9 dp (the engine-wide
-    similarity discipline). Missing buckets are implicit zeros: Σxy
-    over the INNER bucket join equals the dense dot product because
-    zero terms contribute nothing, and Σx/Σx² come from the sparse
-    rows alone. Zero-variance (flat) series carry no signal and are
-    excluded on both sides — Pearson is undefined there.
+    classic float-summation-order drift cannot occur. The CROSS
+    products (n·Σxy, Σx·Σy, varn·qvarn) are computed in DOUBLE on both
+    engines: kept in BIGINT they overflow int64 once per-user event
+    counts pass ~10⁹ (Spark non-ANSI would wrap silently while DuckDB
+    raises — the engines would diverge exactly at scale), and a single
+    IEEE multiply/subtract of exact-integer-valued doubles is
+    bit-identical across engines. The BIGINT terms themselves (Σx, Σx²,
+    varn = n·Σx² − (Σx)²) are exact while per-user totals stay below
+    ~3×10⁹ events (and ~7.6×10⁸ in any single bucket for n=16) — far
+    beyond any real per-user activity. ONE double division + sqrt at
+    the end, rounded 9 dp (the engine-wide similarity discipline).
+
+    Missing buckets are implicit zeros: Σxy over the INNER bucket join
+    equals the dense dot product because zero terms contribute nothing,
+    and Σx/Σx² come from the sparse rows alone. The inner join also
+    means candidate GENERATION requires bucket overlap: a neighbor
+    sharing no active bucket with the probe is never scored — by
+    design, since with non-negative counts its dense Pearson is the
+    minimum possible for the probe's series (every xy term zero), so it
+    cannot belong in a similarity top-k; callers wanting dense-Pearson
+    semantics over ALL users (where top-k may under-fill if fewer than
+    k overlapping candidates exist) should left-join candidates from
+    the varn>0 user set instead. Zero-variance (flat) series carry no
+    signal and are excluded on both sides — Pearson is undefined there.
 
     Scale shape: one (user, bucket) hash-agg over the events scan; the
     probe side (``probe_ids_below`` users × n_buckets rows) broadcasts
@@ -466,11 +483,16 @@ def similar_activity_topk(
             stats.select(F.col("user_id").alias("neighbor_id"), "sx", "varn"), "neighbor_id"
         )
         .join(F.broadcast(probes), "query_id")
+        # cross products in DOUBLE (not BIGINT): see docstring — int64
+        # would wrap on Spark / raise on DuckDB at large per-user counts
         .withColumn(
             "sim",
             F.round(
-                (F.lit(n) * F.col("sxy") - F.col("sx") * F.col("qsx")).cast("double")
-                / F.sqrt((F.col("varn") * F.col("qvarn")).cast("double")),
+                (
+                    F.lit(float(n)) * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("qsx").cast("double")
+                )
+                / F.sqrt(F.col("varn").cast("double") * F.col("qvarn").cast("double")),
                 9,
             ),
         )

@@ -170,10 +170,15 @@ def _parse_avi(content: bytes) -> tuple[bytes, tuple[int, int, int]]:
     the WAV path's PCM frames are — re-muxing identical MJPEG frames
     with a different idx1 index, chunk padding, or extra INFO lists
     yields byte-identical canonical output, so content-addressed dedup
-    keys off the frames, not the muxer. Decoding INSIDE each frame
-    (JPEG entropy decode) still needs PIL/pyav and is out of scope —
-    this is deliberately the indexing layer a 100 TB video pipeline
-    runs BEFORE shipping frames to a GPU decode stage."""
+    keys off the frames, not the muxer. Frame chunks come from ONE
+    stream only — the first ``vids`` stream per the ``strh`` headers
+    (stream numbers follow strl order), falling back to stream ``00``
+    when no strh exists — so a multi-stream AVI (or a digit-numbered
+    non-video ``db``/``dc`` chunk from another stream) cannot inflate
+    n_frames or pollute the content-addressed dedup key. Decoding
+    INSIDE each frame (JPEG entropy decode) still needs PIL/pyav and
+    is out of scope — this is deliberately the indexing layer a 100 TB
+    video pipeline runs BEFORE shipping frames to a GPU decode stage."""
     import struct as _struct
 
     def u32(off: int) -> int:
@@ -186,7 +191,8 @@ def _parse_avi(content: bytes) -> tuple[bytes, tuple[int, int, int]]:
     riff_end = min(8 + u32(4), len(content))
 
     width = height = None
-    frames: list[bytes] = []
+    stream_types: list[bytes] = []  # strh fccType per stream, strl order
+    frames: list[tuple[bytes, bytes]] = []  # (2-digit stream id, payload)
 
     def walk(start: int, end: int) -> None:
         nonlocal width, height
@@ -204,14 +210,26 @@ def _parse_avi(content: bytes) -> tuple[bytes, tuple[int, int, int]]:
                     raise ValueError("avih header too short")
                 width = u32(body + 32)
                 height = u32(body + 36)
+            elif fourcc == b"strh":
+                if size < 4:
+                    raise ValueError("strh header too short")
+                stream_types.append(content[body : body + 4])
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
-                frames.append(content[body : body + size])
+                frames.append((fourcc[:2], content[body : body + size]))
             off = nxt
 
     walk(12, riff_end)
     if width is None:
         raise ValueError("no avih main header found")
-    return b"".join(frames), (width, height, len(frames))
+    # hdrl (and its strl lists) precedes movi per the AVI spec, so by
+    # now stream_types is complete; pick the first vids stream's index.
+    video_stream = b"00"
+    for i, fcc in enumerate(stream_types):
+        if fcc == b"vids":
+            video_stream = b"%02d" % i
+            break
+    payloads = [p for sid, p in frames if sid == video_stream]
+    return b"".join(payloads), (width, height, len(payloads))
 
 
 def _resize_real(content: bytes, width: int, height: int) -> bytes:

@@ -2401,7 +2401,8 @@ def q_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     r14): top-5 users whose bucketed activity time series best
     correlates with each probe user's — Pearson over 16 global time
     buckets, computed relationally from integer sums (every Σ term
-    exact BIGINT; one double division + sqrt, rounded 9 dp). The
+    exact BIGINT; cross products in overflow-safe DOUBLE on both
+    engines; one double division + sqrt, rounded 9 dp). The
     retrieval shape of the EDBT'19 time-series-similarity line on the
     engine's own events table; at ANN scale the same series feed the
     LSH/IVF machinery as embeddings."""
@@ -2438,9 +2439,13 @@ sxy AS (
   GROUP BY 1, 2
 ),
 scored AS (
+  -- cross products in DOUBLE (not BIGINT) to mirror the Spark plan:
+  -- int64 products overflow at large per-user counts (Spark wraps,
+  -- DuckDB raises); IEEE double ops are bit-identical across engines
   SELECT s.query_id, s.neighbor_id,
-         ROUND(CAST({_SIM_USERS_BUCKETS} * s.sxy - n.sx * q.sx AS DOUBLE)
-               / sqrt(CAST(n.varn * q.varn AS DOUBLE)), 9) AS sim
+         ROUND((CAST({_SIM_USERS_BUCKETS} AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                - CAST(n.sx AS DOUBLE) * CAST(q.sx AS DOUBLE))
+               / sqrt(CAST(n.varn AS DOUBLE) * CAST(q.varn AS DOUBLE)), 9) AS sim
   FROM sxy s
   JOIN stats n ON n.user_id = s.neighbor_id
   JOIN stats q ON q.user_id = s.query_id

@@ -242,7 +242,18 @@ class DocSeenProcessor(StatefulProcessor):
     filter builds on (UniqueVisitApp.scala:87-116), generalized from
     (mid, day) to a curation key. ``ttl_ms`` bounds state exactly like
     the UV filter's StateTtlConfig — at 100 TB the seen-set for an
-    unbounded id space must expire or tier to the RocksDB store."""
+    unbounded id space must expire or tier to the RocksDB store.
+
+    Exactness contract (r14 advice): with ``ttl_ms`` set the gate is
+    exact WITHIN the TTL horizon only — a redelivery arriving after the
+    seen flag ages out is re-admitted by design (the same bounded-state
+    trade the reference's StateTtlConfig UV filter makes); leave
+    ``ttl_ms`` unset for an unbounded exact gate. When duplicate ids
+    inside one batch carry DIFFERING text, the representative is the
+    lexicographically SMALLEST text of the batch — a deterministic
+    choice where "whichever row Spark hands over first" would make
+    replays emit different rows; across batches the first-admitted
+    batch's representative wins (inherent to streaming order)."""
 
     def __init__(self, ttl_ms: int | None = None) -> None:
         self._ttl_ms = ttl_ms
@@ -255,12 +266,15 @@ class DocSeenProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         out: list[dict] = []
         if self._seen.get() is None:
-            for pdf in rows:
-                if len(pdf):
-                    r = pdf.iloc[0]
-                    out.append({"doc_id": key[0], "text": r["text"]})
-                    self._seen.update((1,))
-                    break
+            # deterministic representative: min text over the batch's
+            # rows for this key (see class docstring) — row delivery
+            # order within a batch is not stable across replays
+            texts = [t for pdf in rows for t in pdf["text"].tolist()]
+            if texts:
+                non_null = [t for t in texts if isinstance(t, str)]
+                rep = min(non_null) if non_null else None
+                out.append({"doc_id": key[0], "text": rep})
+                self._seen.update((1,))
         yield pd.DataFrame(out, columns=_DEDUP_DOC_COLS)
 
     def close(self) -> None:

@@ -370,6 +370,58 @@ def test_video_decode_avi_exact_frame_bytes():
         _decode_real("video", _wav_bytes(b"\x01\x00\x02\x00"))
 
 
+def test_video_decode_multistream_avi_uses_first_vids_stream():
+    """Multi-stream AVIs canonicalize over ONE stream — the first
+    ``vids`` stream per the strh headers (r14 advice): a second
+    stream's digit-numbered ``db``/``dc`` chunks neither inflate
+    n_frames nor pollute the content-addressed dedup key, and when the
+    video stream is not stream 00 its own index is selected."""
+    import struct
+
+    from rt_bigdata_spark.operators.multimodal import _decode_real
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def mux(stream_types: list[bytes], movi_chunks: list[tuple[bytes, bytes]],
+            width: int = 6, height: int = 4) -> bytes:
+        avih = struct.pack("<10I", 33333, 0, 0, 0, 2, 0, len(stream_types),
+                           0, width, height) + b"\x00" * 16
+        strls = b"".join(
+            chunk(b"LIST", b"strl" + chunk(b"strh", fcc + b"\x00" * 52))
+            for fcc in stream_types
+        )
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strls)
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(f, b) for f, b in movi_chunks))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vid = [b"\xff\xd8frame-one\xff\xd9", b"\xff\xd8frame-two!\xff\xd9"]
+    other = [b"subtitle-blob-1!", b"subtitle-blob-2!"]
+
+    # stream 0 = vids, stream 1 = non-video digit-numbered chunks:
+    # interleaved 01db payloads are excluded from the canonical form
+    avi = mux([b"vids", b"txts"],
+              [(b"00dc", vid[0]), (b"01db", other[0]),
+               (b"00dc", vid[1]), (b"01db", other[1])])
+    decoded, dims = _decode_real("video", avi)
+    assert decoded == b"".join(vid)
+    assert dims == (6, 4, 2)
+
+    # audio-first layout: the vids stream is 01 — its chunks are chosen
+    avi2 = mux([b"auds", b"vids"],
+               [(b"00dc", other[0]), (b"01dc", vid[0]),
+                (b"00dc", other[1]), (b"01dc", vid[1])])
+    decoded2, dims2 = _decode_real("video", avi2)
+    assert decoded2 == b"".join(vid)
+    assert dims2 == (6, 4, 2)
+
+    # the single-stream muxes above and the strh-less _avi_bytes form
+    # must agree on the canonical payload (fallback stream = 00)
+    assert decoded == _decode_real("video", _avi_bytes(vid, width=6, height=4))[0]
+
+
 def test_video_decode_malformed_avi_routes_to_guard():
     """Truncated movi chunks and short avih headers route through the
     NotImplementedError contract, not raw struct/EOF errors."""

@@ -656,6 +656,40 @@ def test_doc_seen_processor_drops_redeliveries():
     assert list(out2["doc_id"]) == [1005]
 
 
+def test_doc_seen_processor_deterministic_representative():
+    """r14 advice: when duplicate ids in ONE batch carry differing
+    text, the representative is the lexicographic MIN over the batch —
+    not whichever row Spark happened to deliver first — so replays of
+    the same batch always emit the same row. Null texts lose to any
+    string; all-null keeps None."""
+    from rt_bigdata_spark.streaming.stateful_v2 import DocSeenProcessor
+
+    proc = DocSeenProcessor()
+    proc.init(FakeHandle())
+    out = _feed(
+        proc, (7,),
+        [
+            {"doc_id": 7, "text": "zebra variant"},
+            {"doc_id": 7, "text": "alpha variant"},
+            {"doc_id": 7, "text": "mid variant"},
+        ],
+    )
+    assert list(out["text"]) == ["alpha variant"]
+
+    proc2 = DocSeenProcessor()
+    proc2.init(FakeHandle())
+    out2 = _feed(
+        proc2, (8,),
+        [{"doc_id": 8, "text": None}, {"doc_id": 8, "text": "real text"}],
+    )
+    assert list(out2["text"]) == ["real text"]
+
+    proc3 = DocSeenProcessor()
+    proc3.init(FakeHandle())
+    out3 = _feed(proc3, (9,), [{"doc_id": 9, "text": None}])
+    assert len(out3) == 1 and out3["text"].iloc[0] is None
+
+
 @pytest.mark.skipif(not HAVE_PROTOBUF, reason="TWS worker needs the protobuf runtime: no 'protobuf' wheel installed and no gcloud-SDK bundled copy at /usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf (see tests/_pbshim)")
 def test_dedup_docs_v2_stream(rocksdb, tmp_path):
     from rt_bigdata_spark.streaming.stateful_v2 import dedup_docs_v2

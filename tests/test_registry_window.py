@@ -61,8 +61,12 @@ MUST_BE_IN_WINDOW = {
     "value_histogram",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
-    # --- r12 pre-clears still <6 greens ---
-    "bpe_pairs", "embedding_project", "winnow_pairs",
+    # --- r12 pre-clears still <6 greens (r15: embedding_project —
+    # five greens — yielded to quality_classifier_distributed) ---
+    "bpe_pairs", "winnow_pairs",
+    # --- r15 new registration: the distributed-trained committed
+    # quality model as a production scoring path (verdict r14 item 4) ---
+    "quality_classifier_distributed",
     # --- r14 second new registration: behavioral time-series
     # similarity search over the events table ---
     "similar_users",

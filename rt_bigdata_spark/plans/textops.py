@@ -1391,6 +1391,61 @@ FROM documents
 """
 
 
+def _wav_header(n_pcm_bytes: int, channels: int = 1, rate: int = 8000) -> bytes:
+    """Canonical 44-byte PCM WAV header (16-bit) for a fixed-size data
+    chunk — every field is a compile-time constant, so the Spark plan
+    muxes a REAL RIFF/WAVE container as ONE binary literal concat."""
+    import struct as _struct
+
+    block = channels * 2
+    return (
+        b"RIFF" + _struct.pack("<I", 36 + n_pcm_bytes) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data" + _struct.pack("<I", n_pcm_bytes)
+    )
+
+
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec path as a driver CORRECTNESS row (r14
+    verdict item 5 — real decode was previously unit-test-only): for
+    every document, mux a genuine PCM WAV container JVM-side — the
+    constant 44-byte header as a binary literal, the 8-byte payload
+    (4 mono 16-bit samples) derived as unhex(md5(text)[:16]) — then
+    decode it with the stdlib ``wave`` module inside the Arrow kernel
+    (multimodal.decode_media → _decode_real), emitting the canonical
+    PCM hex + (n_channels, framerate). The DuckDB oracle never touches
+    the container: it derives the expected PCM independently from the
+    same md5, so a wave-module regression, a header-byte slip, or an
+    Arrow binary-column corruption all hash-mismatch. Per-row work is
+    pure map-side; the muxing is whole-stage-codegen binary concat."""
+    from rt_bigdata_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    pcm = F.unhex(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 16))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(F.lit(_wav_header(8)), pcm).alias("content"),
+    )
+    return decode_media(media).select(
+        "media_id",
+        F.col("dim0").alias("n_channels"),
+        F.col("dim1").alias("framerate"),
+        "n_bytes",
+        F.col("canonical_hex").alias("pcm_hex"),
+    )
+
+
+_ORACLE_MEDIA_WAV_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS framerate,
+       CAST(8 AS BIGINT) AS n_bytes,
+       substr(md5(text), 1, 16) AS pcm_hex
+FROM documents
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring (see text_analysis.
     unigram_surprisal): average −ln p(token) per doc under corpus
@@ -3774,6 +3829,9 @@ for spec in [
     QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=40),
     QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=40),
     QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=40),
+    # r15: the real stdlib-wave codec path driver-verified end to end
+    # (verdict r14 item 5); winnow_pairs — five greens — yielded
+    QuerySpec("media_wav_decode", q_media_wav_decode, _ORACLE_MEDIA_WAV_DECODE, ("multimodal", "codec"), priority=10),
     QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
     QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
     QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
@@ -3882,7 +3940,7 @@ for spec in [
     QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=40),
     # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
     # — green r4 — yields its slot)
-    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), bench=True, priority=40),
+    QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), bench=True, priority=80),
     # round-6 first batch: the 100 TB token-budget shape (same oracle as
     # the exact form — subset-equivalence by the prefix property)
     QuerySpec("token_budget_threshold", q_token_budget_threshold, _ORACLE_TOKEN_BUDGET, ("sampling", "packing", "scale"), bench=True, priority=40),

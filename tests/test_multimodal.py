@@ -458,3 +458,32 @@ def test_video_features_through_spark_real_path(spark):
     # FEATURES_SCHEMA stores float32 — compare at float32 precision
     assert out[0].features == pytest.approx(_fake_features(b"".join(frames)), abs=1e-7)
     assert out[0].n_bytes == len(avi)
+
+
+def test_decode_media_operator_canonical_rows(spark):
+    """decode_media (r14 verdict item 5): the real decode layer as an
+    operator — stereo WAV dims land as (dim0=channels, dim1=rate,
+    dim2=null), AVI dims as (w, h, n_frames), canonical_hex is the
+    encoding-invariant payload hex (two containers of the same PCM
+    collide), and n_bytes counts the CANONICAL bytes, not the
+    container's."""
+    from rt_bigdata_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    pcm = b"\x01\x02\x03\x04\x05\x06\x07\x08"
+    frames = [b"\xff\xd8abc\xff\xd9", b"\xff\xd8defg\xff\xd9"]
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(pcm, channels=2, rate=44100)), None),
+        (2, "audio", bytearray(_wav_bytes(pcm, channels=1, rate=8000)), None),
+        (3, "video", bytearray(_avi_bytes(frames, width=6, height=4)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_media(media).collect()}
+
+    assert (out[1].dim0, out[1].dim1, out[1].dim2) == (2, 44100, None)
+    assert (out[2].dim0, out[2].dim1, out[2].dim2) == (1, 8000, None)
+    # same PCM under different container params → same canonical key
+    assert out[1].canonical_hex == out[2].canonical_hex == pcm.hex()
+    assert out[1].n_bytes == len(pcm)
+
+    assert (out[3].dim0, out[3].dim1, out[3].dim2) == (6, 4, 2)
+    assert out[3].canonical_hex == b"".join(frames).hex()

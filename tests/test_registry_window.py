@@ -61,12 +61,14 @@ MUST_BE_IN_WINDOW = {
     "value_histogram",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
-    # --- r12 pre-clears still <6 greens (r15: embedding_project —
-    # five greens — yielded to quality_classifier_distributed) ---
-    "bpe_pairs", "winnow_pairs",
-    # --- r15 new registration: the distributed-trained committed
-    # quality model as a production scoring path (verdict r14 item 4) ---
-    "quality_classifier_distributed",
+    # --- r12 pre-clears still <6 greens (r15: embedding_project and
+    # winnow_pairs — five greens each — yielded to the two new
+    # registrations below) ---
+    "bpe_pairs",
+    # --- r15 new registrations: the distributed-trained committed
+    # quality model as a production scoring path (verdict r14 item 4)
+    # and the real stdlib-wave codec path driver row (item 5) ---
+    "quality_classifier_distributed", "media_wav_decode",
     # --- r14 second new registration: behavioral time-series
     # similarity search over the events table ---
     "similar_users",

@@ -1062,6 +1062,61 @@ FROM scored
 """
 
 
+_CC2_NODES = 400  # 4 path segments of 100 nodes; cross edges pair them up
+
+
+def q_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADVERSARIAL-DIAMETER connected-components fallback
+    (graph.connected_components_two_phase — alternating large-star/
+    small-star, Kiveris et al. SoCC'14) driver-verified on the graph
+    shape it exists for (r14 verdict item 8): a forced-diameter fixture
+    built deterministically from the documents table — four 100-node
+    PATHS (edges i→i+1 within each 100-id segment, doc_id < 400) plus
+    two cross edges (50→250, 150→350) merging them into two components
+    of ~200 diameter each. Min-label propagation would need ~200
+    rounds here and its default max_iter would return WRONG labels;
+    the star alternation collapses the paths in O(log² n) rounds —
+    this row pins that the fallback actually labels such graphs
+    correctly, per the documented switch rule (SCALE.md: switch to
+    two-phase when diameter is unknown/adversarial). Oracle = an
+    INDEPENDENT DuckDB recursive-CTE reachability over the same edge
+    construction — full transitive closure, no star algebra shared
+    with the implementation."""
+    from rt_bigdata_spark.operators.graph import connected_components_two_phase
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _CC2_NODES)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    path = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).filter((F.col("src") % 100 != 99) & (F.col("dst") < _CC2_NODES))
+    cross = (
+        docs.filter(F.col("doc_id") % 100 == 50)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 200).alias("dst"))
+        .filter(F.col("dst") < _CC2_NODES)
+    )
+    edges = path.unionByName(cross)
+    return connected_components_two_phase(nodes, edges).select("node", "label")
+
+
+_ORACLE_CC_TWO_PHASE = f"""
+WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < {_CC2_NODES}),
+fwd AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+  WHERE doc_id % 100 <> 99 AND doc_id + 1 < {_CC2_NODES}
+  UNION ALL
+  SELECT doc_id, doc_id + 200 FROM ids
+  WHERE doc_id % 100 = 50 AND doc_id + 200 < {_CC2_NODES}
+),
+edges AS (SELECT src AS a, dst AS b FROM fwd UNION SELECT dst, src FROM fwd),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM ids
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node, MIN(root) AS label FROM reach GROUP BY node
+"""
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/valid/test split (80/10/10) keyed on
     md5(text): byte-identical docs land in the same split even before
@@ -3929,6 +3984,10 @@ for spec in [
     QuerySpec("source_novelty", q_source_novelty, _ORACLE_SOURCE_NOVELTY, ("text", "profiling"), bench=True, priority=45),
     # (doc_curation — green r1-r4 — yields its slot)
     QuerySpec("dedup_keepers", q_dedup_keepers, _ORACLE_DEDUP_KEEPERS, ("dedup", "graph", "quality"), bench=True, priority=80),
+    # r15: the adversarial-diameter CC fallback driver-verified on a
+    # forced-diameter fixture graph (verdict r14 item 8, stretch);
+    # customer_max_order — five greens — yielded
+    QuerySpec("cc_two_phase", q_cc_two_phase, _ORACLE_CC_TWO_PHASE, ("dedup", "graph", "iterative"), priority=10),
     # round-5 eleventh batch (first hash-matched multimodal row;
     # dedup_exact — green r1-r4, trivial — yields its slot so the
     # re-shaped embedding_dedup keeps its place)

@@ -54,8 +54,12 @@ MUST_BE_IN_WINDOW = {
     # trained-centroid IVF production path, r13 verdict item 1; its
     # seeded sibling ann_ivf_topk — five greens — yielded its slot) ---
     "ann_ivf_trained",
-    # --- r12 pre-clears re-greened r13, held one more round ---
-    "customer_max_order", "integrity_audit", "nation_trade",
+    # --- r12 pre-clears re-greened r13, held one more round (r15:
+    # customer_max_order — five greens — yielded to cc_two_phase) ---
+    "integrity_audit", "nation_trade",
+    # --- r15 new registration: adversarial-diameter CC fallback on a
+    # forced-diameter fixture graph (verdict r14 item 8) ---
+    "cc_two_phase",
     # --- r13 pre-clears re-greened r14 (4 greens, held one more round) ---
     "event_pivot", "order_priority", "province_stats_sql",
     "value_histogram",

@@ -372,6 +372,7 @@ def activity_buckets(
     n_buckets: int = 16,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    bucket_ms: int | None = None,
 ) -> DataFrame:
     """Per-user activity time series in matrix form: ``(user_id,
     bucket, c)`` — event counts over ``n_buckets`` equal slices of the
@@ -386,25 +387,38 @@ def activity_buckets(
     (user, bucket) count hash-agg, map-side combinable. Output is the
     sparse matrix (zero buckets absent) — consumers that need density
     handle it relationally (``similar_activity_topk`` via COALESCE
-    after the bucket join) rather than materializing dense arrays."""
+    after the bucket join) rather than materializing dense arrays.
+
+    ``bucket_ms`` switches to FIXED-EPOCH bucketing
+    (``bucket = us div (bucket_ms·1000)``, absolute-time-aligned,
+    ``n_buckets`` ignored): the form a STREAM can maintain
+    incrementally — span-relative buckets shift whenever min/max move,
+    so only the epoch-aligned matrix is a mergeable monoid
+    (per-batch counts sum cell-wise). The streaming twin
+    (``streaming.sinks.activity_matrix_maintenance_sink``) maintains
+    exactly this output; batch and maintained matrices are
+    row-identical over the same events (pinned by the rollup-sink
+    equivalence test)."""
     # NTZ→TIMESTAMP cast for unix_micros (UTC session; epoch-identical
     # to the oracle's epoch_us on naive timestamps — sessionize's rule)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ev = ensure_parallelism(events).select(F.col(user_col).alias("user_id"), us.alias("us"))
-    span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
-    return (
-        ev.crossJoin(F.broadcast(span))
-        # SQL DIV: exact BIGINT division — a float `/` + floor could
-        # flip a boundary where the true quotient is an exact integer
-        .select(
+    if bucket_ms is not None:
+        binned = ev.select(
             "user_id",
+            F.expr(f"CAST(us DIV {int(bucket_ms) * 1000} AS BIGINT)").alias("bucket"),
+        )
+    else:
+        span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+        binned = ev.crossJoin(F.broadcast(span)).select(
+            "user_id",
+            # SQL DIV: exact BIGINT division — a float `/` + floor could
+            # flip a boundary where the true quotient is an exact integer
             F.expr(f"CAST(((us - lo) * {int(n_buckets)}) DIV (hi - lo + 1) AS BIGINT)").alias(
                 "bucket"
             ),
         )
-        .groupBy("user_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return binned.groupBy("user_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
 
 
 def similar_activity_topk(
@@ -456,8 +470,32 @@ def similar_activity_topk(
     ANN scale the same series feed the hyperplane-LSH/IVF machinery
     (a series IS an embedding once z-normalized).
     """
+    return similar_from_activity_matrix(
+        activity_buckets(events, n_buckets, user_col, ts_col),
+        k=k,
+        n_buckets=n_buckets,
+        probe_ids_below=probe_ids_below,
+    )
+
+
+def similar_from_activity_matrix(
+    mat: DataFrame,
+    k: int = 5,
+    n_buckets: int = 16,
+    probe_ids_below: int = 5,
+) -> DataFrame:
+    """The Pearson top-k scoring stage of ``similar_activity_topk``,
+    taking a prebuilt ``(user_id, bucket, c)`` activity matrix — the
+    seam that lets the STREAMING-MAINTAINED matrix
+    (``activity_matrix_maintenance_sink``) feed the same scoring plan
+    instead of rescanning the events history per query (the shape a
+    100 TB behavioral pipeline runs: matrix maintained per batch in
+    O(batch), similarity served from O(users·active-buckets) state).
+    ``n_buckets`` is the Pearson series length n — for a maintained
+    fixed-epoch matrix pass the matrix's own bucket-universe size.
+    Semantics, determinism discipline, and scale shape are documented
+    on ``similar_activity_topk``."""
     n = n_buckets
-    mat = activity_buckets(events, n_buckets, user_col, ts_col)
     stats = mat.groupBy("user_id").agg(
         F.sum("c").alias("sx"),
         F.sum(F.col("c") * F.col("c")).alias("sxx"),

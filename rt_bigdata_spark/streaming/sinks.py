@@ -289,6 +289,55 @@ def versioned_state_sink(
     return fn
 
 
+def activity_matrix_maintenance_sink(
+    state_dir: str,
+    bucket_ms: int = 3_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    keep_versions: int = 2,
+):
+    """Streaming maintenance of the behavioral (user, bucket, c)
+    activity matrix (r14 verdict item 6 — the streaming twin of
+    ``behavior.activity_buckets``): each micro-batch's FIXED-EPOCH
+    bucket counts (``bucket_ms`` wide, absolute-time-aligned — the
+    only bucketing that is a mergeable monoid; span-relative buckets
+    shift whenever the corpus min/max move) fold into the persisted
+    matrix by cell-wise sum. State is O(users · active buckets) and
+    per-batch cost is O(batch) + O(state) merge, independent of stream
+    history — so ``behavior.similar_from_activity_matrix`` serves
+    similarity queries from the maintained matrix instead of
+    rescanning the events history per query, the shape a 100 TB
+    behavioral pipeline actually runs. Same version fence as the
+    rollup sink (counts are non-idempotent under re-merge)."""
+    from rt_bigdata_spark.operators.behavior import activity_buckets
+
+    def _merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("user_id", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    return versioned_state_sink(
+        state_dir,
+        fold_batch=lambda b: activity_buckets(
+            b, user_col=user_col, ts_col=ts_col, bucket_ms=bucket_ms
+        ),
+        merge=_merge,
+        keep_versions=keep_versions,
+    )
+
+
+def read_activity_matrix(spark, state_dir: str) -> DataFrame:
+    """The newest COMMITTED activity matrix: (user_id, bucket, c) rows
+    — the same shape ``behavior.activity_buckets(…, bucket_ms=…)``
+    produces in batch, ready for ``similar_from_activity_matrix``."""
+    cur = _latest_rollup_version(state_dir, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed activity-matrix state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v_{cur}"))
+
+
 def cms_maintenance_sink(
     state_dir: str,
     depth: int = 4,

@@ -414,3 +414,99 @@ def test_streaming_dsir_equals_batch(spark, tmp_path):
         for r in dsir_importance(full, target, num_buckets=64).collect()
     }
     assert scored == batch
+
+
+def test_streaming_activity_matrix_equals_batch(spark, tmp_path):
+    """r14 verdict item 6 — the behavior family's streaming twin:
+    micro-batches fold into the maintained (user_id, bucket, c)
+    activity matrix (fixed-epoch bucketing, the mergeable form);
+    the state must equal batch activity_buckets(..., bucket_ms=...)
+    over ALL events, a replayed batch must not double-count, and
+    similar_from_activity_matrix over the MAINTAINED matrix must equal
+    the same scoring over the batch matrix — similarity served from
+    maintained state instead of an events rescan."""
+    from rt_bigdata_spark.operators.behavior import (
+        activity_buckets,
+        similar_from_activity_matrix,
+    )
+    from rt_bigdata_spark.streaming.sinks import (
+        activity_matrix_maintenance_sink,
+        read_activity_matrix,
+    )
+
+    hour = 3_600_000
+    b1 = [
+        {"user_id": 0, "ts": "2024-01-01 10:05:00"},
+        {"user_id": 0, "ts": "2024-01-01 10:55:00"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:00"},
+        {"user_id": 2, "ts": "2024-01-01 11:10:00"},
+        {"user_id": 2, "ts": "2024-01-01 12:20:00"},
+    ]
+    b2 = [
+        # extends an existing (0, 10:00) cell AND adds new cells/users
+        {"user_id": 0, "ts": "2024-01-01 10:30:00"},
+        {"user_id": 1, "ts": "2024-01-01 11:30:00"},
+        {"user_id": 3, "ts": "2024-01-01 10:45:00"},
+        {"user_id": 3, "ts": "2024-01-01 12:15:00"},
+        {"user_id": 4, "ts": "2024-01-01 10:15:00"},
+        {"user_id": 4, "ts": "2024-01-01 12:40:00"},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    _write_batch(str(src), "b1.json", b1)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            activity_matrix_maintenance_sink(state, bucket_ms=hour)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(src), "b2.json", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    maintained = read_activity_matrix(spark, state)
+    got = {(r.user_id, r.bucket): r.c for r in maintained.collect()}
+
+    full = spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in b1 + b2], "user_id: long, ts_s: string"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    expected = {
+        (r.user_id, r.bucket): r.c
+        for r in activity_buckets(full, bucket_ms=hour).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == len(b1 + b2)
+
+    # replay fence: re-folding the latest committed batch is a no-op
+    sink = activity_matrix_maintenance_sink(state, bucket_ms=hour)
+    sink(spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in b2], "user_id: long, ts_s: string"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts"), 1)
+    after = {(r.user_id, r.bucket): r.c for r in read_activity_matrix(spark, state).collect()}
+    assert after == expected
+
+    # similarity served FROM the maintained matrix == from the batch one
+    n_series = 3  # bucket universe: 10:00/11:00/12:00
+    s_state = {
+        (r.query_id, r.neighbor_id): (r.sim, r.rk)
+        for r in similar_from_activity_matrix(
+            maintained, k=2, n_buckets=n_series, probe_ids_below=2
+        ).collect()
+    }
+    s_batch = {
+        (r.query_id, r.neighbor_id): (r.sim, r.rk)
+        for r in similar_from_activity_matrix(
+            activity_buckets(full, bucket_ms=hour), k=2, n_buckets=n_series, probe_ids_below=2
+        ).collect()
+    }
+    assert s_state == s_batch and len(s_state) > 0

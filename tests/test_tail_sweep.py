@@ -66,9 +66,21 @@ def test_no_query_doubled_between_sweeps():
     (r_prev, prev), (r_new, new) = sweeps[-2], sweeps[-1]
     p, q = prev["queries"], new["queries"]
     assert len(set(p) & set(q)) >= 50, "sweeps share too few specs to compare"
+    # Cold-index-build rows (r14 verdict item 3): a row that paid the
+    # lazy IVF/PQ first-touch build in EITHER sweep carries build cost,
+    # not plan cost — its raw ratio is meaningless (bench.py's warm
+    # min-of-3 is the plan-shape tripwire for these; r14 measured
+    # filtered_ann_indexed at 8.61 s cold vs 1.75 s warm). Artifacts
+    # older than the labeling (r14 and before) lack the field: for the
+    # transition pair, the KNOWN r14 cold rows are pinned here so the
+    # first labeled comparison stays normalized.
+    _R14_KNOWN_COLD = {"filtered_ann_indexed", "ann_recall"}
+    cold = set(prev.get("cold_build", _R14_KNOWN_COLD if r_prev == 14 else {})) | set(
+        new.get("cold_build", {})
+    )
     skip = frozenset(
         n for (rp, rn, n) in ADJUDICATED if (rp, rn) == (r_prev, r_new)
-    )
+    ) | frozenset(cold)
     median_drift, movers = find_movers(p, q, FLOOR_SEC, RATIO_TRIP, skip)
     assert not movers, (
         f"specs >{RATIO_TRIP}x slower r{r_prev}->r{r_new} after dividing "

@@ -454,12 +454,13 @@ def similar_activity_topk(
     and Σx/Σx² come from the sparse rows alone. The inner join also
     means candidate GENERATION requires bucket overlap: a neighbor
     sharing no active bucket with the probe is never scored — by
-    design, since with non-negative counts its dense Pearson is the
-    minimum possible for the probe's series (every xy term zero), so it
-    cannot belong in a similarity top-k; callers wanting dense-Pearson
-    semantics over ALL users (where top-k may under-fill if fewer than
-    k overlapping candidates exist) should left-join candidates from
-    the varn>0 user set instead. Zero-variance (flat) series carry no
+    design, since with non-negative counts Σxy = 0 forces a NEGATIVE
+    Pearson (covariance = −ΣxΣy/n), which can only matter when fewer
+    than k overlapping candidates exist; in that case this top-k
+    under-fills rather than surfacing anti-correlated users. Callers
+    wanting dense-Pearson semantics over ALL users should generate
+    candidates from the varn>0 user set with a left join instead
+    (Σxy COALESCEd to 0). Zero-variance (flat) series carry no
     signal and are excluded on both sides — Pearson is undefined there.
 
     Scale shape: one (user, bucket) hash-agg over the events scan; the

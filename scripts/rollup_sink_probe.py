@@ -107,6 +107,42 @@ def main() -> None:
         "last_batch_s": round(batch_times[-1], 2),
     }
 
+    # Behavioral activity matrix (r14 verdict item 6): same
+    # history-independence claim for activity_matrix_maintenance_sink —
+    # per-batch cost is O(batch) fold + O(state) merge; state is
+    # O(users · active buckets) regardless of how many events streamed.
+    # 5k users × up to 56 daily buckets over an 8-week span exercises a
+    # state (≤280k cells) much larger than one batch's cell count.
+    from rt_bigdata_spark.streaming.sinks import (
+        activity_matrix_maintenance_sink,
+        read_activity_matrix,
+    )
+
+    ev = base.select(
+        (F.col("event_id") % 5000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("event_id") * 37) % (56 * 86400)
+        ).alias("ts"),
+        F.col("event_id"),
+    ).cache()
+    ev.count()
+    state3 = os.path.join(work, "activity_state")
+    sink3 = activity_matrix_maintenance_sink(state3, bucket_ms=86_400_000)
+    t0 = time.time()
+    batch_times = []
+    for b in range(args.batches):
+        bt = time.time()
+        sink3(ev.filter((F.col("event_id") % args.batches) == b), b)
+        batch_times.append(time.time() - bt)
+    sec = time.time() - t0
+    out["activity"] = {
+        "sec": round(sec, 2),
+        "eps": round(args.events / sec),
+        "first_batch_s": round(batch_times[0], 2),
+        "last_batch_s": round(batch_times[-1], 2),
+        "state_cells": read_activity_matrix(spark, state3).count(),
+    }
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 

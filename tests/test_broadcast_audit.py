@@ -36,9 +36,11 @@ PKG_ROOT = pathlib.Path(rt_bigdata_spark.__file__).parent
 ALLOWED: dict[tuple[str, str], str] = {
     ("operators/behavior.py", "active_users_hll"): "day list — O(active days), calendar-bounded",
     ("operators/behavior.py", "activity_buckets"): "1-row global (lo, hi) time span",
-    ("operators/behavior.py", "similar_activity_topk"): (
+    ("operators/behavior.py", "similar_from_activity_matrix"): (
         "probe matrix (probe_ids_below users × n_buckets rows) and the probe "
-        "stats row set — both bounded by the probe-set parameter, never the corpus"
+        "stats row set — both bounded by the probe-set parameter, never the "
+        "corpus (r15: the scoring stage moved here out of "
+        "similar_activity_topk so maintained matrices can feed it)"
     ),
     ("operators/curation_rules.py", "contamination_pairs"): (
         "probe 8-gram set — filtered to id < probe_ids_below (eval-suite sized, "

@@ -60,6 +60,9 @@ FLAGSHIPS = {
     "dup_source_matrix": "cross-source near-dup matrix on the collapse algebra: text-md5 groupBy, distinct-text MinHash/LSH (signature agg + bucket self-join — minhash_lsh's own exchanges), bounded pair↔multiplicity joins, one ≤sources²-group agg; no pair enumeration at any duplication factor. NOTE: since r11 the registered audit MATERIALIZES its bounded result inside the operator (owned-persist discipline — materialize, unpersist, return a local table), so the dumped plan is the result's LocalTableScan; the discovery pipeline's exchanges are measured in SCALE.md's shuffle-bytes and 30x-probe tables instead.",
     "ngram_novelty": "first-occurrence novelty: distinct-shingle explode → min-id-per-shingle agg (df ≥ 2 pruned — hapaxes can't be 'seen before', r12) → LEFT join back → per-doc counts; the pruned first-occurrence table is the only wide state and broadcast-eligible on Zipf corpora.",
     "winnow_fingerprint": "MOSS winnowing with STAGED array materialization (r12): grams and window-min fps are real columns between projections, so the interpreted HOF lambdas evaluate each array once per row — the expression-inlined form paid O(n_grams²) md5s per doc ×3 consumers (32.5 s → 1.3 s at sf0.1). Zero exchanges: everything sits inside the scan projection chain.",
+    "similar_users": "behavioral Pearson top-k: ONE (user, bucket) hash-agg over the events scan (map-side combinable), the 1-row global span and the probes×buckets matrix travel by broadcast, scoring is a bucket equi-join + per-probe top-k window; cross products cast to DOUBLE before multiplying (r15 — int64 wraps at ~1e9 per-user events) so the plan is overflow-safe at scale with zero extra exchanges.",
+    "media_wav_decode": "the real-codec driver row: WAV muxing is a whole-stage-codegen binary concat (constant 44-byte header literal + unhex(md5) payload) over a scan pruned to (doc_id, text); the stdlib-wave decode runs in ONE ArrowEvalPython (mapInPandas) stage over the pre-pruned 3-column frame — no shuffle anywhere, output is O(rows).",
+    "cc_two_phase": "alternating large-star/small-star CC: per round two groupBy-explode passes over the SHRINKING edge set with localCheckpoint lineage truncation (plan depth constant in rounds); the final labeling is one left join of the 400-node frame against the converged star forest — rounds O(log² n) regardless of component diameter, where min-label's plan would need diameter rounds.",
     "semdedup": "SemDeDup with the r12 exact-dup collapse: one groupBy on the raw vector (min-id rep + member-id list), rep-level cluster-local pairwise over hoisted (_vd, _nrm) columns, verdicts fanned back by explode — flat in duplication factor (30× probe: 271.6 s naive → 5.6 s). Cell key is NON-NULLABLE (kills the isnotnull filter re-inline) and the pair join sits on a numbered repartition(cell) so AQE cannot coalesce the quadratic stage to one task.",
 }
 

@@ -78,6 +78,62 @@ def weighted_sample(
     return df.filter(keep)
 
 
+_PRIORITY_SCALE = (1 << 48) + 1  # 2^48+1 ≤ 2^53: exactly representable as a double
+
+
+def priority_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str | Column,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-N WEIGHTED sampling with unbiased subset-sum estimators
+    — priority sampling (Duffield, Lund & Thorup, JACM 2007): each item
+    gets priority ``q = w / u`` for a uniform ``u ∈ (0, 1]``; the N
+    highest-priority items are the sample, the (N+1)-th priority is
+    the threshold τ, and ``est_weight = max(w, τ)`` makes Σ est over
+    the sample an unbiased estimator of Σ w over ANY subset — the
+    principled way to cut a weighted training mix ("100k docs by
+    quality weight") to a fixed budget while keeping downstream
+    statistics estimable.
+
+    Deterministic and engine-portable by construction: ``u`` derives
+    from the first 12 hex chars of md5(key) — ``u = (v+1)/(2^48+1)``,
+    so ``q = w·(2^48+1)/(v+1)`` is ONE IEEE multiply + ONE divide of
+    exactly-representable integers (2^48+1 < 2^53): no ``rand()``, no
+    ln/exp whose libm rounding could differ across engines (the
+    Efraimidis-Spirakis ``u^(1/w)`` key needs transcendentals; the
+    priority form is algebraically order-equivalent for integer
+    weights and needs none). Re-runs, engine swaps, and the DuckDB
+    oracle all produce bit-identical priorities.
+
+    Scale shape: priority is a map-side expression over the scan;
+    top-(N+1) is TakeOrderedAndProject (per-partition heaps merged on
+    the driver — never a global sort of the corpus); τ is a 1-row
+    broadcast. Ties break by id for full determinism."""
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
+    v = F.conv(F.substring(F.md5(F.coalesce(F.col(key_col), F.lit(""))), 1, 12), 16, 10).cast(
+        "long"
+    )
+    scored = df.select(
+        F.col(id_col),
+        w.cast("long").alias("weight"),
+        (w * F.lit(float(_PRIORITY_SCALE)) / (v + F.lit(1)).cast("double")).alias("priority"),
+    )
+    top = scored.orderBy(F.col("priority").desc(), F.col(id_col)).limit(n + 1)
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > n, F.min("priority")).otherwise(F.lit(0.0)).alias("tau")
+    )
+    sample = top.orderBy(F.col("priority").desc(), F.col(id_col)).limit(n)
+    return sample.crossJoin(F.broadcast(tau)).select(
+        id_col,
+        "weight",
+        "priority",
+        F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("est_weight"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str | Column,

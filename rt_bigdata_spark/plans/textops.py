@@ -2035,6 +2035,49 @@ SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
 """
 
 
+_PS_N = 100
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N weighted sampling with unbiased estimators
+    (sampling.priority_sample — Duffield/Lund/Thorup priority
+    sampling): cut the corpus to a fixed 100-doc budget with
+    inclusion probability ∝ GREATEST(n_chars, 1), emitting the
+    ``est_weight = max(w, τ)`` estimator column that keeps any
+    subset-sum over the sample unbiased. Priorities are
+    ``w·(2^48+1)/(md5₄₈(text)+1)`` — one IEEE multiply + divide of
+    exactly-representable integers, so Spark and DuckDB produce
+    bit-identical doubles with no transcendental in sight (the
+    engine-wide determinism discipline extended to weighted
+    sampling)."""
+    from rt_bigdata_spark.operators.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(
+        docs, _PS_N, weight_col=F.greatest(F.col("n_chars"), F.lit(1)), key_col="text"
+    )
+
+
+_ORACLE_PRIORITY_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         CAST(GREATEST(n_chars, 1) AS DOUBLE) * 281474976710657
+           / (CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 12)) AS BIGINT) + 1)
+           AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn FROM scored
+),
+tau AS (
+  SELECT COALESCE((SELECT priority FROM ranked WHERE rn = {_PS_N + 1}), 0.0) AS tau
+)
+SELECT doc_id, weight, priority, GREATEST(CAST(weight AS DOUBLE), tau) AS est_weight
+FROM ranked, tau WHERE rn <= {_PS_N}
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta (versioning.snapshot_diff): old/new corpus
     versions derived deterministically from the documents table (drops
@@ -3928,6 +3971,10 @@ for spec in [
     QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=80),
     QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=40),
+    # r15: exactly-N weighted sampling with unbiased subset-sum
+    # estimators (priority sampling); nation_trade — five greens —
+    # yielded its window slot
+    QuerySpec("priority_sample", q_priority_sample, _ORACLE_PRIORITY_SAMPLE, ("sampling", "training"), priority=10),
     QuerySpec("corpus_diff", q_corpus_diff, _ORACLE_CORPUS_DIFF, ("versioning", "join"), priority=80),
     # round-5 third batch (text→vector bridge + embedding compression)
     QuerySpec("doc_embedding", q_doc_embedding, _ORACLE_DOC_EMBEDDING, ("text", "embedding"), priority=80),

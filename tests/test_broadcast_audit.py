@@ -61,6 +61,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/quantization.py", "ivfpq_cell_stats"): "1-row global totals",
     ("operators/routing.py", "route_by_config"): "routing config table — MySQL config source, admin-sized",
     ("operators/sampling.py", "temperature_mix"): "per-source counts — bounded by source (feed) cardinality",
+    ("operators/sampling.py", "priority_sample"): (
+        "1-row threshold τ (the (N+1)-th priority) joined onto the N-row "
+        "TakeOrdered sample — constant-size both sides, never the corpus"
+    ),
     ("operators/scale.py", "bucketed_group_order"): (
         "flag-gated (broadcast_offsets, default off): offsets are O(groups × n_buckets) "
         "and the caller opts in only where groups are known-small"

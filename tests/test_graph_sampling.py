@@ -284,3 +284,38 @@ def test_kmeans_loop_runs_one_query_per_iteration(spark):
         f"(iters=1: {n1}, iters=4: {n4}) — extra action per iteration?"
     )
     vecs.unpersist()
+
+
+def test_priority_sample_matches_python_mirror_and_estimator(spark):
+    """priority_sample (r15): priorities equal the python mirror
+    w·(2^48+1)/(v+1) bit-for-bit (v = first 12 md5 hex chars of the
+    key), the sample is the top-N by (priority desc, id), τ is the
+    (N+1)-th priority, and est_weight = max(w, τ) — with n >= |corpus|
+    every row is kept and τ = 0 so est_weight = w exactly."""
+    import hashlib
+
+    from rt_bigdata_spark.operators.sampling import priority_sample
+
+    rows = [(i, f"doc text number {i}", (i * 37) % 900 + 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, w: long")
+
+    def mirror(text, w):
+        v = int(hashlib.md5(text.encode()).hexdigest()[:12], 16)
+        return float(w) * float((1 << 48) + 1) / float(v + 1)
+
+    out = {r.doc_id: r for r in priority_sample(df, 10, "w").collect()}
+    assert len(out) == 10
+    pri = sorted(((mirror(t, w), i) for i, t, w in rows), reverse=True)
+    expect_ids = [i for _, i in pri[:10]]
+    tau = pri[10][0]
+    assert sorted(out) == sorted(expect_ids)
+    for i, t, w in rows:
+        if i in out:
+            assert out[i].priority == mirror(t, w), i  # bit-identical
+            assert out[i].weight == w
+            assert out[i].est_weight == max(float(w), tau), i
+
+    # n >= corpus: everything kept, τ=0, estimator degenerates to w
+    full = {r.doc_id: r for r in priority_sample(df, 40, "w").collect()}
+    assert len(full) == 40
+    assert all(full[i].est_weight == float(w) for i, _, w in rows)

@@ -228,6 +228,9 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         # onto the events scan — the bm25 corpus-stats shape; the
         # similarity join itself is a bucket EQUI-join vs a bounded
         # probe matrix (probes × n_buckets rows)
+        "priority_sample",  # broadcast 1-row threshold τ onto the
+        # already-TakeOrdered N-row sample (N×1 rows — constant work;
+        # the corpus side is one scan into per-partition top-k heaps)
     }
     offenders = [
         n for n, pl in plans.items()

@@ -55,8 +55,12 @@ MUST_BE_IN_WINDOW = {
     # seeded sibling ann_ivf_topk — five greens — yielded its slot) ---
     "ann_ivf_trained",
     # --- r12 pre-clears re-greened r13, held one more round (r15:
-    # customer_max_order — five greens — yielded to cc_two_phase) ---
-    "integrity_audit", "nation_trade",
+    # customer_max_order and nation_trade — five greens each — yielded
+    # to cc_two_phase / priority_sample) ---
+    "integrity_audit",
+    # --- r15 new registration: exactly-N weighted sampling with
+    # unbiased subset-sum estimators (priority sampling) ---
+    "priority_sample",
     # --- r15 new registration: adversarial-diameter CC fallback on a
     # forced-diameter fixture graph (verdict r14 item 8) ---
     "cc_two_phase",

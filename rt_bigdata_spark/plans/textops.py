@@ -3868,14 +3868,14 @@ for spec in [
     # salted_enrichment, sales_rollup, customer_activity,
     # point_in_time_join, active_users, keyword_stats_4product). The
     # per-spec comments below this point are the PRIOR rounds' ledger.
-    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=80),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=80),
+    QuerySpec("dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, ("dedup",), bench=True, priority=40),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=40),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
     QuerySpec("minhash_recall", q_minhash_recall, _minhash_recall_oracle(), ("dedup", "audit", "approx"), priority=40),
-    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=80),
+    QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=40),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
     QuerySpec("minhash_lsh", q_minhash_lsh, _minhash_lsh_oracle(), ("dedup", "approx"), bench=True, priority=80),
@@ -3891,7 +3891,7 @@ for spec in [
         _dedup_threshold_sweep_oracle(),
         ("dedup", "approx", "profiling"),
         bench=True,
-        priority=10,
+        priority=80,
     ),
     # r13: simhash (4 driver greens, last r12) yielded its window slot
     # to the new embedding_spanning registration
@@ -3920,19 +3920,19 @@ for spec in [
         _embedding_tau_sweep_oracle(),
         ("dedup", "approx", "profiling"),
         bench=True,
-        priority=10,
+        priority=80,
     ),
     # first oracle-backed rows (r6): hex-chain kernel + hex frame bytes
     # made both SQL-expressible after five rounds of rows-only checks
-    QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=40),
-    QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=40),
+    QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
+    QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=80),
     QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=40),
     # r15: the real stdlib-wave codec path driver-verified end to end
     # (verdict r14 item 5); winnow_pairs — five greens — yielded
     QuerySpec("media_wav_decode", q_media_wav_decode, _ORACLE_MEDIA_WAV_DECODE, ("multimodal", "codec"), priority=10),
-    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=80),
-    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=80),
-    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=80),
+    QuerySpec("doc_curation", q_doc_curation, _ORACLE_CURATION, ("text", "dedup"), bench=True, priority=40),
+    QuerySpec("dup_clusters", q_dup_clusters, _ORACLE_CLUSTERS, ("dedup", "iterative"), bench=True, priority=40),
+    QuerySpec("doc_split", q_doc_split, _ORACLE_SPLIT_DOCS, ("sampling",), priority=40),
     QuerySpec("cluster_split", q_cluster_split, _ORACLE_CLUSTER_SPLIT, ("sampling", "dedup"), bench=True, priority=80),
     # r13: corpus_profile (4 driver greens, last r12) yielded its
     # window slot to the new quality_classifier_trained registration
@@ -3942,7 +3942,7 @@ for spec in [
     # round-6: the broadcast-threshold scale form of quality_gate
     QuerySpec("quality_gate_threshold", q_quality_gate_threshold, _ORACLE_QUALITY_GATE_THRESHOLD, ("profiling", "approx", "scale"), bench=True, priority=40),
     QuerySpec("unigram_surprisal", q_unigram_surprisal, _ORACLE_SURPRISAL, ("text", "profiling"), priority=80),
-    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=80),
+    QuerySpec("doc_keywords", q_doc_keywords, _ORACLE_KEYWORDS, ("text", "window_fn"), bench=True, priority=40),
     QuerySpec("source_mix", q_source_mix, _mix_oracle(), ("sampling",), priority=80),
     # priority=10: the round-4 additions were parked at 70 (outside the
     # driver's 50-row window) for one round; round 5 rotates them IN —
@@ -3951,7 +3951,7 @@ for spec in [
     # (demoted to 80; still oracle-verified every CI run).
     QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=40),
     QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=40),
-    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=40),
+    QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=80),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=40),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=40),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
@@ -3998,9 +3998,9 @@ for spec in [
     QuerySpec("substring_dedup", q_substring_dedup, _ORACLE_SUBSTRING_DEDUP, ("dedup", "text"), bench=True, priority=40),
     # round-5 sixth batch (tokenizer induction; order_wide — green
     # r1-r4 — yields its slot alongside warehouse's keyword_stats)
-    QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=40),
+    QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=80),
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
-    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=40),
+    QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=80),
     QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=40),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
@@ -4043,7 +4043,7 @@ for spec in [
     QuerySpec("media_embedding", q_media_embedding, _ORACLE_MEDIA_EMBEDDING, ("multimodal", "embedding"), priority=80),
     # round-6: the composed multimodal dedup pipeline (pseudo-encoder →
     # LSH cells → exact-cosine verify)
-    QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=40),
+    QuerySpec("media_dedup", q_media_dedup, _media_dedup_oracle(), ("multimodal", "dedup"), bench=True, priority=80),
     # round-5 thirteenth batch (MOSS pair discovery; customer_quartiles
     # — green r4 — yields its slot)
     QuerySpec("winnow_pairs", q_winnow_pairs, _ORACLE_WINNOW_PAIRS, ("dedup", "text", "search"), bench=True, priority=80),
@@ -4066,7 +4066,7 @@ for spec in [
         _ivf_nprobe_sweep_oracle(),
         ("similarity", "approx", "audit", "profiling"),
         bench=True,
-        priority=10,
+        priority=80,
     ),
     QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=80),
     QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=80),

@@ -45,7 +45,9 @@ MUST_BE_IN_WINDOW = {
     # due r20). Every rotated-out spec stays oracle-verified every CI
     # run by tests/test_oracle_parity.py.
     # --- sweep/new families kept from r13 (<4 greens) ---
-    "dedup_threshold_sweep", "ivf_nprobe_sweep", "embedding_tau_sweep",
+    # (r15 second batch: dedup_threshold_sweep / ivf_nprobe_sweep /
+    # embedding_tau_sweep — five greens each, re-greened r14 — yielded
+    # to the r17-cohort pre-clear below)
     "dsir_importance", "dup_source_matrix", "ngram_novelty",
     # --- r13 new registrations (1 driver green, held in-window) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
@@ -54,10 +56,10 @@ MUST_BE_IN_WINDOW = {
     # trained-centroid IVF production path, r13 verdict item 1; its
     # seeded sibling ann_ivf_topk — five greens — yielded its slot) ---
     "ann_ivf_trained",
-    # --- r12 pre-clears re-greened r13, held one more round (r15:
-    # customer_max_order and nation_trade — five greens each — yielded
-    # to cc_two_phase / priority_sample) ---
-    "integrity_audit",
+    # (r12 pre-clears re-greened r13: r15 first batch — customer_max_order
+    # and nation_trade, five greens each — yielded to cc_two_phase /
+    # priority_sample; r15 second batch — integrity_audit, five greens —
+    # yielded to the r17-cohort pre-clear below)
     # --- r15 new registration: exactly-N weighted sampling with
     # unbiased subset-sum estimators (priority sampling) ---
     "priority_sample",
@@ -71,8 +73,8 @@ MUST_BE_IN_WINDOW = {
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and
     # winnow_pairs — five greens each — yielded to the two new
-    # registrations below) ---
-    "bpe_pairs",
+    # registrations below; bpe_pairs — five greens — yielded in the
+    # r15 second batch) ---
     # --- r15 new registrations: the distributed-trained committed
     # quality model as a production scoring path (verdict r14 item 4)
     # and the real stdlib-wave codec path driver row (item 5) ---
@@ -80,9 +82,24 @@ MUST_BE_IN_WINDOW = {
     # --- r14 second new registration: behavioral time-series
     # similarity search over the events table ---
     "similar_users",
-    # --- r14 pre-clears re-greened r14, held (<6 greens) ---
-    "bpe_encode", "bpe_merges", "contamination", "media_dedup",
-    "media_features", "media_frames", "media_resize",
+    # --- r14 pre-clears re-greened r14, held (<6 greens; r15 second
+    # batch: bpe_merges, contamination — six greens — media_dedup,
+    # media_features, media_frames — five greens each — yielded to the
+    # r17-cohort pre-clear below) ---
+    "bpe_encode", "media_resize",
+    # --- r15 SECOND-BATCH ROTATION — pre-clearing HALF of the 20-spec
+    # r10-green cohort (due r17 under the staleness ratchet; the other
+    # 10 rotate at r16/r17) at priority=40, so no later round needs
+    # >10 swaps. Yielding their slots at priority=80: ten 5-6-green
+    # occupants re-greened r14 (dedup_threshold_sweep,
+    # embedding_tau_sweep, ivf_nprobe_sweep, integrity_audit,
+    # bpe_pairs, bpe_merges, contamination, media_dedup,
+    # media_features, media_frames — next due r20/r21). Every
+    # rotated-out spec stays oracle-verified every CI run by
+    # tests/test_oracle_parity.py. ---
+    "active_users_hll", "ann_cosine_topk", "business_rules",
+    "cdc_routing", "dedup_exact", "doc_curation", "doc_fingerprint",
+    "doc_keywords", "doc_split", "dup_clusters",
     # --- r15 ROTATION (verdict r14 item 1) — second half of the
     # r9-green cohort pulled back at priority=40, one round before the
     # r16 staleness ratchet fires. Yielding their slots at priority=80:

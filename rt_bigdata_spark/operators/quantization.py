@@ -573,3 +573,116 @@ def ivfpq_cell_stats(spark, index_path: str) -> DataFrame:
             ).alias("skew_x"),
         )
     )
+
+
+# --- SQ8 scalar quantization ----------------------------------------
+#
+# The OTHER standard vector-store compression next to PQ: per-dimension
+# 8-bit linear quantization (FAISS ``ScalarQuantizer`` QT_8bit, Milvus/
+# Lucene ``SQ8``). Each dimension d gets a corpus-wide [min_d, max_d]
+# range; a component stores as ``floor((x − min_d) · 255 / span_d)``
+# — one byte per dimension (64 float32 components → 64 B, a 4× shrink
+# with far better fidelity than PQ's 64×), and search dequantizes
+# candidates on the fly (asymmetric: the query stays full-precision).
+#
+# Scale shape: training is ONE partial-aggregable corpus scan producing
+# a SINGLE row of 2·dim min/max cells (map-side combinable — the
+# cheapest "model" in this module); encode and ADC are pure map-side
+# column expressions with that 1-row model broadcast onto the scan.
+# Nothing here shuffles the corpus.
+#
+# Determinism contract: min/max of floats are exact; the quantization
+# arithmetic is the SAME IEEE expression tree on both engines
+# (``((x − mn) · 255.0) / span`` then floor/clamp — all doubles, no
+# engine-specific rounding), so codes are bit-identical and the
+# dequantized cosine follows the ann_cosine_topk 9-dp discipline.
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """One-row frame ``(mns: array<double>, mxs: array<double>)`` of
+    per-dimension corpus min/max — the entire SQ8 "model". One scan,
+    2·dim partial-agg cells, map-side combinable."""
+    aggs = []
+    for d in range(dim):
+        c = F.col(vec_col).getItem(d)
+        aggs.append(F.min(c).alias(f"_mn{d}"))
+        aggs.append(F.max(c).alias(f"_mx{d}"))
+    row = corpus.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"_mn{d}").cast("double") for d in range(dim)]).alias("mns"),
+        F.array(*[F.col(f"_mx{d}").cast("double") for d in range(dim)]).alias("mxs"),
+    )
+
+
+def _sq8_mn(i: Column) -> Column:
+    return F.element_at(F.col("mns"), (i + F.lit(1)).cast("int"))
+
+
+def _sq8_span(i: Column) -> Column:
+    return F.element_at(F.col("mxs"), (i + F.lit(1)).cast("int")) - _sq8_mn(i)
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, codes: array<int>)`` with every code in [0, 255] (byte-
+    packable payload: 1 B per dimension in a real store). A constant
+    dimension (span 0) codes as 0 and dequantizes to its min. The
+    1-row ``stats`` model is broadcast onto one corpus scan."""
+    enc = ensure_parallelism(corpus).crossJoin(F.broadcast(stats))
+
+    def code(x: Column, i: Column) -> Column:
+        raw = F.floor(((x.cast("double") - _sq8_mn(i)) * F.lit(255.0)) / _sq8_span(i))
+        clamped = F.least(F.lit(255), F.greatest(F.lit(0), raw.cast("long")))
+        return F.when(_sq8_span(i) == F.lit(0.0), F.lit(0)).otherwise(clamped).cast("int")
+
+    return enc.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), code).alias("codes"),
+    )
+
+
+def sq8_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over the SQ8-compressed corpus: candidates
+    contribute only their byte codes (dequantized on the fly against
+    the broadcast 1-row min/max model); queries stay full-precision.
+    Output ``(query_id, neighbor_id, sim, rk)`` — the ann_cosine_topk
+    shape, ranking by the asymmetric cosine rounded to 9 dp.
+
+    Plan: one stats scan (1-row model) + one corpus scan carrying the
+    broadcast model and the broadcast bounded query set; per-query
+    ranking is one window over O(n·|Q|) scored rows. No corpus
+    shuffle, no corpus×corpus pairing."""
+    from rt_bigdata_spark.operators.similarity import cosine
+
+    stats = sq8_stats(corpus, vec_col=vec_col)
+    codes = sq8_encode(corpus, stats, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+
+    def deq(c: Column, i: Column) -> Column:
+        return _sq8_mn(i) + (c.cast("double") * _sq8_span(i)) / F.lit(255.0)
+
+    scored = (
+        codes.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cvec", F.transform(F.col("codes"), deq))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

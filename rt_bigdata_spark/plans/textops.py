@@ -3527,6 +3527,57 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, books, k=10)
 
 
+def q_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-10 per query over the SQ8-compressed corpus
+    (quantization.sq8_adc_topk): per-dimension 8-bit linear codes
+    against a 1-row corpus min/max model (the OTHER standard
+    vector-store compression next to PQ — FAISS QT_8bit / Lucene SQ8);
+    candidates dequantize on the fly, queries stay full-precision."""
+    from rt_bigdata_spark.operators.quantization import sq8_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sq8_adc_topk(emb, queries, k=10)
+
+
+# DuckDB twin of the SQ8 pipeline: per-dim min/max → byte codes (same
+# ``((x − mn) · 255.0) / span`` floor/clamp expression tree) → on-the-fly
+# dequant → the ann_cosine_topk 9-dp cosine ranking. All-double IEEE
+# arithmetic with identical operand order, so codes and sims are
+# bit-identical across engines.
+_ORACLE_SQ8_ANN = """
+WITH dims AS (SELECT CAST(d AS INTEGER) AS d FROM generate_series(1, 64) t(d)),
+st AS (
+  SELECT d, CAST(MIN(embedding[d]) AS DOUBLE) AS mn, CAST(MAX(embedding[d]) AS DOUBLE) AS mx
+  FROM embeddings CROSS JOIN dims GROUP BY d
+),
+stl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+codes AS (
+  SELECT vec_id AS neighbor_id,
+         [CASE WHEN (mxs[d] - mns[d]) = 0.0 THEN 0
+               ELSE LEAST(255, GREATEST(0, CAST(FLOOR(((CAST(embedding[d] AS DOUBLE) - mns[d]) * 255.0) / (mxs[d] - mns[d])) AS BIGINT)))
+          END FOR d IN generate_series(1, 64)] AS codes
+  FROM embeddings CROSS JOIN stl
+),
+deq AS (
+  SELECT neighbor_id,
+         [mns[d] + (CAST(codes[d] AS DOUBLE) * (mxs[d] - mns[d])) / 255.0
+          FOR d IN generate_series(1, 64)] AS cvec
+  FROM codes CROSS JOIN stl
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_inner_product(qvec, cvec)
+               / (sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec))), 9) AS sim
+  FROM deq CROSS JOIN q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
+WHERE rk <= 10
+"""
+
+
 def _pq_ann_oracle(k: int = 10) -> str:
     dsub = _PQ_DIM // _PQ_M
     joins = "\n  ".join(
@@ -4071,6 +4122,11 @@ for spec in [
     QuerySpec("temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX, ("sampling", "order"), priority=80),
     QuerySpec("pq_codes", q_pq_codes, _pq_codes_oracle(), ("similarity", "quantization", "iterative"), priority=80),
     QuerySpec("pq_ann_topk", q_pq_ann_topk, _pq_ann_oracle(), ("similarity", "quantization", "approx"), bench=True, priority=80),
+    # r15 third registration: SQ8 scalar quantization — the byte-per-
+    # dimension compression completing the quantization family (flat
+    # PQ, IVF-PQ, SQ8); new spec, must land in the window
+    # (value_histogram — four greens, re-greened r14 — yielded its slot)
+    QuerySpec("sq8_ann_topk", q_sq8_ann_topk, _ORACLE_SQ8_ANN, ("similarity", "quantization", "approx"), priority=10),
     # round-8 third batch: media_embedding (thrice-green r5-r7;
     # media_dedup composes it and stays in-window) yields its slot to
     # the IVF-PQ compressed-index probe.

@@ -56,6 +56,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "(OrderWideAp.scala) — lookup tables bounded by the dim domain, per docstring"
     ),
     ("operators/quantization.py", "pq_adc_topk"): "query set — vec_id < n_queries, bounded by construction",
+    ("operators/quantization.py", "sq8_encode"): "1-row per-dim min/max model",
+    ("operators/quantization.py", "sq8_adc_topk"): (
+        "1-row min/max model + caller-bounded query set — never the corpus"
+    ),
     ("operators/quantization.py", "ivfpq_topk"): "query set with cell assignments — n_queries × n_probe rows",
     ("operators/quantization.py", "ivfpq_rerank_topk"): "query set — bounded by construction",
     ("operators/quantization.py", "ivfpq_cell_stats"): "1-row global totals",

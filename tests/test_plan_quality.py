@@ -231,6 +231,9 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "priority_sample",  # broadcast 1-row threshold τ onto the
         # already-TakeOrdered N-row sample (N×1 rows — constant work;
         # the corpus side is one scan into per-partition top-k heaps)
+        "sq8_ann_topk",  # broadcast 1-row min/max model + broadcast
+        # query set (vec_id < 5) vs ONE scan of the byte-code corpus
+        # (O(n·queries), k bounded — the pq_ann_topk shape)
     }
     offenders = [
         n for n, pl in plans.items()

@@ -334,3 +334,95 @@ def test_ivfpq_rerank_improves_on_adc_and_converges(spark, tmp_path):
     assert sorted(map(tuple, rr.collect())) == sorted(map(tuple, want.collect()))
     # (b) recall ordering
     assert len(rr_set & exact) >= len(adc & exact)
+
+
+# --- SQ8 scalar quantization ----------------------------------------
+
+
+def test_sq8_codes_shape_and_range(spark):
+    from rt_bigdata_spark.operators.quantization import sq8_encode, sq8_stats
+
+    emb = _emb(spark)
+    codes = sq8_encode(emb, sq8_stats(emb)).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == 64
+        assert all(0 <= c <= 255 for c in r.codes)
+
+
+def test_sq8_reconstruction_error_bounded_by_one_step(spark):
+    """Dequantized component must sit within one quantization step
+    (span/255) of the original — the defining fidelity bound of
+    8-bit linear quantization."""
+    from rt_bigdata_spark.operators.quantization import sq8_encode, sq8_stats
+
+    emb = _emb(spark, n=100)
+    stats = sq8_stats(emb)
+    st = stats.collect()[0]
+    by_id = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in sq8_encode(emb, stats).collect():
+        vec = by_id[r.vec_id]
+        for d, c in enumerate(r.codes):
+            span = st.mxs[d] - st.mns[d]
+            deq = st.mns[d] + (c * span) / 255.0
+            assert abs(deq - float(vec[d])) <= span / 255.0 + 1e-12
+
+
+def test_sq8_matches_python_reference(spark):
+    """Full pipeline (stats → codes → dequant → asymmetric cosine →
+    rank) against an independent driver-side float implementation."""
+    from rt_bigdata_spark.operators.quantization import sq8_adc_topk
+
+    emb = _emb(spark, n=60)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rk): (r.neighbor_id, r.sim)
+        for r in sq8_adc_topk(emb, queries, k=5).collect()
+    }
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    dim = 64
+    mns = [min(v[d] for v in vecs.values()) for d in range(dim)]
+    mxs = [max(v[d] for v in vecs.values()) for d in range(dim)]
+    deq = {}
+    for vid, v in vecs.items():
+        out = []
+        for d in range(dim):
+            span = mxs[d] - mns[d]
+            if span == 0.0:
+                out.append(mns[d])
+                continue
+            c = min(255, max(0, int(math.floor(((v[d] - mns[d]) * 255.0) / span))))
+            out.append(mns[d] + (c * span) / 255.0)
+        deq[vid] = out
+
+    for qid in (0, 1, 2):
+        qv = vecs[qid]
+        sims = []
+        for nid, cv in deq.items():
+            if nid == qid:
+                continue
+            num = sum(a * b for a, b in zip(qv, cv))
+            den = math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(b * b for b in cv))
+            sims.append((round(num / den, 9), nid))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (sim, nid) in enumerate(sims[:5], start=1):
+            assert got[(qid, rk)][0] == nid
+            assert abs(got[(qid, rk)][1] - sim) < 1e-9
+
+
+def test_sq8_planted_duplicate_ranks_first(spark):
+    """An exact copy of a query vector quantizes to the same codes, so
+    it must rank 1. The score is asymmetric (full-precision query vs
+    dequantized copy), so sim is NEAR 1 — within quantization error —
+    not exactly 1."""
+    from rt_bigdata_spark.operators.quantization import sq8_adc_topk
+
+    emb = _emb(spark, n=50)
+    clone = emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    out = sq8_adc_topk(emb.unionByName(clone), emb.filter(F.col("vec_id") == 2), k=3)
+    top = [r for r in out.collect() if r.rk == 1][0]
+    assert top.neighbor_id == 9002
+    assert top.sim > 0.999

@@ -192,3 +192,101 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     is an email/phone stay in the corpus with the span masked. Pure
     map-side."""
     return df.withColumn(text_col, _redact(F.col(text_col)))
+
+
+# --- Bloom-filter decontamination ------------------------------------
+#
+# The fixed-size-state scale path for ``contamination_pairs``: a real
+# eval-suite decontamination list at 100 TB scale can hold billions of
+# distinct 8-grams — too big to broadcast raw and expensive even to
+# shuffle-join against every corpus shingle. A Bloom filter collapses
+# the ENTIRE probe gram set to ``m`` bits (relationally: at most ``m``
+# distinct set-bit positions), broadcast-able BY CONSTRUCTION no matter
+# how large the probe list grows. Membership is one-sided: a gram in
+# the probe set ALWAYS hits (no false negatives — decontamination must
+# never leak a benchmark doc), while a clean gram hits with probability
+# ~(set_bits/m)^k (false positives over-drop, never under-drop).
+#
+# Hash family: position_i(g) = md5_32(i || ':' || g) mod m for
+# i = 0..k-1 — the repo's standard portable md5-prefix hash, so DuckDB
+# replays the positions bit-for-bit and the whole audit (including
+# which grams false-positive) is hash-oracle-exact.
+
+BLOOM_M = 65536  # filter bits (production sizes ~10 bits/element)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos(g: Column, salt: Column, m: int) -> Column:
+    key = F.concat_ws(":", salt.cast("string"), g)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % F.lit(m)
+
+
+def bloom_contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc Bloom-membership decontamination AUDIT:
+    ``(doc_id, n_grams, bloom_hits, exact_hits, false_pos)`` where
+    ``bloom_hits`` counts the doc's distinct word ``n``-grams whose k
+    Bloom positions are all set by the probe set, ``exact_hits`` counts
+    grams literally present in the probe set, and
+    ``false_pos = bloom_hits − exact_hits`` (≥ 0 always: Bloom filters
+    have no false negatives — the property test pins it).
+
+    This is the sketch-audit shape (province_stats_approx / HLL
+    discipline): the registered spec carries BOTH arms so the driver
+    hash-checks the filter's exact behavior INCLUDING its false
+    positives; the production path drops the exact arm and keeps only
+    the ≤ ``m``-row broadcast bits join.
+
+    Plan: probe grams → k md5 positions → ≤ m distinct set bits
+    (broadcast by construction); corpus grams fan out k rows each and
+    equi-join the bits — a gram is flagged when all k salts match. The
+    exact arm is one unhinted equi-join against the distinct probe
+    grams (AQE broadcasts it while it fits; at eval-suite scale it is
+    exactly the join the Bloom arm exists to replace)."""
+    df = ensure_parallelism(df)
+    salts = F.array(*[F.lit(i) for i in range(k)])
+    grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+    pgrams = probes.select(F.explode(word_shingles(F.col(text_col), n)).alias("g")).distinct()
+
+    # Build: at most m rows regardless of probe-set size.
+    bits = (
+        pgrams.select(F.explode(salts).alias("salt"), "g")
+        .select(_bloom_pos(F.col("g"), F.col("salt"), m).alias("pos"))
+        .distinct()
+    )
+
+    probe_pos = grams.select(
+        F.col(id_col), "g", F.explode(salts).alias("salt")
+    ).withColumn("pos", _bloom_pos(F.col("g"), F.col("salt"), m))
+    # Distinct grams per doc × distinct salts → count(*) == matched salts.
+    bloomed = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == k)
+    )
+    exact = grams.join(pgrams, "g")
+
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    b = bloomed.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("bloom_hits"))
+    e = exact.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("exact_hits"))
+    return (
+        per_doc.join(b, id_col, "left")
+        .join(e, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long").alias("bloom_hits"),
+            F.coalesce(F.col("exact_hits"), F.lit(0)).cast("long").alias("exact_hits"),
+            (F.coalesce(F.col("bloom_hits"), F.lit(0)) - F.coalesce(F.col("exact_hits"), F.lit(0)))
+            .cast("long")
+            .alias("false_pos"),
+        )
+    )

@@ -1667,6 +1667,63 @@ GROUP BY 1, 2
 """
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit
+    (curation_rules.bloom_contamination) against the same derived probe
+    set as ``contamination``: the probe 8-gram set collapses to ≤ m
+    set-bit positions (broadcast-able BY CONSTRUCTION however large the
+    eval suite grows — the fixed-size-state scale path the exact join
+    can't offer), and the registered audit carries the exact arm beside
+    the Bloom arm so the driver hash-checks membership INCLUDING any
+    false positives (false_pos = bloom_hits − exact_hits ≥ 0; at the
+    registered m=65536/k=4 and test-SF probe densities the filter is
+    far below saturation, so false_pos is typically 0 — the FP
+    machinery itself is forced and value-pinned at tiny m in
+    tests/test_curation_rules.py)."""
+    from rt_bigdata_spark.operators.curation_rules import (
+        bloom_contamination,
+        derived_probe_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_contamination(docs, derived_probe_set(docs))
+
+
+def _bloom_contamination_oracle() -> str:
+    from rt_bigdata_spark.operators.curation_rules import BLOOM_K, BLOOM_M
+
+    pos = _duck_md5_32("concat(CAST(salt AS VARCHAR), ':', g)")
+    return f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+7], ' '), '')
+                               FOR i IN generate_series(1, greatest(len(t) - 7, 1))])) AS g
+  FROM tl
+),
+ptl AS (SELECT -doc_id - 1 AS probe_id, t[1:27] AS t FROM tl
+        WHERE doc_id % 53 = 0 AND len(t) >= 1),
+pg AS (
+  SELECT DISTINCT UNNEST(list_distinct([COALESCE(array_to_string(t[i:i+7], ' '), '')
+                               FOR i IN generate_series(1, greatest(len(t) - 7, 1))])) AS g
+  FROM ptl
+),
+salts AS (SELECT CAST(s AS BIGINT) AS salt FROM generate_series(0, {BLOOM_K - 1}) t(s)),
+bits AS (SELECT DISTINCT {pos} % {BLOOM_M} AS pos FROM pg CROSS JOIN salts),
+ppos AS (SELECT doc_id, g, salt, {pos} % {BLOOM_M} AS pos FROM g CROSS JOIN salts),
+bloomed AS (SELECT doc_id, g FROM ppos JOIN bits USING (pos)
+            GROUP BY doc_id, g HAVING COUNT(*) = {BLOOM_K}),
+nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+bh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits FROM bloomed GROUP BY doc_id),
+eh AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS exact_hits FROM g JOIN pg USING (g) GROUP BY g.doc_id)
+SELECT nb.doc_id, n_grams,
+       CAST(COALESCE(bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       CAST(COALESCE(exact_hits, 0) AS BIGINT) AS exact_hits,
+       CAST(COALESCE(bloom_hits, 0) - COALESCE(exact_hits, 0) AS BIGINT) AS false_pos
+FROM nb LEFT JOIN bh USING (doc_id) LEFT JOIN eh ON eh.doc_id = nb.doc_id
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-64-token sequence packing (packing.chunk_documents):
     map-side transform+explode, no shuffle."""
@@ -4003,6 +4060,13 @@ for spec in [
     QuerySpec("repetition_stats", q_repetition_stats, _ORACLE_REPETITION, ("text", "quality"), bench=True, priority=40),
     QuerySpec("pii_scrub", q_pii_scrub, _pii_oracle(), ("text", "safety"), priority=40),
     QuerySpec("contamination", q_contamination, _ORACLE_CONTAMINATION, ("text", "dedup", "safety"), bench=True, priority=80),
+    # r15 fourth registration: Bloom-filter decontamination — the
+    # fixed-size-state membership path for eval-suite gram sets too
+    # large to broadcast or join raw; registered as the sketch-audit
+    # shape (exact arm beside the Bloom arm, FP accounting hash-
+    # checked). New spec, must land in the window (event_pivot — four
+    # greens, re-greened r14 — yielded its slot).
+    QuerySpec("bloom_contamination", q_bloom_contamination, _bloom_contamination_oracle(), ("text", "safety", "approx", "audit"), priority=10),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=40),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=40),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),

@@ -42,6 +42,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "corpus (r15: the scoring stage moved here out of "
         "similar_activity_topk so maintained matrices can feed it)"
     ),
+    ("operators/curation_rules.py", "bloom_contamination"): (
+        "Bloom set-bit positions — at most m (=65536) rows BY CONSTRUCTION, "
+        "independent of probe-set and corpus size; that bound is the operator's "
+        "entire reason to exist"
+    ),
     ("operators/curation_rules.py", "contamination_pairs"): (
         "probe 8-gram set — filtered to id < probe_ids_below (eval-suite sized, "
         "not corpus sized); the probes!=None branch documents the AQE escape for big lists"

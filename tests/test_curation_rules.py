@@ -189,3 +189,62 @@ def test_derived_probe_set_planted_overlap_and_null_safety(spark):
     pairs = contamination_pairs(df, probes=probes).collect()
     assert {(r.doc_id, r.probe_id) for r in pairs} == {(0, -1)}  # self-overlap planted
     assert all(r.shared_ngrams >= 1 for r in pairs)
+
+
+# --- Bloom-filter decontamination -----------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Defining Bloom property: every exact probe-set gram hits the
+    filter, so bloom_hits >= exact_hits per doc, and a doc sharing an
+    8-gram with a probe is ALWAYS flagged."""
+    from rt_bigdata_spark.operators.curation_rules import bloom_contamination
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail tokens here"),   # contains the probe gram
+        (2, "totally different words with no overlap at all x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    probes = spark.createDataFrame([(0, shared)], "probe_id: long, text: string")
+    got = {r.doc_id: r for r in bloom_contamination(docs, probes).collect()}
+    assert got[1].exact_hits == 1 and got[1].bloom_hits >= 1
+    for r in got.values():
+        assert r.bloom_hits >= r.exact_hits
+        assert r.false_pos == r.bloom_hits - r.exact_hits >= 0
+
+
+def test_bloom_false_positives_forced_at_tiny_m(spark):
+    """At m=1 every position is 0, so ANY probe gram saturates the
+    filter and every corpus gram false-positives — the FP accounting
+    columns must show exactly that (bloom_hits = n_grams, exact_hits
+    unchanged). Pins the arithmetic the registered spec's m=65536
+    keeps (deliberately) below saturation."""
+    from rt_bigdata_spark.operators.curation_rules import bloom_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id: long, text: string",
+    )
+    probes = spark.createDataFrame(
+        [(0, "p1 p2 p3 p4 p5 p6 p7 p8")], "probe_id: long, text: string"
+    )
+    r = bloom_contamination(docs, probes, m=1).collect()[0]
+    assert r.exact_hits == 0
+    assert r.bloom_hits == r.n_grams  # every gram collides at m=1
+    assert r.false_pos == r.n_grams
+
+
+def test_bloom_bits_side_is_broadcast(spark):
+    """The ≤m-row set-bits side must enter the membership join as a
+    broadcast (the fixed-size-state contract)."""
+    from rt_bigdata_spark.operators.curation_rules import (
+        bloom_contamination,
+        derived_probe_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d e") for i in range(60)], "doc_id: long, text: string"
+    )
+    plan = bloom_contamination(docs, derived_probe_set(docs))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

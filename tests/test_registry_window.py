@@ -67,10 +67,12 @@ MUST_BE_IN_WINDOW = {
     # forced-diameter fixture graph (verdict r14 item 8) ---
     "cc_two_phase",
     # --- r13 pre-clears re-greened r14 (4 greens, held one more round;
-    # value_histogram yielded to the r15 sq8_ann_topk registration) ---
-    "event_pivot", "order_priority", "province_stats_sql",
-    # --- r15 third registration: SQ8 scalar quantization ANN ---
-    "sq8_ann_topk",
+    # value_histogram yielded to the r15 sq8_ann_topk registration,
+    # event_pivot to bloom_contamination) ---
+    "order_priority", "province_stats_sql",
+    # --- r15 third/fourth registrations: SQ8 scalar quantization ANN
+    # and the Bloom-filter decontamination audit ---
+    "sq8_ann_topk", "bloom_contamination",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and

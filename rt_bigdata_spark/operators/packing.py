@@ -55,6 +55,56 @@ def chunk_documents(
     )
 
 
+def chunk_documents_overlap(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping (strided) chunking — the RAG-ingest variant of
+    ``chunk_documents``: windows start every ``stride`` tokens and span
+    ``chunk_tokens``, so consecutive chunks share
+    ``chunk_tokens − stride`` tokens of context and no retrieval-time
+    sentence is ever split without a copy that keeps its neighborhood.
+
+    Chunk count: ``J = 1`` when the doc fits in one window, else
+    ``ceil((len − chunk_tokens) / stride) + 1`` — the last window
+    starts at ``(J−1)·stride`` and carries the remainder (always > the
+    overlap, by construction of the ceiling). Every token position is
+    covered by ≥1 chunk (property-tested), and chunk j's first
+    ``chunk_tokens − stride`` tokens equal chunk j−1's last ones
+    whenever j−1 was full.
+
+    Same scale shape as ``chunk_documents``: pure map-side
+    transform+explode, no shuffle; the fan-out is len/stride rows per
+    doc (chunk/stride ≈ 1.33× the tokens at the 64/48 default).
+    ``stride`` must be in (0, chunk_tokens]; stride == chunk_tokens
+    degenerates to the non-overlapping chunker."""
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(f"stride must be in (0, chunk_tokens]; got {stride}")
+    k, s = chunk_tokens, stride
+    df = ensure_parallelism(df)
+    toked = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("t")).filter(F.size("t") > 0)
+    L = F.size("t")
+    n_chunks = (
+        F.when(L <= F.lit(k), F.lit(1))
+        .otherwise(F.floor((L - F.lit(k) + F.lit(s - 1)) / F.lit(s)).cast("int") + F.lit(1))
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_id"),
+            F.least(F.lit(k), L - j * s).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("t", j * s + 1, k)).alias("chunk_text"),
+        ),
+    )
+    return toked.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.n_tokens", "c.chunk_text"
+    )
+
+
 def export_shards(
     df: DataFrame,
     path: str,

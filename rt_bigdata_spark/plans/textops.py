@@ -1743,6 +1743,33 @@ FROM nz, UNNEST(range((len(t) + 63) // 64)) AS u(i)
 """
 
 
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (strided) RAG chunking
+    (packing.chunk_documents_overlap, 64-token windows every 48):
+    map-side transform+explode, no shuffle; consecutive chunks share 16
+    tokens of context so no retrieval unit loses its neighborhood."""
+    from rt_bigdata_spark.operators.packing import chunk_documents_overlap
+
+    return chunk_documents_overlap(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+_ORACLE_CHUNKS_OVERLAP = f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS L FROM tl WHERE len(t) > 0),
+jc AS (SELECT doc_id, t, L,
+              CASE WHEN L <= 64 THEN 1
+                   ELSE CAST(FLOOR((L - 64 + 47) / 48) AS INTEGER) + 1 END AS nchunks
+       FROM nz)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_id,
+       CAST(least(64, L - j * 48) AS BIGINT) AS n_tokens,
+       array_to_string(t[j * 48 + 1 : j * 48 + 64], ' ') AS chunk_text
+FROM jc, UNNEST(range(nchunks)) AS u(j)
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup at 32-token paragraph units: corpus-wide
     first-occurrence per distinct unit, docs reassembled from their
@@ -4068,6 +4095,10 @@ for spec in [
     # greens, re-greened r14 — yielded its slot).
     QuerySpec("bloom_contamination", q_bloom_contamination, _bloom_contamination_oracle(), ("text", "safety", "approx", "audit"), priority=10),
     QuerySpec("doc_chunks", q_doc_chunks, _ORACLE_CHUNKS, ("text", "packing"), bench=True, priority=40),
+    # r15 fifth registration: overlapping (strided) RAG chunking — the
+    # retrieval-ingest twin of doc_chunks; new spec, must land in the
+    # window (order_priority — four greens, re-greened r14 — yielded)
+    QuerySpec("doc_chunks_overlap", q_doc_chunks_overlap, _ORACLE_CHUNKS_OVERLAP, ("text", "packing"), priority=10),
     QuerySpec("token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET, ("sampling", "packing"), bench=True, priority=40),
     QuerySpec("filtered_ann", q_filtered_ann, _ORACLE_FILTERED_ANN, ("similarity", "join"), priority=80),
     QuerySpec("filtered_ann_indexed", q_filtered_ann_indexed, _filtered_ann_ivf_oracle(), ("similarity", "join", "index"), bench=True, priority=40),

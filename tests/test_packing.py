@@ -295,3 +295,78 @@ def test_sequence_spans_row_bound_is_pinned(spark):
     last = max(r.seq_id for r in per_seq)
     for r in per_seq:
         assert r.tok == (L if r.seq_id < last else total - last * L)
+
+
+def test_chunk_overlap_exact_windows(spark):
+    from rt_bigdata_spark.operators.packing import chunk_documents_overlap
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # k=4, s=2 → starts 0,2,4,6
+        (2, "a b c"),  # fits one window
+        (3, ""),  # 0 tokens → no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents_overlap(df, chunk_tokens=4, stride=2).collect()
+    )
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w2 w3 w4 w5"),
+        (1, 2, 4, "w4 w5 w6 w7"),
+        (1, 3, 4, "w6 w7 w8 w9"),
+        (2, 0, 3, "a b c"),
+    ]
+
+
+def test_chunk_overlap_covers_every_token_and_shares_context(spark):
+    """Every token position lands in >=1 chunk; consecutive chunks of a
+    long doc share exactly chunk_tokens - stride tokens while the
+    earlier chunk is full; stride == chunk degenerates to
+    chunk_documents."""
+    from rt_bigdata_spark.operators.packing import (
+        chunk_documents,
+        chunk_documents_overlap,
+    )
+
+    k, s = 8, 5
+    for n_tok in (1, 7, 8, 9, 13, 20, 21, 40):
+        toks = [f"t{i}" for i in range(n_tok)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id: long, text: string")
+        rows = sorted(
+            (r.chunk_id, r.chunk_text.split(" "))
+            for r in chunk_documents_overlap(df, chunk_tokens=k, stride=s).collect()
+        )
+        covered = set()
+        for cid, ctoks in rows:
+            start = cid * s
+            assert ctoks == toks[start : start + k]
+            covered.update(range(start, start + len(ctoks)))
+        assert covered == set(range(n_tok)), n_tok
+        for (c1, t1), (c2, t2) in zip(rows, rows[1:]):
+            if len(t1) == k:
+                assert t1[s:] == t2[: k - s]
+        # no chunk is a pure suffix duplicate: the last chunk extends
+        # strictly past the previous chunk's end whenever it exists
+        if len(rows) > 1:
+            assert (len(rows) - 1) * s + len(rows[-1][1]) == n_tok
+
+    same = chunk_documents_overlap(
+        spark.createDataFrame([(1, " ".join(f"x{i}" for i in range(23)))], "doc_id: long, text: string"),
+        chunk_tokens=6,
+        stride=6,
+    )
+    base = chunk_documents(
+        spark.createDataFrame([(1, " ".join(f"x{i}" for i in range(23)))], "doc_id: long, text: string"),
+        chunk_tokens=6,
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_chunk_overlap_rejects_bad_stride(spark):
+    from rt_bigdata_spark.operators.packing import chunk_documents_overlap
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    for bad in (0, -1, 9):
+        with pytest.raises(ValueError):
+            chunk_documents_overlap(df, chunk_tokens=8, stride=bad)

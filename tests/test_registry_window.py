@@ -68,11 +68,13 @@ MUST_BE_IN_WINDOW = {
     "cc_two_phase",
     # --- r13 pre-clears re-greened r14 (4 greens, held one more round;
     # value_histogram yielded to the r15 sq8_ann_topk registration,
-    # event_pivot to bloom_contamination) ---
-    "order_priority", "province_stats_sql",
-    # --- r15 third/fourth registrations: SQ8 scalar quantization ANN
-    # and the Bloom-filter decontamination audit ---
-    "sq8_ann_topk", "bloom_contamination",
+    # event_pivot to bloom_contamination, order_priority to
+    # doc_chunks_overlap) ---
+    "province_stats_sql",
+    # --- r15 third/fourth/fifth registrations: SQ8 scalar quantization
+    # ANN, the Bloom-filter decontamination audit, and the overlapping
+    # (strided) RAG chunker ---
+    "sq8_ann_topk", "bloom_contamination", "doc_chunks_overlap",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and

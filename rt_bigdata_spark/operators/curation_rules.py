@@ -221,6 +221,39 @@ def _bloom_pos(g: Column, salt: Column, m: int) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % F.lit(m)
 
 
+def bloom_bits(
+    probes: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The filter itself: distinct set-bit positions (``pos`` column,
+    ≤ m rows) of the probe set's word ``n``-grams under the k-salt md5
+    family. Set-bit sets are a UNION MONOID — bits from disjoint probe
+    slices merge by distinct-union, and re-merging is idempotent — so
+    a growing eval suite maintains its filter incrementally
+    (``streaming/sinks.bloom_maintenance_sink``) without ever
+    re-scanning past probes."""
+    salts = F.array(*[F.lit(i) for i in range(k)])
+    pgrams = probes.select(F.explode(word_shingles(F.col(text_col), n)).alias("g")).distinct()
+    return (
+        pgrams.select(F.explode(salts).alias("salt"), "g")
+        .select(_bloom_pos(F.col("g"), F.col("salt"), m).alias("pos"))
+        .distinct()
+    )
+
+
+def merge_bloom_bits(parts: "list[DataFrame]") -> DataFrame:
+    """Monoid merge: distinct union of set-bit positions (idempotent —
+    unlike the count-monoid sinks, a replayed merge cannot corrupt a
+    Bloom filter, though the sink keeps the standard version fence)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def bloom_contamination(
     df: DataFrame,
     probes: DataFrame,
@@ -229,6 +262,7 @@ def bloom_contamination(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc Bloom-membership decontamination AUDIT:
     ``(doc_id, n_grams, bloom_hits, exact_hits, false_pos)`` where
@@ -255,12 +289,11 @@ def bloom_contamination(
     grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
     pgrams = probes.select(F.explode(word_shingles(F.col(text_col), n)).alias("g")).distinct()
 
-    # Build: at most m rows regardless of probe-set size.
-    bits = (
-        pgrams.select(F.explode(salts).alias("salt"), "g")
-        .select(_bloom_pos(F.col("g"), F.col("salt"), m).alias("pos"))
-        .distinct()
-    )
+    # Build: at most m rows regardless of probe-set size. A maintained
+    # filter (bloom_maintenance_sink state, read back) drops in via
+    # ``bits`` — it MUST have been built with the same (m, k, n).
+    if bits is None:
+        bits = bloom_bits(probes, m=m, k=k, n=n, text_col=text_col)
 
     probe_pos = grams.select(
         F.col(id_col), "g", F.explode(salts).alias("salt")

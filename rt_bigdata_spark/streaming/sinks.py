@@ -399,6 +399,51 @@ def dsir_maintenance_sink(
     )
 
 
+def bloom_maintenance_sink(
+    state_dir: str,
+    m: int | None = None,
+    k: int | None = None,
+    n: int = 8,
+    text_col: str = "text",
+    keep_versions: int = 2,
+):
+    """Streaming Bloom-filter maintenance: each micro-batch of NEW
+    probe documents (eval-suite additions) folds its set-bit positions
+    into the persisted filter by distinct-union
+    (``curation_rules.merge_bloom_bits``). State is ≤ m rows whatever
+    the probe history — the fixed-size-membership contract of
+    ``bloom_contamination`` held incrementally, so decontamination of
+    new corpus slices always probes a CURRENT filter without
+    re-scanning past probe lists. The set-union monoid is idempotent,
+    so even a replayed merge is harmless; the standard version fence is
+    kept anyway (uniform sink contract + exact version accounting)."""
+    from rt_bigdata_spark.operators.curation_rules import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        merge_bloom_bits,
+    )
+
+    m = BLOOM_M if m is None else m
+    k = BLOOM_K if k is None else k
+    return versioned_state_sink(
+        state_dir,
+        fold_batch=lambda b: bloom_bits(b, m=m, k=k, n=n, text_col=text_col),
+        merge=lambda old, new: merge_bloom_bits([old, new]),
+        keep_versions=keep_versions,
+    )
+
+
+def read_bloom_bits(spark, state_dir: str) -> DataFrame:
+    """Newest committed Bloom filter state (``pos`` rows) — feed to
+    ``bloom_contamination(..., bits=...)``; the reader must use the
+    same (m, k, n) the sink was built with."""
+    cur = _latest_rollup_version(state_dir, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed bloom state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v_{cur}"))
+
+
 def read_dsir_stats(spark, state_dir: str) -> DataFrame:
     """Newest committed DSIR model state ``(bucket, c_raw, c_t)`` —
     feed to ``text_analysis.dsir_score`` to score new documents."""

@@ -510,3 +510,76 @@ def test_streaming_activity_matrix_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert s_state == s_batch and len(s_state) > 0
+
+
+def test_streaming_bloom_equals_batch_filter(spark, tmp_path):
+    """The Bloom filter maintained across probe micro-batches must
+    equal the batch filter over all probes (distinct-union monoid),
+    and decontaminating a corpus against the MAINTAINED bits must
+    reproduce bloom_contamination's batch output exactly."""
+    import json as _json
+    import os as _os
+
+    from rt_bigdata_spark.operators.curation_rules import (
+        bloom_bits,
+        bloom_contamination,
+    )
+    from rt_bigdata_spark.streaming.sinks import (
+        bloom_maintenance_sink,
+        read_bloom_bits,
+    )
+
+    probes1 = [{"probe_id": 1, "text": "one two three four five six seven eight"}]
+    probes2 = [{"probe_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta"}]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        tmp = src / (name + ".tmp")
+        tmp.write_text("\n".join(_json.dumps(r) for r in rows))
+        _os.rename(tmp, src / name)
+
+    write("b1.json", probes1)
+    stream = (
+        spark.readStream.schema("probe_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(bloom_maintenance_sink(state))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.json", probes2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_probes = spark.createDataFrame(
+        [(r["probe_id"], r["text"]) for r in probes1 + probes2],
+        "probe_id: long, text: string",
+    )
+    maintained = sorted(r.pos for r in read_bloom_bits(spark, state).collect())
+    batch = sorted(r.pos for r in bloom_bits(all_probes).collect())
+    assert maintained == batch and len(maintained) > 0
+
+    docs = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven eight plus a tail"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta and more"),
+            (12, "no overlap with any probe text in this document at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    via_state = bloom_contamination(
+        docs, all_probes, bits=read_bloom_bits(spark, state)
+    )
+    via_batch = bloom_contamination(docs, all_probes)
+    assert sorted(map(tuple, via_state.collect())) == sorted(map(tuple, via_batch.collect()))
+    got = {r.doc_id: r.bloom_hits for r in via_batch.collect()}
+    assert got[10] >= 1 and got[11] >= 1

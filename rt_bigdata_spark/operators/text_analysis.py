@@ -1345,3 +1345,83 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# --- Unicode script / charset profile --------------------------------
+
+# Script blocks counted by script_profile. Each class is a single
+# regex character class evaluated in the Java∩RE2 dialect subset (the
+# pii_scrub discipline), so DuckDB replays the counts verbatim.
+SCRIPT_CLASSES: "list[tuple[str, str]]" = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}]"),
+    ("kana", "[\\x{3040}-\\x{30FF}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("space", "[ \\t\\n\\r]"),
+]
+_LETTER_SCRIPTS = ("latin", "cjk", "kana", "cyrillic", "arabic")
+_ASCII_CLASS = "[\\x{0000}-\\x{007F}]"
+
+
+def script_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Unicode script/charset mix — the pre-langid signal of
+    CCNet-style curation (script detection gates which stopword lists
+    ``language_id`` even votes with, and mixed-script text is a
+    classic spam/injection marker):
+
+    - one ``<class>_ct`` count per ``SCRIPT_CLASSES`` entry (characters
+      matching the block), plus ``other_ct`` (everything else) and
+      ``n_chars``;
+    - ``nonascii_frac`` — fraction of characters outside U+0000-7F
+      (0.0 for empty docs);
+    - ``dominant_script`` — argmax over the letter-script counts,
+      ties to the earlier ``SCRIPT_CLASSES`` entry, ``'none'`` when
+      every letter count is 0;
+    - ``mixed_script`` — ≥2 letter scripts present (the spam flag).
+
+    Counts are length differences under ``regexp_replace`` (NULL text ≡
+    empty), so the whole profile is one map-side projection: no
+    shuffle, no UDF, and bit-identical BIGINT counts cross-engine.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = {
+        name: (n - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+        for name, pat in SCRIPT_CLASSES
+    }
+    ascii_ct = n - F.length(F.regexp_replace(t, _ASCII_CLASS, ""))
+    known = None
+    for name, _ in SCRIPT_CLASSES:
+        known = counts[name] if known is None else known + counts[name]
+
+    # argmax over letter scripts: entry i wins when its count is > 0,
+    # strictly beats every EARLIER entry, and is >= every LATER entry
+    # — exactly one winner, ties to the earlier SCRIPT_CLASSES entry
+    dom_expr = F.lit("none")
+    for i, name in reversed(list(enumerate(_LETTER_SCRIPTS))):
+        cond = counts[name] > F.lit(0)
+        for j, other in enumerate(_LETTER_SCRIPTS):
+            if j < i:
+                cond = cond & (counts[name] > counts[other])
+            elif j > i:
+                cond = cond & (counts[name] >= counts[other])
+        dom_expr = F.when(cond, F.lit(name)).otherwise(dom_expr)
+
+    present = None
+    for name in _LETTER_SCRIPTS:
+        flag = F.when(counts[name] > 0, F.lit(1)).otherwise(F.lit(0))
+        present = flag if present is None else present + flag
+
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        *[counts[name].alias(f"{name}_ct") for name, _ in SCRIPT_CLASSES],
+        (n.cast("long") - known).alias("other_ct"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise((n - ascii_ct).cast("double") / n.cast("double"))
+        .alias("nonascii_frac"),
+        dom_expr.alias("dominant_script"),
+        (present >= 2).alias("mixed_script"),
+    )

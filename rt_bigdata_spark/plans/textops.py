@@ -99,6 +99,56 @@ FROM toks
 """
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script/charset mix per doc
+    (text_analysis.script_profile): per-block character counts,
+    non-ASCII fraction, deterministic dominant-script argmax and the
+    mixed-script spam flag — the pre-langid signal of CCNet-style
+    curation, one map-side projection (no shuffle, no UDF). Multilingual
+    semantics (CJK/kana/cyrillic dominance, mixed flags) are
+    cross-engine value-pinned on a fixture in
+    tests/test_curation_rules.py; the synthetic corpus exercises the
+    latin/digit/space/none paths."""
+    from rt_bigdata_spark.operators.text_analysis import script_profile
+
+    return script_profile(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_SCRIPT_PROFILE = r"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+),
+c AS (
+  SELECT doc_id, len(t) AS n,
+    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS latin_ct,
+    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS digit_ct,
+    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS cjk_ct,
+    CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) AS BIGINT) AS kana_ct,
+    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyrillic_ct,
+    CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS arabic_ct,
+    CAST(len(regexp_extract_all(t, '[ '||chr(9)||chr(10)||chr(13)||']')) AS BIGINT) AS space_ct,
+    CAST(len(regexp_extract_all(t, '[\x{0000}-\x{007F}]')) AS BIGINT) AS ascii_ct
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  latin_ct, digit_ct, cjk_ct, kana_ct, cyrillic_ct, arabic_ct, space_ct,
+  CAST(n - (latin_ct + digit_ct + cjk_ct + kana_ct + cyrillic_ct + arabic_ct + space_ct) AS BIGINT) AS other_ct,
+  CASE WHEN n = 0 THEN 0.0 ELSE CAST(n - ascii_ct AS DOUBLE) / CAST(n AS DOUBLE) END AS nonascii_frac,
+  CASE
+    WHEN latin_ct > 0 AND latin_ct >= cjk_ct AND latin_ct >= kana_ct AND latin_ct >= cyrillic_ct AND latin_ct >= arabic_ct THEN 'latin'
+    WHEN cjk_ct > 0 AND cjk_ct >= kana_ct AND cjk_ct >= cyrillic_ct AND cjk_ct >= arabic_ct THEN 'cjk'
+    WHEN kana_ct > 0 AND kana_ct >= cyrillic_ct AND kana_ct >= arabic_ct THEN 'kana'
+    WHEN cyrillic_ct > 0 AND cyrillic_ct >= arabic_ct THEN 'cyrillic'
+    WHEN arabic_ct > 0 THEN 'arabic'
+    ELSE 'none'
+  END AS dominant_script,
+  ((CASE WHEN latin_ct > 0 THEN 1 ELSE 0 END) + (CASE WHEN cjk_ct > 0 THEN 1 ELSE 0 END)
+   + (CASE WHEN kana_ct > 0 THEN 1 ELSE 0 END) + (CASE WHEN cyrillic_ct > 0 THEN 1 ELSE 0 END)
+   + (CASE WHEN arabic_ct > 0 THEN 1 ELSE 0 END)) >= 2 AS mixed_script
+FROM c
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang_pred")
@@ -4007,6 +4057,10 @@ for spec in [
     QuerySpec("doc_fingerprint", q_doc_fingerprint, _ORACLE_FINGERPRINT, ("text",), priority=40),
     QuerySpec("text_quality", q_text_quality, _ORACLE_QUALITY, ("text",), bench=True, priority=80),
     QuerySpec("language_id", q_language_id, _ORACLE_LANG, ("text",), priority=80),
+    # r15 sixth registration: Unicode script/charset profile — the
+    # pre-langid curation signal; new spec, must land in the window
+    # (province_stats_sql — four greens, re-greened r14 — yielded)
+    QuerySpec("script_profile", q_script_profile, _ORACLE_SCRIPT_PROFILE, ("text", "profiling"), priority=10),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
     QuerySpec("minhash_recall", q_minhash_recall, _minhash_recall_oracle(), ("dedup", "audit", "approx"), priority=40),

@@ -248,3 +248,52 @@ def test_bloom_bits_side_is_broadcast(spark):
     )
     plan = bloom_contamination(docs, derived_probe_set(docs))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_script_profile_multilingual_fixture(spark):
+    """Cross-script semantics the ASCII corpus can't exercise: CJK+latin
+    mixes flag, kana dominates cjk when it outnumbers it, cyrillic
+    detected, NULL ≡ empty → 'none', pure punctuation → other_ct."""
+    from rt_bigdata_spark.operators.text_analysis import script_profile
+
+    rows = [
+        (1, "Hello 世界 123"),
+        (2, "Привет мир"),
+        (3, None),
+        (4, "日本語のテキストです"),
+        (5, "!!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+
+    r1 = got[1]
+    assert (r1.latin_ct, r1.digit_ct, r1.cjk_ct, r1.space_ct) == (5, 3, 2, 2)
+    assert r1.dominant_script == "latin" and r1.mixed_script
+    assert r1.nonascii_frac == 2 / 12
+
+    r2 = got[2]
+    assert r2.cyrillic_ct == 9 and r2.dominant_script == "cyrillic"
+    assert not r2.mixed_script
+
+    r3 = got[3]
+    assert r3.n_chars == 0 and r3.dominant_script == "none"
+    assert r3.nonascii_frac == 0.0 and not r3.mixed_script
+
+    r4 = got[4]
+    assert (r4.cjk_ct, r4.kana_ct) == (3, 7)
+    assert r4.dominant_script == "kana" and r4.mixed_script
+    assert r4.nonascii_frac == 1.0
+
+    r5 = got[5]
+    assert r5.other_ct == 6 and r5.dominant_script == "none"
+
+
+def test_script_profile_dominant_ties_to_earlier_script(spark):
+    """Equal top counts resolve to the earlier SCRIPT_CLASSES entry on
+    both the operator and the oracle (first-max argmax)."""
+    from rt_bigdata_spark.operators.text_analysis import script_profile
+
+    df = spark.createDataFrame([(1, "ab 世界")], "doc_id: long, text: string")
+    r = script_profile(df).collect()[0]
+    assert r.latin_ct == r.cjk_ct == 2
+    assert r.dominant_script == "latin"

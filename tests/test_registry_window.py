@@ -66,15 +66,15 @@ MUST_BE_IN_WINDOW = {
     # --- r15 new registration: adversarial-diameter CC fallback on a
     # forced-diameter fixture graph (verdict r14 item 8) ---
     "cc_two_phase",
-    # --- r13 pre-clears re-greened r14 (4 greens, held one more round;
-    # value_histogram yielded to the r15 sq8_ann_topk registration,
-    # event_pivot to bloom_contamination, order_priority to
-    # doc_chunks_overlap) ---
-    "province_stats_sql",
-    # --- r15 third/fourth/fifth registrations: SQ8 scalar quantization
-    # ANN, the Bloom-filter decontamination audit, and the overlapping
-    # (strided) RAG chunker ---
+    # (r13 pre-clears re-greened r14, 4 greens each, yielded to the r15
+    # second-session registrations: value_histogram → sq8_ann_topk,
+    # event_pivot → bloom_contamination, order_priority →
+    # doc_chunks_overlap, province_stats_sql → script_profile)
+    # --- r15 third..sixth registrations: SQ8 scalar quantization ANN,
+    # the Bloom-filter decontamination audit, the overlapping (strided)
+    # RAG chunker, and the Unicode script/charset profile ---
     "sq8_ann_topk", "bloom_contamination", "doc_chunks_overlap",
+    "script_profile",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and

@@ -59,6 +59,14 @@ FAMILY = [
     "quality_classifier",
     "doc_curation",
     "text_quality",
+    # r15 second-session registrations: bloom probes the ''-shingle
+    # convention (derived probe set is empty on this tiny fixture —
+    # n_grams per doc still checked), the overlap chunker must drop
+    # null/empty/whitespace docs identically, and script_profile's
+    # NULL ≡ empty counts must agree
+    "bloom_contamination",
+    "doc_chunks_overlap",
+    "script_profile",
 ]
 
 

@@ -94,3 +94,68 @@ def bm25_topk(
         F.col("score").desc(), F.col(id_col)
     )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec_id: int = 0,
+    k_arm: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-``k_arm`` fused with exact
+    cosine vector top-``k_arm`` by Reciprocal Rank Fusion
+    (Cormack/Clarke/Büttcher 2009):
+    ``rrf = Σ_arms 1/(rrf_k + rank)`` over the arms where the doc
+    appears — the standard RAG retrieval composition (sparse catches
+    exact terms, dense catches paraphrase; RRF needs no score
+    calibration because it only consumes RANKS).
+
+    Contract: ``emb``'s ``vec_id`` shares the document id space
+    (``vec_id i`` embeds doc ``i``); ids outside either arm's universe
+    simply never match that arm. Output ``(doc_id, bm25_rank,
+    vec_rank, rrf_score, rank)`` — absent-arm ranks emit 0 (rank 0
+    does not exist; it means "not in that arm's top-k_arm") and
+    contribute 0.0 to the fusion.
+
+    Scale shape: each arm is its own proven bounded plan (bm25_topk:
+    1-row stats broadcast + TakeOrdered; brute_force_topk: broadcast
+    query vs one corpus scan — swap in ``ivf_topk``/``sq8_adc_topk``
+    at index scale); the fusion itself touches ≤ 2·k_arm rows."""
+    from rt_bigdata_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(docs, terms, k=k_arm, k1=k1, b=b, id_col=id_col).select(
+        F.col(id_col), F.col("rank").alias("bm25_rank")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id)
+    vec = brute_force_topk(emb, q, k=k_arm).select(
+        F.col("neighbor_id").alias(id_col), F.col("rk").alias("vec_rank")
+    )
+    fused = lex.join(vec, id_col, "full_outer")
+    lex_c = F.when(
+        F.col("bm25_rank").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("bm25_rank")))
+    vec_c = F.when(
+        F.col("vec_rank").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank")))
+    top = (
+        fused.select(
+            id_col,
+            F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+            F.round(lex_c + vec_c, 9).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    from rt_bigdata_spark.operators.scale import bounded_window_key
+
+    w = Window.partitionBy(bounded_window_key(F.col("rrf_score"))).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -2107,6 +2107,20 @@ def _bm25_oracle(k: int = 20) -> str:
     score arithmetic with the SAME literal constants (repr() round-
     trips the python doubles Spark inlines via F.lit) and the same
     fixed term order in the score sum."""
+    return f"""
+WITH {_bm25_scored_ctes()}
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM bm25_scored
+) WHERE rank <= {k}
+"""
+
+
+def _bm25_scored_ctes() -> str:
+    """The toks→base→stats→bm25_scored CTE block shared by the BM25
+    oracle and the hybrid-RRF oracle (same literals, same fixed term
+    order)."""
     k1, b = _BM25_K1, _BM25_B
     tf_cols = ",\n         ".join(
         f"CAST(len(list_filter(t, x -> x = '{t_}')) AS BIGINT) AS tf_{i}"
@@ -2123,8 +2137,7 @@ def _bm25_oracle(k: int = 20) -> str:
         f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * dl / {avgdl})))"
         for i in range(len(_BM25_TERMS))
     )
-    return f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t FROM documents),
 base AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
          {tf_cols}
@@ -2135,14 +2148,71 @@ stats AS (
          {df_cols}
   FROM base
 ),
-scored AS (
+bm25_scored AS (
   SELECT doc_id, ROUND({contribs}, 9) AS score
   FROM base CROSS JOIN stats
+)"""
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (search.hybrid_search_rrf): BM25 lexical top-20
+    over documents fused with exact-cosine vector top-20 over
+    embeddings (query = vec_id 0's embedding) by Reciprocal Rank
+    Fusion, rrf_k=60 — the standard RAG sparse+dense composition. Each
+    arm is its own proven bounded plan; the fusion touches <= 40 rows."""
+    from rt_bigdata_spark.operators.search import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        query_vec_id=0,
+        k_arm=20,
+        k=10,
+    )
+
+
+def _hybrid_rrf_oracle(k_arm: int = 20, k: int = 10, rrf_k: float = 60.0) -> str:
+    """Composes the shared BM25 CTE block with the ann_cosine vector
+    arm (query vec_id 0) and the RRF fusion — contributions in the
+    same fixed lex-then-vec order and the same ``1.0 / (rrf_k + rank)``
+    IEEE expression as the Spark plan."""
+    return f"""
+WITH {_bm25_scored_ctes()},
+lex AS (
+  SELECT doc_id, rank AS bm25_rank FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM bm25_scored
+  ) WHERE rank <= {k_arm}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vscored AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_inner_product(qvec, cvec)
+               / (sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec))), 9) AS sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id <> 0) c
+  CROSS JOIN qv
+),
+vec AS (
+  SELECT doc_id, rk AS vec_rank FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rk
+    FROM vscored
+  ) WHERE rk <= {k_arm}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(l.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+         CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+         ROUND((CASE WHEN l.bm25_rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({rrf_k!r} + l.bm25_rank) END)
+             + (CASE WHEN v.vec_rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({rrf_k!r} + v.vec_rank) END), 9) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
 )
-SELECT doc_id, score, rank FROM (
-  SELECT doc_id, score,
-         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-  FROM scored
+SELECT doc_id, bm25_rank, vec_rank, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM fused
 ) WHERE rank <= {k}
 """
 
@@ -4170,6 +4240,10 @@ for spec in [
     QuerySpec("semantic_clusters", q_semantic_clusters, _ORACLE_SEMANTIC_CLUSTERS, ("clustering", "iterative"), bench=True, priority=80),
     QuerySpec("semdedup", q_semdedup, _ORACLE_SEMDEDUP, ("clustering", "dedup"), bench=True, priority=80),
     QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(), ("text", "search"), bench=True, priority=80),
+    # r15 seventh registration: hybrid sparse+dense retrieval with RRF
+    # fusion — the standard RAG composition; new spec, must land in the
+    # window (dsir_importance — four greens, re-greened r14 — yielded)
+    QuerySpec("hybrid_search_rrf", q_hybrid_search_rrf, _hybrid_rrf_oracle(), ("text", "search", "similarity"), priority=10),
     QuerySpec("stratified_sample", q_stratified_sample, _ORACLE_STRATIFIED, ("sampling",), priority=40),
     # r15: exactly-N weighted sampling with unbiased subset-sum
     # estimators (priority sampling); nation_trade — five greens —
@@ -4222,7 +4296,7 @@ for spec in [
     # r11 additions: never driver-verified -> must enter the window now
     # (scalar_datetime, json_props, product_stats — thrice-green —
     # yielded their slots).
-    QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=10),
+    QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=80),
     QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), bench=True, priority=10),
     QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=10),
     # r12: the per-feed operational read of the novelty curve (new

@@ -338,3 +338,61 @@ def test_semdedup_enforces_non_null_vector_contract(spark):
     )
     with pytest.raises(Exception, match="valid_embeddings"):
         semdedup(df, k=2, iters=1, tau=0.9).collect()
+
+
+# --- Hybrid retrieval (RRF fusion) ----------------------------------
+
+
+def test_hybrid_rrf_matches_python_reference(spark):
+    """Fuse the two arms' collected rankings in plain python and
+    assert identical fusion output (doc set, ranks, 9-dp scores)."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.operators.search import bm25_topk, hybrid_search_rrf
+    from rt_bigdata_spark.operators.similarity import brute_force_topk
+    from rt_bigdata_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    terms = ("hash", "join", "vector")
+
+    got = {
+        r.rank: (r.doc_id, r.bm25_rank, r.vec_rank, r.rrf_score)
+        for r in hybrid_search_rrf(docs, emb, terms, k_arm=20, k=10).collect()
+    }
+
+    lex = {r.doc_id: r.rank for r in bm25_topk(docs, terms, k=20).collect()}
+    vec = {
+        r.neighbor_id: r.rk
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).collect()
+    }
+    fused = {}
+    for d in set(lex) | set(vec):
+        s = (1.0 / (60.0 + lex[d]) if d in lex else 0.0) + (
+            1.0 / (60.0 + vec[d]) if d in vec else 0.0
+        )
+        fused[d] = (round(s, 9), lex.get(d, 0), vec.get(d, 0))
+    order = sorted(fused, key=lambda d: (-fused[d][0], d))[:10]
+    for rk, d in enumerate(order, start=1):
+        score, lr, vr = fused[d]
+        assert got[rk] == (d, lr, vr, score), (rk, got[rk], (d, lr, vr, score))
+
+
+def test_hybrid_rrf_both_arms_beat_single_arm_at_same_rank(spark):
+    """A doc ranked r in BOTH arms must outscore a doc ranked r in only
+    one arm — the defining monotonicity of RRF."""
+    from rt_bigdata_spark.operators.search import hybrid_search_rrf
+    from rt_bigdata_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = hybrid_search_rrf(docs, emb, ("hash", "join", "vector"), k_arm=20, k=10).collect()
+    for r in rows:
+        assert (r.bm25_rank > 0) or (r.vec_rank > 0)
+        single_best = 1.0 / 61.0  # best possible one-arm score
+        if r.bm25_rank > 0 and r.vec_rank > 0:
+            assert r.rrf_score > round(1.0 / (60.0 + max(r.bm25_rank, r.vec_rank)), 9) - 1e-12
+        else:
+            assert r.rrf_score <= round(single_best, 9) + 1e-12

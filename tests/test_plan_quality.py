@@ -234,6 +234,10 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         "sq8_ann_topk",  # broadcast 1-row min/max model + broadcast
         # query set (vec_id < 5) vs ONE scan of the byte-code corpus
         # (O(n·queries), k bounded — the pq_ann_topk shape)
+        "hybrid_search_rrf",  # composes the two sanctioned arms
+        # verbatim: bm25_search's 1-row corpus-stats broadcast and
+        # ann_cosine_topk's broadcast single-query set; the fusion
+        # itself is a full-outer join of two <= k_arm-row rankings
     }
     offenders = [
         n for n, pl in plans.items()

@@ -47,8 +47,9 @@ MUST_BE_IN_WINDOW = {
     # --- sweep/new families kept from r13 (<4 greens) ---
     # (r15 second batch: dedup_threshold_sweep / ivf_nprobe_sweep /
     # embedding_tau_sweep — five greens each, re-greened r14 — yielded
-    # to the r17-cohort pre-clear below)
-    "dsir_importance", "dup_source_matrix", "ngram_novelty",
+    # to the r17-cohort pre-clear below; dsir_importance — four greens
+    # — yielded to hybrid_search_rrf)
+    "dup_source_matrix", "ngram_novelty",
     # --- r13 new registrations (1 driver green, held in-window) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
     "quality_classifier_trained", "minhash_recall",
@@ -75,6 +76,9 @@ MUST_BE_IN_WINDOW = {
     # RAG chunker, and the Unicode script/charset profile ---
     "sq8_ann_topk", "bloom_contamination", "doc_chunks_overlap",
     "script_profile",
+    # --- r15 seventh registration: hybrid sparse+dense retrieval
+    # (BM25 + cosine arms fused by Reciprocal Rank Fusion) ---
+    "hybrid_search_rrf",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and

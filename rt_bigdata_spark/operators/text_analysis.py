@@ -1425,3 +1425,108 @@ def script_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         dom_expr.alias("dominant_script"),
         (present >= 2).alias("mixed_script"),
     )
+
+
+def trigram_backoff_surprisal(
+    df: DataFrame,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+    Language Models in Machine Translation") scored on a HELD-OUT
+    split — the top rung of the surprisal ladder (unigram →
+    add-k bigram → backoff trigram):
+
+        S(w|u,v) = c(uvw)/c(uv)            if c(uvw) > 0
+                 = α · S(w|v)              else
+        S(w|v)   = c(vw)/c(v)              if c(vw) > 0
+                 = α · S(w)                else
+        S(w)     = c(w)/N                  if c(w) > 0
+                 = 1/N                     else (unseen-token floor)
+
+    The model trains on EVEN doc ids and scores ODD doc ids (the
+    held-out shape a real CCNet-style pipeline runs — scoring the
+    training corpus against itself would make c(uvw) ≥ 1 everywhere
+    and the backoff dead code). Output per scored doc:
+    ``(doc_id, n_trigrams, tri_hits, bi_hits, uni_hits, oov_hits,
+    surprisal)`` — the hit-level counts hash-verify exactly WHERE the
+    backoff fired, and ``surprisal = avg(−ln S)`` rounded to 6 dp
+    (the bigram_surprisal float discipline). Docs with <3 tokens emit
+    no row.
+
+    Scale shape: three train-side count aggs (vocab-sized tables), a
+    1-row totals broadcast, and count joins back onto the exploded
+    held-out trigram stream — the bigram_surprisal shuffle shape one
+    level up; at 100 TB prune the count tables with a min-count and
+    broadcast them (Brants et al.'s own production recipe)."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    base = ensure_parallelism(df).select(F.col(id_col), toks.alias("t"), n.alias("n"))
+    train = base.filter(F.col(id_col) % 2 == 0)
+    test = base.filter(F.col(id_col) % 2 == 1)
+
+    def grams(src: DataFrame, width: int, out: str) -> DataFrame:
+        lst = F.transform(
+            F.sequence(F.lit(1), F.col("n") - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, width)),
+        )
+        return src.filter(F.col("n") >= width).select(
+            F.col(id_col), F.explode(lst).alias(out)
+        )
+
+    uni = grams(train, 1, "w").groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uni.agg(F.sum("cw").cast("long").alias("n_tok"))
+    bi = grams(train, 2, "bg").groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    tri = grams(train, 3, "tg").groupBy("tg").agg(F.count(F.lit(1)).alias("ctg"))
+
+    ts = grams(test, 3, "tg")
+    parts = F.split(F.col("tg"), " ")
+    ts = ts.select(
+        id_col,
+        "tg",
+        F.concat_ws(" ", parts.getItem(0), parts.getItem(1)).alias("uv"),
+        F.concat_ws(" ", parts.getItem(1), parts.getItem(2)).alias("vw"),
+        parts.getItem(1).alias("v"),
+        parts.getItem(2).alias("w"),
+    )
+    scored = (
+        ts.join(tri, "tg", "left")
+        .join(bi.select(F.col("bg").alias("uv"), F.col("cbg").alias("cuv")), "uv", "left")
+        .join(bi.select(F.col("bg").alias("vw"), F.col("cbg").alias("cvw")), "vw", "left")
+        .join(uni.select(F.col("w").alias("v"), F.col("cw").alias("cv")), "v", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(alpha)
+    nn = F.col("n_tok").cast("double")
+    s = (
+        F.when(
+            F.col("ctg").isNotNull(),
+            F.col("ctg").cast("double") / F.col("cuv").cast("double"),
+        )
+        .when(
+            F.col("cvw").isNotNull(),
+            a * (F.col("cvw").cast("double") / F.col("cv").cast("double")),
+        )
+        .when(F.col("cw").isNotNull(), a * (a * (F.col("cw").cast("double") / nn)))
+        .otherwise(a * (a * (F.lit(1.0) / nn)))
+    )
+    lvl = (
+        F.when(F.col("ctg").isNotNull(), F.lit(3))
+        .when(F.col("cvw").isNotNull(), F.lit(2))
+        .when(F.col("cw").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        scored.select(F.col(id_col), s.alias("s"), lvl.alias("lvl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum((F.col("lvl") == 3).cast("long")).cast("long").alias("tri_hits"),
+            F.sum((F.col("lvl") == 2).cast("long")).cast("long").alias("bi_hits"),
+            F.sum((F.col("lvl") == 1).cast("long")).cast("long").alias("uni_hits"),
+            F.sum((F.col("lvl") == 0).cast("long")).cast("long").alias("oov_hits"),
+            F.round(F.avg(-F.log(F.col("s"))), 6).alias("surprisal"),
+        )
+    )

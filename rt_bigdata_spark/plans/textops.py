@@ -3044,6 +3044,65 @@ WHERE rk <= {_CS_POS + _CS_HARD} OR rrk <= {_CS_RAND}
 _BGS_K = 0.5
 
 
+def q_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff surprisal on a held-out split
+    (text_analysis.trigram_backoff_surprisal): model trained on even
+    doc ids, odd docs scored — so the backoff cascade genuinely fires
+    and the per-level hit counts (tri/bi/uni/oov) hash-verify WHERE it
+    fired, not just the blended score."""
+    from rt_bigdata_spark.operators.text_analysis import trigram_backoff_surprisal
+
+    return trigram_backoff_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TRIGRAM_SURPRISAL = f"""
+WITH tl AS (SELECT doc_id, {_DUCK_TOKS_COALESCED} AS t, len({_DUCK_TOKS_COALESCED}) AS n FROM documents),
+train AS (SELECT * FROM tl WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM tl WHERE doc_id % 2 = 1),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+        FROM (SELECT UNNEST(t) AS w FROM train WHERE n >= 1) GROUP BY w),
+tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tok FROM uni),
+bi AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg
+       FROM (SELECT UNNEST([array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, n - 1)]) AS bg
+             FROM train WHERE n >= 2) GROUP BY bg),
+tri AS (SELECT tg, CAST(COUNT(*) AS BIGINT) AS ctg
+        FROM (SELECT UNNEST([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, n - 2)]) AS tg
+              FROM train WHERE n >= 3) GROUP BY tg),
+ts AS (SELECT doc_id, tg,
+              array_to_string(string_split(tg, ' ')[1:2], ' ') AS uv,
+              array_to_string(string_split(tg, ' ')[2:3], ' ') AS vw,
+              string_split(tg, ' ')[2] AS v,
+              string_split(tg, ' ')[3] AS w
+       FROM (SELECT doc_id, UNNEST([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, n - 2)]) AS tg
+             FROM test WHERE n >= 3)),
+scored AS (
+  SELECT ts.doc_id,
+         CASE WHEN tri.ctg IS NOT NULL THEN CAST(tri.ctg AS DOUBLE) / CAST(buv.cbg AS DOUBLE)
+              WHEN bvw.cbg IS NOT NULL THEN 0.4 * (CAST(bvw.cbg AS DOUBLE) / CAST(uv_v.cw AS DOUBLE))
+              WHEN uw.cw IS NOT NULL THEN 0.4 * (0.4 * (CAST(uw.cw AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+              ELSE 0.4 * (0.4 * (1.0 / CAST(n_tok AS DOUBLE))) END AS s,
+         CASE WHEN tri.ctg IS NOT NULL THEN 3
+              WHEN bvw.cbg IS NOT NULL THEN 2
+              WHEN uw.cw IS NOT NULL THEN 1 ELSE 0 END AS lvl
+  FROM ts
+  LEFT JOIN tri ON tri.tg = ts.tg
+  LEFT JOIN bi buv ON buv.bg = ts.uv
+  LEFT JOIN bi bvw ON bvw.bg = ts.vw
+  LEFT JOIN uni uv_v ON uv_v.w = ts.v
+  LEFT JOIN uni uw ON uw.w = ts.w
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
+       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits,
+       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uni_hits,
+       CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_hits,
+       ROUND(AVG(-ln(s)), 6) AS surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter (text_analysis.bigram_surprisal):
     avg −ln p(w₂|w₁) under the corpus's add-k-smoothed bigram model —
@@ -4293,11 +4352,16 @@ for spec in [
     # round-5 ninth batch (bigram-LM perplexity; dup_clusters — green
     # r1-r4 — yields its slot)
     QuerySpec("bigram_surprisal", q_bigram_surprisal, _ORACLE_BIGRAM_SURPRISAL, ("text", "profiling"), priority=80),
+    # r15 eighth registration: trigram stupid backoff on a held-out
+    # split — the top rung of the surprisal ladder; new spec, must land
+    # in the window (dup_source_matrix — four greens, re-greened r14 —
+    # yielded)
+    QuerySpec("trigram_surprisal", q_trigram_surprisal, _ORACLE_TRIGRAM_SURPRISAL, ("text", "profiling"), priority=10),
     # r11 additions: never driver-verified -> must enter the window now
     # (scalar_datetime, json_props, product_stats — thrice-green —
     # yielded their slots).
     QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=80),
-    QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), bench=True, priority=10),
+    QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), bench=True, priority=80),
     QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=10),
     # r12: the per-feed operational read of the novelty curve (new
     # registrations start at priority=70 — CI-verified every run,

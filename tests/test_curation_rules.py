@@ -297,3 +297,49 @@ def test_script_profile_dominant_ties_to_earlier_script(spark):
     r = script_profile(df).collect()[0]
     assert r.latin_ct == r.cjk_ct == 2
     assert r.dominant_script == "latin"
+
+
+def test_trigram_backoff_levels_and_values(spark):
+    """Hand-computed stupid-backoff cascade on a fixture where every
+    level fires: train = doc 0 ("a b c a b d"), test = doc 1
+    ("x a b c x") → trigram 'x a b' backs off to the bigram level
+    (0.4·c(ab)/c(a) = 0.4), 'a b c' hits the trigram level
+    (c(abc)/c(ab) = 0.5), 'b c x' falls to the unseen floor
+    (0.4·0.4·1/N, N=6)."""
+    import math
+
+    from rt_bigdata_spark.operators.text_analysis import trigram_backoff_surprisal
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "x a b c x")], "doc_id: long, text: string"
+    )
+    rows = trigram_backoff_surprisal(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.doc_id == 1 and r.n_trigrams == 3
+    assert (r.tri_hits, r.bi_hits, r.uni_hits, r.oov_hits) == (1, 1, 0, 1)
+    expect = round(
+        (-math.log(0.4) - math.log(0.5) - math.log(0.4 * (0.4 * (1.0 / 6.0)))) / 3.0, 6
+    )
+    assert r.surprisal == expect
+
+
+def test_trigram_backoff_unigram_level_and_short_docs(spark):
+    """A test trigram whose last word exists in train but whose vw
+    bigram does not scores at the unigram level; docs with <3 tokens
+    emit no row."""
+    import math
+
+    from rt_bigdata_spark.operators.text_analysis import trigram_backoff_surprisal
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "b c a d"), (3, "a b")], "doc_id: long, text: string"
+    )
+    got = {r.doc_id: r for r in trigram_backoff_surprisal(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    # 'b c a': tri level (c=1 / c('b c')=1); 'c a d': vw='a d' unseen,
+    # w='d' seen once → unigram level 0.4·0.4·(1/6)
+    assert (r.tri_hits, r.bi_hits, r.uni_hits, r.oov_hits) == (1, 0, 1, 0)
+    expect = round((-math.log(1.0) - math.log(0.4 * (0.4 * (1.0 / 6.0)))) / 2.0, 6)
+    assert r.surprisal == expect

@@ -238,6 +238,10 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         # verbatim: bm25_search's 1-row corpus-stats broadcast and
         # ann_cosine_topk's broadcast single-query set; the fusion
         # itself is a full-outer join of two <= k_arm-row rankings
+        "trigram_surprisal",  # broadcast 1-row train-token total N
+        # onto the scored trigram stream — the unigram_surprisal /
+        # bigram_surprisal 1-row-stats shape one level up; all count
+        # joins are equi-joins on gram keys
     }
     offenders = [
         n for n, pl in plans.items()

@@ -48,8 +48,9 @@ MUST_BE_IN_WINDOW = {
     # (r15 second batch: dedup_threshold_sweep / ivf_nprobe_sweep /
     # embedding_tau_sweep — five greens each, re-greened r14 — yielded
     # to the r17-cohort pre-clear below; dsir_importance — four greens
-    # — yielded to hybrid_search_rrf)
-    "dup_source_matrix", "ngram_novelty",
+    # — yielded to hybrid_search_rrf; dup_source_matrix — four greens
+    # — yielded to trigram_surprisal)
+    "ngram_novelty",
     # --- r13 new registrations (1 driver green, held in-window) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
     "quality_classifier_trained", "minhash_recall",
@@ -76,9 +77,10 @@ MUST_BE_IN_WINDOW = {
     # RAG chunker, and the Unicode script/charset profile ---
     "sq8_ann_topk", "bloom_contamination", "doc_chunks_overlap",
     "script_profile",
-    # --- r15 seventh registration: hybrid sparse+dense retrieval
-    # (BM25 + cosine arms fused by Reciprocal Rank Fusion) ---
-    "hybrid_search_rrf",
+    # --- r15 seventh/eighth registrations: hybrid sparse+dense
+    # retrieval (BM25 + cosine arms fused by Reciprocal Rank Fusion)
+    # and the held-out trigram stupid-backoff surprisal ---
+    "hybrid_search_rrf", "trigram_surprisal",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and

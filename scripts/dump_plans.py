@@ -64,6 +64,10 @@ FLAGSHIPS = {
     "media_wav_decode": "the real-codec driver row: WAV muxing is a whole-stage-codegen binary concat (constant 44-byte header literal + unhex(md5) payload) over a scan pruned to (doc_id, text); the stdlib-wave decode runs in ONE ArrowEvalPython (mapInPandas) stage over the pre-pruned 3-column frame — no shuffle anywhere, output is O(rows).",
     "cc_two_phase": "alternating large-star/small-star CC: per round two groupBy-explode passes over the SHRINKING edge set with localCheckpoint lineage truncation (plan depth constant in rounds); the final labeling is one left join of the 400-node frame against the converged star forest — rounds O(log² n) regardless of component diameter, where min-label's plan would need diameter rounds.",
     "semdedup": "SemDeDup with the r12 exact-dup collapse: one groupBy on the raw vector (min-id rep + member-id list), rep-level cluster-local pairwise over hoisted (_vd, _nrm) columns, verdicts fanned back by explode — flat in duplication factor (30× probe: 271.6 s naive → 5.6 s). Cell key is NON-NULLABLE (kills the isnotnull filter re-inline) and the pair join sits on a numbered repartition(cell) so AQE cannot coalesce the quadratic stage to one task.",
+    "sq8_ann_topk": "SQ8 asymmetric search: the per-dim min/max model reduces partial→final to ONE row broadcast over a second scan; encode and on-the-fly dequant are transform lambdas inside the scan projection; the 5-row query set broadcasts and the only Exchange is the per-query top-k window — byte codes, never raw vectors, feed the scorer.",
+    "bloom_contamination": "Bloom decontamination audit: probe grams hash to ≤m distinct set-bit rows (broadcast BY CONSTRUCTION); the corpus-side shingle explode ×k salts probes them via BroadcastHashJoin; the exact arm's gram equi-join rides beside it; three output-sized aggs close the plan — no corpus-scale exchange beyond the per-doc counts.",
+    "hybrid_search_rrf": "hybrid RRF: the BM25 arm (1-row stats broadcast + TakeOrderedAndProject) and the cosine arm (broadcast single query + top-k window) run as their own proven sub-plans; the fusion is a full-outer SortMergeJoin of two ≤20-row rankings — constant-size tail whatever the corpus.",
+    "trigram_surprisal": "held-out stupid backoff: three train-side vocab-sized count aggs, the 1-row token total broadcast, and four LEFT equi-joins of count tables onto the odd-docs trigram stream; the backoff cascade is a map-side CASE, the per-doc average one hash-agg.",
 }
 
 

@@ -42,6 +42,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "corpus (r15: the scoring stage moved here out of "
         "similar_activity_topk so maintained matrices can feed it)"
     ),
+    ("operators/text_analysis.py", "trigram_backoff_surprisal"): (
+        "1-row train-corpus token total N — the unigram/bigram surprisal shape"
+    ),
     ("operators/curation_rules.py", "bloom_contamination"): (
         "Bloom set-bit positions — at most m (=65536) rows BY CONSTRUCTION, "
         "independent of probe-set and corpus size; that bound is the operator's "

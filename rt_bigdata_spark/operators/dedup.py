@@ -1563,3 +1563,59 @@ def substring_dup_stats(
             (frac > F.lit(max_dup_fraction)).alias("drop"),
         )
     )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    cand_threshold: float = 0.1,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Character-level EDIT-DISTANCE verification of LSH candidate
+    pairs: ``(doc_a, doc_b, edit_dist, edit_sim)`` where
+    ``edit_sim = 1 − levenshtein/max(len)`` (rounded 9 dp) and only
+    pairs with ``edit_sim ≥ threshold`` survive.
+
+    Why a THIRD verifier next to Jaccard and cosine: shingle Jaccard is
+    coarse on SHORT documents (one token edit can drop several of the
+    handful of shingles) and order-blind on long ones; Levenshtein is
+    the precise character-level metric — the classic last-pass check
+    before merging near-identical records. Both engines ship the same
+    unit-cost Levenshtein (Spark ``levenshtein``, DuckDB
+    ``levenshtein``), so the metric is exactly cross-engine.
+
+    Cost contract: Levenshtein is O(|a|·|b|) PER PAIR — it must only
+    ever run on a bounded candidate set, never corpus×corpus. The
+    candidate stage here is the proven banded-LSH pipeline
+    (``minhash_lsh_pairs`` at ``cand_threshold``); the verify stage is
+    two id equi-joins to fetch texts plus a map-side distance. Both
+    NULL/empty texts compare as identical (edit_sim 1.0 — the
+    ''-shingle clique convention carried through)."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, cand_threshold, df_cap=df_cap
+    ).select("doc_a", "doc_b")
+    t = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    j = pairs.join(
+        t.select(F.col(id_col).alias("doc_a"), F.col("_t").alias("ta")), "doc_a"
+    ).join(t.select(F.col(id_col).alias("doc_b"), F.col("_t").alias("tb")), "doc_b")
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.round(
+        F.when(mx == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - dist.cast("double") / mx.cast("double")
+        ),
+        9,
+    )
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= F.lit(threshold))
+    )

@@ -340,6 +340,36 @@ FROM cand WHERE est >= {threshold} GROUP BY doc_a, doc_b
 """
 
 
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the banded-LSH candidate set
+    (dedup.edit_distance_verify): Levenshtein is the precise
+    character-level near-dup metric — coarse shingle Jaccard's
+    short-doc blind spot — but O(|a|·|b|) per pair, so it runs ONLY on
+    the bounded candidate pairs, never corpus×corpus. Both engines
+    ship the same unit-cost levenshtein(), making the verifier exactly
+    cross-engine."""
+    from rt_bigdata_spark.operators.dedup import edit_distance_verify
+
+    return edit_distance_verify(load_table(spark, sf_dir, "documents"))
+
+
+def _edit_distance_verify_oracle(threshold: float = 0.3, cand_threshold: float = 0.1) -> str:
+    return f"""
+WITH {_minhash_cand_ctes()},
+vpairs AS (SELECT doc_a, doc_b FROM cand WHERE est >= {cand_threshold} GROUP BY doc_a, doc_b),
+tx AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+m AS (
+  SELECT doc_a, doc_b,
+         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+         ROUND(CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+                    ELSE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                               / CAST(greatest(len(a.t), len(b.t)) AS DOUBLE) END, 9) AS edit_sim
+  FROM vpairs JOIN tx a ON a.doc_id = doc_a JOIN tx b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, edit_dist, edit_sim FROM m WHERE edit_sim >= {threshold}
+"""
+
+
 _RECALL_JT = 0.5
 _RECALL_GRID = (4, 8, 16, 32)
 
@@ -4193,6 +4223,11 @@ for spec in [
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
     QuerySpec("minhash_recall", q_minhash_recall, _minhash_recall_oracle(), ("dedup", "audit", "approx"), priority=40),
+    # r15 ninth registration: character-level edit-distance verify of
+    # the LSH candidate set — the short-doc-precise third verifier next
+    # to Jaccard and cosine; new spec, must land in the window
+    # (ngram_novelty — four greens, re-greened r14 — yielded)
+    QuerySpec("edit_distance_verify", q_edit_distance_verify, _edit_distance_verify_oracle(), ("dedup", "approx", "verify"), priority=10),
     QuerySpec("ann_cosine_topk", q_ann_cosine_topk, _ORACLE_ANN, ("similarity",), bench=True, priority=40),
     # minhash_lsh: twice-green (r4, r5) — yielded its slot to the r6
     # quality_gate_threshold (still benched + oracle-verified every CI run)
@@ -4362,7 +4397,7 @@ for spec in [
     # yielded their slots).
     QuerySpec("dsir_importance", q_dsir_importance, _ORACLE_DSIR, ("text", "sampling", "training"), bench=True, priority=80),
     QuerySpec("dup_source_matrix", q_dup_source_matrix, _ORACLE_DUP_SOURCE_MATRIX, ("dedup", "profiling"), bench=True, priority=80),
-    QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=10),
+    QuerySpec("ngram_novelty", q_ngram_novelty, _ORACLE_NGRAM_NOVELTY, ("text", "profiling"), priority=80),
     # r12: the per-feed operational read of the novelty curve (new
     # registrations start at priority=70 — CI-verified every run,
     # outside the driver window until the planner rotates it in)

@@ -713,3 +713,51 @@ def test_minhash_recall_validates_band_divisibility(spark):
     docs = _dup_corpus(spark)
     with _pt.raises(ValueError, match="divide"):
         minhash_recall(docs, num_hashes=16, bands_grid=(3,)).collect()
+
+
+# --- edit-distance verification --------------------------------------
+
+
+def test_edit_distance_verify_values_and_empty_convention(spark):
+    """Hand-pinned Levenshtein values on planted near-identical docs;
+    NULL/empty docs (the ''-shingle clique) verify at edit_sim 1.0."""
+    from rt_bigdata_spark.operators.dedup import edit_distance_verify
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),  # 1 substitution
+        (3, None),
+        (4, ""),
+        (5, "completely unrelated words about quantum topology and geometry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.doc_a, r.doc_b): r for r in edit_distance_verify(df, threshold=0.3).collect()}
+    pair = got[(1, 2)]
+    assert pair.edit_dist == 1
+    assert pair.edit_sim == round(1.0 - 1.0 / len(base), 9)
+    empty = got[(3, 4)]
+    assert empty.edit_dist == 0 and empty.edit_sim == 1.0
+    assert (1, 5) not in got and (2, 5) not in got
+
+
+def test_edit_distance_verify_is_subset_of_candidates(spark):
+    """Verification only FILTERS: every surviving pair must be an LSH
+    candidate pair, and raising the threshold shrinks the output
+    monotonically."""
+    from rt_bigdata_spark.operators.dedup import (
+        edit_distance_verify,
+        minhash_lsh_pairs,
+    )
+    from rt_bigdata_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.1).select("doc_a", "doc_b").collect()
+    }
+    lo = {(r.doc_a, r.doc_b) for r in edit_distance_verify(docs, threshold=0.3).collect()}
+    hi = {(r.doc_a, r.doc_b) for r in edit_distance_verify(docs, threshold=0.8).collect()}
+    assert lo <= cands
+    assert hi <= lo

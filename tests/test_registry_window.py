@@ -49,8 +49,8 @@ MUST_BE_IN_WINDOW = {
     # embedding_tau_sweep — five greens each, re-greened r14 — yielded
     # to the r17-cohort pre-clear below; dsir_importance — four greens
     # — yielded to hybrid_search_rrf; dup_source_matrix — four greens
-    # — yielded to trigram_surprisal)
-    "ngram_novelty",
+    # — yielded to trigram_surprisal; ngram_novelty — four greens —
+    # yielded to edit_distance_verify)
     # --- r13 new registrations (1 driver green, held in-window) ---
     "minhash_spanning", "embedding_spanning", "tokenizer_fertility",
     "quality_classifier_trained", "minhash_recall",
@@ -81,6 +81,9 @@ MUST_BE_IN_WINDOW = {
     # retrieval (BM25 + cosine arms fused by Reciprocal Rank Fusion)
     # and the held-out trigram stupid-backoff surprisal ---
     "hybrid_search_rrf", "trigram_surprisal",
+    # --- r15 ninth registration: edit-distance verification of the
+    # LSH candidate set ---
+    "edit_distance_verify",
     # --- r12 new registrations ---
     "source_novelty", "embedding_validation",
     # --- r12 pre-clears still <6 greens (r15: embedding_project and

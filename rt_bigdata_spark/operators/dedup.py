@@ -1619,3 +1619,65 @@ def edit_distance_verify(
         )
         .filter(F.col("edit_sim") >= F.lit(threshold))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the subset-duplication
+    detector symmetric Jaccard misses: ``containment(A→B) =
+    |A∩B| / |A|`` is ~1.0 when doc A is quoted/embedded inside a much
+    larger doc B even though their Jaccard is tiny (the C4/RealNews
+    quotation-dedup case). Emits ``(doc_a, doc_b, inter, size_a,
+    size_b, containment_a, containment_b)`` for pairs where EITHER
+    direction reaches ``threshold`` (doc_a < doc_b; containment_a is
+    "how much of A is inside B").
+
+    Same plan shape, same ``df_cap`` stop-shingle guard and same
+    capped-universe exactness contract as ``ngram_jaccard_pairs`` —
+    one 8-byte-key shingle self-join, per-pair intersection, sizes by
+    inclusion; only the final scoring expression differs."""
+    df = ensure_parallelism(df)
+    shingled = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).select("doc", F.xxhash64("shingle").alias("sh"))
+    paired = shingled
+    if df_cap is not None:
+        freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        paired = shingled.join(freq.filter(F.col("df") <= df_cap).select("sh"), "sh")
+    sizes = paired.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = paired.alias("a")
+    b = paired.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    ca = F.col("inter").cast("double") / F.col("size_a").cast("double")
+    cb = F.col("inter").cast("double") / F.col("size_b").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .filter(
+            (F.col("containment_a") >= F.lit(threshold))
+            | (F.col("containment_b") >= F.lit(threshold))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            "containment_a",
+            "containment_b",
+        )
+    )

@@ -239,6 +239,42 @@ jpairs AS (
 _ORACLE_JACCARD = f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard FROM jpairs"
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs
+    (dedup.ngram_containment_pairs, threshold 0.5, df_cap 100): the
+    subset-duplication detector — containment(A→B) = |A∩B|/|A| is ~1.0
+    when a short doc is quoted inside a much larger one even though
+    their Jaccard is tiny. The synthetic corpus's near-dups are
+    symmetric (both directions agree), so the driver row verifies the
+    shared pair/size/intersection algebra and both division directions;
+    the genuinely one-sided case (quotation) is value-pinned on a
+    planted fixture in tests/test_dedup_similarity.py."""
+    from rt_bigdata_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.5, df_cap=_JACCARD_DF_CAP)
+
+
+# the shingle/df-cap/pair/size CTEs shared with the Jaccard oracle,
+# cut before its jpairs scoring CTE (containment scores differently)
+_JACCARD_PAIR_CTES = _JACCARD_CTES.split(",\njpairs")[0]
+
+_ORACLE_CONTAINMENT_PAIRS = f"""
+WITH {_JACCARD_PAIR_CTES},
+cont AS (
+  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         CAST(sa.n_shingles AS BIGINT) AS size_a,
+         CAST(sb.n_shingles AS BIGINT) AS size_b,
+         CAST(inter AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE) AS containment_a,
+         CAST(inter AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE) AS containment_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM cont WHERE containment_a >= 0.5 OR containment_b >= 0.5
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -4222,6 +4258,10 @@ for spec in [
     QuerySpec("script_profile", q_script_profile, _ORACLE_SCRIPT_PROFILE, ("text", "profiling"), priority=10),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
+    # r15 tenth registration: asymmetric containment (the quotation/
+    # subset-dup detector); new spec, must land in the window
+    # (media_resize — four greens, re-greened r14 — yielded)
+    QuerySpec("ngram_containment", q_ngram_containment, _ORACLE_CONTAINMENT_PAIRS, ("dedup", "profiling"), priority=10),
     QuerySpec("minhash_recall", q_minhash_recall, _minhash_recall_oracle(), ("dedup", "audit", "approx"), priority=40),
     # r15 ninth registration: character-level edit-distance verify of
     # the LSH candidate set — the short-doc-precise third verifier next
@@ -4279,7 +4319,7 @@ for spec in [
     # made both SQL-expressible after five rounds of rows-only checks
     QuerySpec("media_features", q_media_features, _media_features_oracle(), ("multimodal",), priority=80),
     QuerySpec("media_frames", q_media_frames, _ORACLE_MEDIA_FRAMES, ("multimodal",), priority=80),
-    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=40),
+    QuerySpec("media_resize", q_media_resize, _ORACLE_MEDIA_RESIZE, ("multimodal",), priority=80),
     # r15: the real stdlib-wave codec path driver-verified end to end
     # (verdict r14 item 5); winnow_pairs — five greens — yielded
     QuerySpec("media_wav_decode", q_media_wav_decode, _ORACLE_MEDIA_WAV_DECODE, ("multimodal", "codec"), priority=10),

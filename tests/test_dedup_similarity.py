@@ -761,3 +761,39 @@ def test_edit_distance_verify_is_subset_of_candidates(spark):
     hi = {(r.doc_a, r.doc_b) for r in edit_distance_verify(docs, threshold=0.8).collect()}
     assert lo <= cands
     assert hi <= lo
+
+
+def test_containment_detects_planted_quotation(spark):
+    """A short doc quoted verbatim inside a much larger doc has
+    containment(A->B) = 1.0 while its Jaccard stays below any dedup
+    threshold — the asymmetric case the operator exists for."""
+    from rt_bigdata_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.replace("filler", "pad")),
+        (3, "entirely different text about something else entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.doc_a, r.doc_b): r for r in ngram_containment_pairs(df, threshold=0.8).collect()}
+    pair = got[(1, 2)]
+    assert pair.containment_a == 1.0  # every shingle of the quote is in doc 2
+    assert pair.containment_b < 0.2
+    jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # symmetric Jaccard misses the quotation
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_containment_symmetric_on_identical_docs(spark):
+    from rt_bigdata_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [(1, "a b c d e f g"), (2, "a b c d e f g")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    r = ngram_containment_pairs(df, threshold=0.9).collect()[0]
+    assert r.containment_a == 1.0 and r.containment_b == 1.0
+    assert r.inter == r.size_a == r.size_b

@@ -25,6 +25,8 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from rt_bigdata_spark.operators.scale import ensure_parallelism
+
 
 @dataclass(frozen=True)
 class Expectation:
@@ -98,4 +100,77 @@ def check_expectations(
         "n_rows",
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+# --- Population Stability Index (distribution drift) -----------------
+
+# Fixed, corpus-independent n_chars bucket edges (11 edges → 10
+# buckets, last unbounded). Literals so the bucketing needs no
+# data-dependent pass and both engines agree bit-for-bit.
+PSI_EDGES = (0, 50, 100, 150, 200, 300, 400, 600, 800, 1200)
+
+
+def _psi_bucket(col):
+    """Bucket index 0..9 for a length value under PSI_EDGES."""
+    b = F.lit(len(PSI_EDGES) - 1)
+    for i in range(len(PSI_EDGES) - 1, 0, -1):
+        b = F.when(col < F.lit(PSI_EDGES[i]), F.lit(i - 1)).otherwise(b)
+    return b
+
+
+def source_length_psi(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Population Stability Index of each source's length distribution
+    against the whole corpus — the standard drift monitor
+    (PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); rule-of-thumb: <0.1 stable,
+    0.1-0.25 moderate shift, >0.25 action). A feed whose document-length
+    profile diverges from the corpus (truncation bug, boilerplate
+    injection, crawler change) surfaces here before it poisons a
+    training mix.
+
+    Determinism contract: per-source bucket counts land in 10 FIXED
+    conditional-agg columns (one map-side-combinable HashAggregate);
+    corpus totals are the same agg without keys (1-row broadcast); PSI
+    is a LITERAL CHAIN of the 10 terms in fixed bucket order — never a
+    SQL SUM over term rows, whose float association order is
+    plan-dependent. Proportions are Laplace-smoothed
+    ((c+1)/(n+10)) so ln never sees zero. Output
+    ``(source, n_docs, psi)`` with psi rounded 9 dp.
+
+    Scale shape: two aggregates over one scan shape (O(sources) and
+    1-row outputs), a broadcast, and a map-side projection — nothing
+    corpus-sized crosses the wire."""
+    nb = len(PSI_EDGES)
+    bkt = _psi_bucket(F.col(len_col))
+    base = ensure_parallelism(df).select(F.col(group_col), bkt.alias("_b"))
+    per_src = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum((F.col("_b") == i).cast("long")).cast("long").alias(f"c{i}")
+            for i in range(nb)
+        ],
+    )
+    tot = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        *[
+            F.sum((F.col("_b") == i).cast("long")).cast("long").alias(f"t{i}")
+            for i in range(nb)
+        ],
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    psi = None
+    for i in range(nb):
+        p = (F.col(f"c{i}") + F.lit(1)).cast("double") / (F.col("n_docs") + F.lit(nb)).cast("double")
+        q = (F.col(f"t{i}") + F.lit(1)).cast("double") / (F.col("n_tot") + F.lit(nb)).cast("double")
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return j.select(
+        group_col,
+        "n_docs",
+        F.round(psi, 9).alias("psi"),
     )

@@ -1840,6 +1840,46 @@ FROM nb LEFT JOIN bh USING (doc_id) LEFT JOIN eh ON eh.doc_id = nb.doc_id
 """
 
 
+def q_source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Population Stability Index of the document-length
+    distribution vs the whole corpus (expectations.source_length_psi)
+    — the standard drift monitor for feed health; every term of the
+    10-bucket PSI sum is a fixed-order literal chain, so the score is
+    bit-identical cross-engine."""
+    from rt_bigdata_spark.operators.expectations import source_length_psi
+
+    return source_length_psi(load_table(spark, sf_dir, "documents"))
+
+
+def _source_length_psi_oracle() -> str:
+    from rt_bigdata_spark.operators.expectations import PSI_EDGES
+
+    nb = len(PSI_EDGES)
+    bexpr = f"{nb - 1}"
+    for i in range(nb - 1, 0, -1):
+        bexpr = f"CASE WHEN n_chars < {PSI_EDGES[i]} THEN {i - 1} ELSE {bexpr} END"
+    ccols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i in range(nb)
+    )
+    tcols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS t{i}" for i in range(nb)
+    )
+    terms = " + ".join(
+        f"((CAST(c{i} + 1 AS DOUBLE) / CAST(n_docs + {nb} AS DOUBLE))"
+        f" - (CAST(t{i} + 1 AS DOUBLE) / CAST(n_tot + {nb} AS DOUBLE)))"
+        f" * ln((CAST(c{i} + 1 AS DOUBLE) / CAST(n_docs + {nb} AS DOUBLE))"
+        f" / (CAST(t{i} + 1 AS DOUBLE) / CAST(n_tot + {nb} AS DOUBLE)))"
+        for i in range(nb)
+    )
+    return f"""
+WITH base AS (SELECT source, {bexpr} AS b FROM documents),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, {ccols} FROM base GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot, {tcols} FROM base)
+SELECT source, n_docs, ROUND({terms}, 9) AS psi
+FROM per_src CROSS JOIN tot
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-64-token sequence packing (packing.chunk_documents):
     map-side transform+explode, no shuffle."""
@@ -4256,6 +4296,10 @@ for spec in [
     # pre-langid curation signal; new spec, must land in the window
     # (province_stats_sql — four greens, re-greened r14 — yielded)
     QuerySpec("script_profile", q_script_profile, _ORACLE_SCRIPT_PROFILE, ("text", "profiling"), priority=10),
+    # r15 eleventh registration: per-source length-distribution PSI —
+    # the feed-drift monitor; new spec, must land in the window
+    # (bpe_encode — four greens, re-greened r14 — yielded)
+    QuerySpec("source_length_psi", q_source_length_psi, _source_length_psi_oracle(), ("profiling", "audit"), priority=10),
     QuerySpec("token_stats", q_token_stats, _ORACLE_TOKEN_STATS, ("text",), priority=80),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, _ORACLE_JACCARD, ("dedup",), bench=True, priority=80),
     # r15 tenth registration: asymmetric containment (the quotation/
@@ -4409,7 +4453,7 @@ for spec in [
     QuerySpec("bpe_pairs", q_bpe_pairs, _ORACLE_BPE_PAIRS, ("text", "tokenizer"), priority=80),
     # round-6: the full driver-controlled merge loop (one step = bpe_pairs)
     QuerySpec("bpe_merges", q_bpe_merges, _bpe_merges_oracle(), ("text", "tokenizer", "iterative"), bench=True, priority=80),
-    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=40),
+    QuerySpec("bpe_encode", q_bpe_encode, _bpe_encode_oracle(), ("text", "tokenizer"), bench=True, priority=80),
     # round-8: full tokenizer application (semdedup — thrice-green r5-r7 —
     # yields its slot; still CI-oracle-verified every run)
     QuerySpec("bpe_encode_tokens", q_bpe_encode_tokens, _bpe_encode_tokens_oracle(), ("text", "tokenizer"), bench=True, priority=80),

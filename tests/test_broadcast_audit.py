@@ -42,6 +42,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "corpus (r15: the scoring stage moved here out of "
         "similar_activity_topk so maintained matrices can feed it)"
     ),
+    ("operators/expectations.py", "source_length_psi"): (
+        "1-row corpus bucket totals (10 fixed conditional-agg columns)"
+    ),
     ("operators/text_analysis.py", "trigram_backoff_surprisal"): (
         "1-row train-corpus token total N — the unigram/bigram surprisal shape"
     ),

@@ -343,3 +343,42 @@ def test_trigram_backoff_unigram_level_and_short_docs(spark):
     assert (r.tri_hits, r.bi_hits, r.uni_hits, r.oov_hits) == (1, 0, 1, 0)
     expect = round((-math.log(1.0) - math.log(0.4 * (0.4 * (1.0 / 6.0)))) / 2.0, 6)
     assert r.surprisal == expect
+
+
+def test_psi_zero_on_single_source_and_nonnegative(spark):
+    """A single source IS the corpus, so every smoothed p equals q and
+    PSI is exactly 0.0; PSI is a sum of (p-q)ln(p/q) terms, each >= 0,
+    so it can never go negative."""
+    from rt_bigdata_spark.operators.expectations import source_length_psi
+
+    one = spark.createDataFrame(
+        [(i, "s0", 10 * i) for i in range(40)], "doc_id: long, source: string, n_chars: long"
+    )
+    r = source_length_psi(one).collect()
+    assert len(r) == 1 and r[0].psi == 0.0
+
+    two = spark.createDataFrame(
+        [(i, f"s{i % 2}", 37 * (i % 13)) for i in range(80)],
+        "doc_id: long, source: string, n_chars: long",
+    )
+    for row in source_length_psi(two).collect():
+        assert row.psi >= 0.0
+
+
+def test_psi_flags_planted_length_drift(spark):
+    """A source whose docs are all far longer than the corpus norm must
+    score a much higher PSI than sources matching the norm."""
+    from rt_bigdata_spark.operators.expectations import source_length_psi
+
+    # drift as a MINORITY feed (the realistic monitoring shape: the
+    # corpus reference is dominated by healthy sources)
+    rows = []
+    for i in range(60):
+        rows.append((i, "normal_a", 80 + (i % 40)))
+        rows.append((1000 + i, "normal_b", 90 + (i % 40)))
+    for i in range(10):
+        rows.append((2000 + i, "drifted", 5000 + i))  # all in the top bucket
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, n_chars: long")
+    got = {r.source: r.psi for r in source_length_psi(df).collect()}
+    assert got["drifted"] > 0.25  # the "action" band
+    assert got["drifted"] > 3 * max(got["normal_a"], got["normal_b"])

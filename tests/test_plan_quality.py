@@ -242,6 +242,9 @@ def test_no_corpus_wide_nested_loop_join_in_any_registered_plan(plans):
         # onto the scored trigram stream — the unigram_surprisal /
         # bigram_surprisal 1-row-stats shape one level up; all count
         # joins are equi-joins on gram keys
+        "source_length_psi",  # broadcast 1-row corpus bucket totals
+        # onto the O(sources)-row per-source frame — the key_skew /
+        # ivfpq_cell_stats 1-row-totals shape
     }
     offenders = [
         n for n, pl in plans.items()

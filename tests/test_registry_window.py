@@ -102,10 +102,11 @@ MUST_BE_IN_WINDOW = {
     # media_features, media_frames — five greens each — yielded to the
     # r17-cohort pre-clear below) ---
     # (media_resize — four greens — yielded to ngram_containment in
-    # the r15 second session)
-    "bpe_encode",
-    # --- r15 tenth registration: asymmetric n-gram containment ---
-    "ngram_containment",
+    # the r15 second session; bpe_encode — four greens — yielded to
+    # source_length_psi)
+    # --- r15 tenth/eleventh registrations: asymmetric n-gram
+    # containment and the per-source length-distribution PSI ---
+    "ngram_containment", "source_length_psi",
     # --- r15 SECOND-BATCH ROTATION — pre-clearing HALF of the 20-spec
     # r10-green cohort (due r17 under the staleness ratchet; the other
     # 10 rotate at r16/r17) at priority=40, so no later round needs

@@ -353,6 +353,11 @@ def build_ivfpq_index(
             for j in range(m)
         ],
     )
+    # ONE file per cell directory (r15, guide §6) — same small-files
+    # fix as similarity.build_ivf_index: partitionBy from a 32-partition
+    # frame wrote ~n_parts × n_centroids tiny code files, so every
+    # probed read paid file-open overhead far above the byte cost.
+    coded = coded.repartition(len(coarse), F.col("cell"))
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
     model_rows = [("coarse", i + 1, j, x) for i, c in enumerate(coarse) for j, x in enumerate(c)] + [
         (f"book{jj}", i + 1, j, x)
@@ -366,7 +371,22 @@ def build_ivfpq_index(
     return coarse, books
 
 
+# Per-process cache of the tiny IVF-PQ MODEL (coarse centroids +
+# codebooks), keyed by (path, mtime of _model) — same rationale as
+# similarity._index_centroids: the model is index metadata the probes
+# re-collected on every call (one read+collect job each), pure
+# job-scheduling overhead at probe time. mtime serves fresh weights if
+# an index is rebuilt at the same path in-process.
+_IVFPQ_MODEL_CACHE: dict = {}
+
+
 def _load_ivfpq_model(spark, path: str):
+    import os as _os
+
+    key = (path, _os.path.getmtime(f"{path}/_model"))
+    hit = _IVFPQ_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
     rows = spark.read.parquet(f"{path}/_model").collect()
     groups: dict[str, dict[int, dict[int, float]]] = {}
     for r in rows:
@@ -379,6 +399,7 @@ def _load_ivfpq_model(spark, path: str):
 
     coarse = to_list(groups["coarse"])
     books = [to_list(groups[f"book{j}"]) for j in range(len(groups) - 1)]
+    _IVFPQ_MODEL_CACHE[key] = (coarse, books)
     return coarse, books
 
 

@@ -368,11 +368,45 @@ def build_ivf_index(
     spark = corpus.sparkSession
     centroids = centroids or _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     assigned = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
+    # ONE file per cell directory (r15, guide §6): partitionBy from an
+    # n-partition frame writes up to n × n_centroids tiny files — the
+    # measured sf0.1 index was 512 files, and every probe paid ~128
+    # file opens / ~250 scheduled tasks to read 4 cells (248-task warm
+    # probes, executorRunTime ≈ 10× CPU time — pure open/commit
+    # overhead). Hashing on the cell key first gives exactly one file
+    # per populated cell (a cell's rows all land in one partition).
+    # The explicit numPartitions keeps this exempt from AQE coalescing.
+    # At warehouse scale, where one file per cell would be too large,
+    # add a deterministic salt column (pmod(xxhash64(id), files_per_
+    # cell)) to the repartition — same layout story, bounded file size.
+    assigned = assigned.repartition(len(centroids), F.col("cell"))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     cent_df = spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(centroids)], "cell: long, centroid: array<double>"
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+# Per-process cache of the tiny centroid MODEL of a materialized index,
+# keyed by (path, mtime of the _centroids dir): the index itself is
+# already amortized write-once storage, and its n_centroids × dim model
+# is index METADATA, not query results — re-collecting it per probe cost
+# 2 Spark jobs per call (r15 measurement: warm probes were pure
+# job-scheduling overhead, 13 jobs / 0.4 s CPU). The mtime key serves
+# fresh centroids if an index is rebuilt at the same path in-process.
+_CENTROID_CACHE: dict[tuple[str, float], list[list[float]]] = {}
+
+
+def _index_centroids(spark, index_path: str) -> list[list[float]]:
+    import os as _os
+
+    key = (index_path, _os.path.getmtime(f"{index_path}/_centroids"))
+    cents = _CENTROID_CACHE.get(key)
+    if cents is None:
+        rows = spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
+        cents = [list(r["centroid"]) for r in rows]
+        _CENTROID_CACHE[key] = cents
+    return cents
 
 
 def ivf_topk_indexed(
@@ -403,8 +437,7 @@ def ivf_topk_indexed(
     (1 − selectivity) of the cosine work and return fewer than k
     survivors per query.
     """
-    cent_rows = spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
-    centroids = [list(r["centroid"]) for r in cent_rows]
+    centroids = _index_centroids(spark, index_path)
     # Evaluate the probe subplan ONCE: the probed (query, cell) set is
     # tiny (≤ queries × n_probe), so collect it and rebuild a local
     # DataFrame for the scoring join. Re-executing the probe plan inside
@@ -418,9 +451,11 @@ def ivf_topk_indexed(
     c = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
     if keep is not None:
         kc = keep.columns[0]
-        c = c.join(
-            keep.select(F.col(kc).alias("neighbor_id")).distinct(), "neighbor_id", "semi"
-        )
+        # No .distinct() on the keep side (r15): a LEFT SEMI join emits
+        # each probe row at most once regardless of build-side
+        # multiplicity, so the distinct only added an exchange + agg
+        # (one extra Spark job) for identical output.
+        c = c.join(keep.select(F.col(kc).alias("neighbor_id")), "neighbor_id", "semi")
     return _topk_scored(c, q_local, k)
 
 

@@ -106,6 +106,22 @@ def ngram_jaccard_pairs(
         # exactly the rows that would have exploded quadratically.
         freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         paired = shingled.join(freq.filter(F.col("df") <= df_cap).select("sh"), "sh")
+    # Persist the capped (doc, sh) table — FOUR plan branches consume it
+    # (the self-join's two sides and the two size joins), and without
+    # the cache each branch re-plans the whole scan → tokenize →
+    # shingle-explode → df-cap pipeline: the r15 plan audit counted 16
+    # parquet scans / 16 Generates and ZERO ReusedExchange in the
+    # registered query (constraint-inferred filters differ per branch,
+    # so canonicalization never unifies them), and the UI metrics read
+    # 46 s of executor CPU for a corpus whose single tokenize pass costs
+    # ~6 s — the interpreted shingle HOF ran 8×. Guide §5's reuse rule:
+    # recomputing is strictly more expensive than the ~16 bytes/row
+    # cache. Same CALLER-OWNED lifetime as minhash_lsh_pairs' signature
+    # persist (the documented, test-pinned precedent): CacheManager
+    # keys the canonical plan, so repeated calls re-hit ONE entry per
+    # (input, n, df_cap) — bounded per session, asserted in
+    # tests/test_plan_quality.py::test_ngram_jaccard_caller_owned_persist_is_bounded.
+    paired = paired.persist()
     sizes = paired.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = paired.alias("a")
     b = paired.alias("b")

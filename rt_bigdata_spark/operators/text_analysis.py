@@ -532,6 +532,30 @@ def bpe_merges(
     # '  a  b  c  ': every char followed by two spaces, two leading
     seq = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
     vocab = vocab.select(seq.alias("seq"), "c").localCheckpoint(eager=False)
+    # Layout the loop state from the DATA, not a constant (guide §2
+    # scale-adaptive partitioning, §2.4 remove shuffles): the per-step
+    # argmax is a pair-explode + hash-agg over the VOCABULARY, and with
+    # the vocab checkpointed at scan parallelism every step paid an
+    # exchange — under AQE that is 2 scheduled jobs × up to 32 tasks
+    # per step for kilobytes of data (r15 measured the registered
+    # 8-step query at 20 jobs, wall ≫ CPU). A vocab below
+    # ~64 k rows/partition-worth of work collapses to ONE partition:
+    # SinglePartition satisfies the agg's required distribution, so
+    # each step becomes one exchange-free single-stage job (integer
+    # sums and the (cnt DESC, l, r) argmax are aggregation-order-
+    # independent — results are bit-identical). A web-scale vocab
+    # (millions of rows) keeps multi-partition layout and the exchange
+    # — there the per-step compute dominates and the parallelism is
+    # the point. The count() below doubles as the checkpoint
+    # materialization step 1 would otherwise pay.
+    n_vocab = vocab.count()
+    sc = df.sparkSession.sparkContext
+    vparts = max(1, min(sc.defaultParallelism, int(n_vocab // 65536)))
+    if vparts < vocab.rdd.getNumPartitions():
+        # Narrow coalesce of the materialized checkpoint blocks: every
+        # later replace+checkpoint then carries vparts tasks, not the
+        # initial scan parallelism.
+        vocab = vocab.coalesce(vparts)
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -542,8 +566,12 @@ def bpe_merges(
                 F.get(syms, i).alias("l"), F.get(syms, i + 1).alias("r")
             ),
         )
+        # coalesce(1) (narrow, a no-op move for an already-tiny vocab)
+        # is what DECLARES SinglePartition to the planner — the
+        # checkpointed RDD itself reports unknown partitioning.
+        step_in = vocab.coalesce(1) if vparts == 1 else vocab
         best = (
-            vocab.filter(F.size(syms) >= 2)
+            step_in.filter(F.size(syms) >= 2)
             .select(F.explode(pair_structs).alias("p"), "c")
             .groupBy("p.l", "p.r")
             .agg(F.sum("c").alias("cnt"))

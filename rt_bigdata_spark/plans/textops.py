@@ -3666,6 +3666,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
+    # Evaluate the exact arm ONCE and localize it (r15, guide §5/§7.2):
+    # the truth set is semi-joined against all four approximate arms,
+    # and each join branch re-planned the full brute-force cosine scan
+    # — the before-plan carried 4 copies of the quadratic subtree (32
+    # parquet scans total). The frame is ≤ queries × k rows BY
+    # CONSTRUCTION (the bounded-collect discipline of
+    # ivf_topk_indexed's probe set); rebuilding it as a local table
+    # runs brute force once and turns every recall join into a
+    # broadcast of 50 rows.
+    exact_rows = exact.collect()
+    exact = spark.createDataFrame(exact_rows, exact.schema)
     _, books = _pq_books(spark, sf_dir)
     arms = {
         "lsh": hyperplane_lsh_topk(emb, queries, k=_RECALL_K),

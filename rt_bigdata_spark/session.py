@@ -30,6 +30,16 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Local test default; cluster deploys override (AQE coalesces down).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Let AQE re-optimize CACHED plans too (off by default for output-
+    # partitioning stability): the engine's documented caller-owned
+    # persists (minhash signatures, sweep pair sets, shingle tables)
+    # otherwise materialize at the raw shuffle-partition count and
+    # every downstream stage over the cache schedules that many tasks
+    # regardless of size — r15 measured 32-task stages over sub-MB
+    # cached frames across the dedup family (guide §2.2: fewer, larger
+    # partitions). Purely a physical-layout change; results and the
+    # cached-plan keying are unaffected.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Split small-but-compute-heavy files (documents/embeddings at test
     # SF are single ~10 MB files → one task → one core without this).
     # At 100 TB the scan parallelism comes from file count anyway.

@@ -558,6 +558,43 @@ def test_minhash_lsh_caller_owned_persist_is_bounded(spark):
 
 
 @pytest.mark.slow
+def test_ngram_jaccard_caller_owned_persist_is_bounded(spark):
+    """r15: ngram_jaccard_pairs persists its capped (doc, shingle-hash)
+    table with the same caller-owned lifetime as minhash_lsh_pairs'
+    signature persist — without it the interpreted shingle pipeline is
+    re-planned on every plan branch (measured: 16 scans / 0
+    ReusedExchange, 46 s executor CPU for a ~6 s tokenize pass). Same
+    bound as the minhash test: at most ONE new cache entry on first
+    run, ZERO growth on repeats (CacheManager keys the canonical
+    plan)."""
+    from rt_bigdata_spark.plans.registry import get_queries
+
+    sc = spark.sparkContext
+    q = get_queries()["ngram_jaccard"]
+    before = dict(sc._jsc.getPersistentRDDs())
+    assert q(spark, SF_DIR).count() > 0
+    after_one = dict(sc._jsc.getPersistentRDDs())
+    first_run = set(after_one) - set(before)
+    assert len(first_run) <= 1, (
+        f"ngram_jaccard should cache at most the shingle table, got "
+        f"{len(first_run)} new persisted RDDs"
+    )
+    for _ in range(2):
+        assert q(spark, SF_DIR).count() > 0
+    after_three = dict(sc._jsc.getPersistentRDDs())
+    repeats = set(after_three) - set(after_one)
+    assert not repeats, (
+        f"repeated ngram_jaccard runs accumulated {len(repeats)} extra "
+        f"cached RDD(s) — the caller-owned cache must be plan-keyed, "
+        f"not per-invocation"
+    )
+    for rdd_id in first_run:
+        jrdd = dict(sc._jsc.getPersistentRDDs()).get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist()
+
+
+@pytest.mark.slow
 def test_no_reinlined_expression_bomb_in_any_filter():
     """r12 guard for the inferred-filter re-inlining class: predicate
     pushdown substitutes alias definitions, so an inferred constraint

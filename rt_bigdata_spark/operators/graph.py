@@ -21,8 +21,61 @@ SoCC'14), which bounds rounds by O(log² n) independent of diameter.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+# connected_components collects the (deduplicated, symmetrized) edge set
+# and labels it with a driver-local union-find when it has at most this
+# many directed rows (env override SPARK_GRAFT_CC_DRIVER_EDGES). 512 k
+# edge rows × 16 B ≈ 8 MB — the bounded-model-collect class (BPE vocab,
+# k-means centroid sums), far under spark.driver.maxResultSize. Above
+# the cap the iterative min-label loop below runs unchanged (the 100 TB
+# path). The near-dup graphs this operator post-processes are SMALL by
+# construction — dedup pair discovery emits a fraction of the corpus —
+# so the small-graph case is the common one at every scale; the cap is
+# what keeps the driver safe when it is not.
+_CC_DRIVER_EDGE_CAP = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", str(512 * 1024)))
+
+
+def _cc_union_find_local(
+    edges: "list[tuple[int, int]]",
+) -> "list[tuple[int, int]]":
+    """Label every edge-touched node with the smallest node id reachable
+    from it, driver-locally: classic union-find with path compression +
+    union by size, min-id tracked per root. Output (node, label) rows —
+    bit-identical to the distributed min-label loop's fixpoint (both
+    compute the same function: min node id of the connected component;
+    property-tested against the forced distributed path in
+    tests/test_graph_sampling.py)."""
+    parent: dict = {}
+    size: dict = {}
+    least: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+                least[n] = n
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size[ra] < size[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] += size[rb]
+        least[ra] = min(least[ra], least[rb])
+    return [(n, least[find(n)]) for n in parent]
 
 
 def connected_components(
@@ -49,6 +102,13 @@ def connected_components(
     which shrinks every per-round shuffle from |corpus| to |near-dup
     subgraph|. Singletons get their self-label in the single final
     left join.
+
+    SCALE-ADAPTIVE (r15): an edge set at most ``_CC_DRIVER_EDGE_CAP``
+    directed rows is collected once and labeled with a driver-local
+    union-find (``_cc_union_find_local``) — identical labels, 2 jobs
+    instead of ~2 per propagation round; larger graphs run the
+    distributed loop. Equality pinned in
+    tests/test_graph_sampling.py::test_driver_union_find_equals_distributed_loop.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # localCheckpoint on every iterative frontier: persist alone does
@@ -59,6 +119,26 @@ def connected_components(
     # on a cluster prefer reliable `checkpoint()` to keep executor-loss
     # recovery.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint()
+    # Scale-adaptive labeling (r15, guide §1.2/§5): the checkpoint above
+    # already materialized the edge set, so sizing it is a cheap count
+    # over cached blocks. Small graphs (the common near-dup case: pair
+    # discovery emits a fraction of the corpus) collect ONCE and label
+    # with a driver-local union-find — 2 jobs instead of ~2 per
+    # propagation round, identical labels. Large graphs run the
+    # distributed loop below unchanged.
+    if e.count() <= _CC_DRIVER_EDGE_CAP:
+        rows = e.collect()
+        labeled = _cc_union_find_local([(r["a"], r["b"]) for r in rows])
+        spark = nodes.sparkSession
+        label_type = e.schema["a"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("node", label_type, True), StructField("label", label_type, True)]
+        )
+        labels_df = spark.createDataFrame(labeled, schema)
+        out = nodes.select(F.col(id_col).alias("node")).join(labels_df, "node", "left")
+        return out.select("node", F.coalesce("label", "node").alias("label"))
     # Symmetrized, so the a-side alone covers every edge-touched node.
     labels = e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iter):

@@ -8,6 +8,7 @@ expressions — fully vectorized JVM-side, no Python in the hot path.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping, Sequence
 
 import pyspark.sql.functions as F
@@ -488,6 +489,84 @@ def bpe_pair_counts(
     )
 
 
+# bpe_merges collects the (seq, count) vocabulary to the driver and runs
+# the merge loop locally when the vocab is at most this many rows (env
+# override SPARK_GRAFT_BPE_DRIVER_VOCAB). ~64 k rows × ~50 B ≈ a few MB —
+# the bounded-model-collect class (pq_train sums, k-means centroids), far
+# under spark.driver.maxResultSize. Above the cap the distributed
+# per-step loop below runs unchanged (the 100 TB path).
+_BPE_DRIVER_VOCAB_CAP = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", "65536"))
+
+
+def _bpe_merge_loop_local(
+    vocab_rows: "list[tuple[str, int]]", n_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """The BPE merge loop over a DRIVER-LOCAL vocabulary — bit-identical
+    to the distributed per-step loop in ``bpe_merges`` (property-tested
+    equal in tests/test_text_analysis.py):
+
+    - pair counts are exact integer sums (order-independent);
+    - argmax tie-breaks (cnt DESC, l, r) ascending — Python str
+      comparison is code-point order, which equals Spark's UTF8 binary
+      ordering (UTF-8 byte order preserves code-point order), so the
+      picked pair is identical;
+    - the merge applies greedily non-overlapping left-to-right over the
+      symbol list — exactly the double-space ``F.replace`` semantics the
+      distributed form documents (``a a a`` → ``aa a``; ``a b a b``
+      merges both).
+
+    Pair counts are maintained INCREMENTALLY (subtract each affected
+    row's pair multiset, apply the merge, add the new multiset), so the
+    per-step cost is O(affected rows), not O(vocab).
+
+    ``vocab_rows`` are (seq, count) in ``bpe_merges``' double-space
+    layout ('  a  b  c  '); tokens are whitespace-free (tokenize
+    contract), so splitting on the double space recovers the symbols.
+    """
+    from collections import Counter
+
+    syms: "list[tuple[list[str], int]]" = [
+        (s.strip().split("  "), int(c)) for s, c in vocab_rows
+    ]
+    counts: Counter = Counter()
+    for s, c in syms:
+        for i in range(len(s) - 1):
+            counts[(s[i], s[i + 1])] += c
+    merges: "list[tuple[int, str, str, int]]" = []
+    for step in range(1, n_merges + 1):
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, int(cnt)))
+        merged = left + right
+        for idx, (s, c) in enumerate(syms):
+            if len(s) < 2:
+                continue
+            hit = any(
+                s[i] == left and s[i + 1] == right for i in range(len(s) - 1)
+            )
+            if not hit:
+                continue
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] -= c
+            out: "list[str]" = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            for i in range(len(out) - 1):
+                counts[(out[i], out[i + 1])] += c
+            syms[idx] = (out, c)
+        counts = Counter({k: v for k, v in counts.items() if v > 0})
+    return merges
+
+
 def bpe_merges(
     df: DataFrame,
     n_merges: int = 8,
@@ -549,6 +628,23 @@ def bpe_merges(
     # the point. The count() below doubles as the checkpoint
     # materialization step 1 would otherwise pay.
     n_vocab = vocab.count()
+    if n_vocab <= _BPE_DRIVER_VOCAB_CAP:
+        # Small vocab: the distributed loop is ~2 scheduled jobs PER
+        # MERGE STEP over kilobytes of data (r15 measured the 8-step
+        # registered query at 14 jobs / 3.1 s wall for 0.2 s of CPU —
+        # pure driver↔scheduler latency, guide §1.2 "the distributed
+        # algorithm" / §5 bounded model collect). Collect the (seq, c)
+        # vocabulary ONCE and run the loop locally: 2 jobs total, and
+        # bit-identical output by the equivalence argument on
+        # _bpe_merge_loop_local. The cap keeps the collect bounded;
+        # a web-scale vocab takes the distributed loop below.
+        rows = vocab.collect()
+        merges_local = _bpe_merge_loop_local(
+            [(r["seq"], int(r["c"])) for r in rows], n_merges
+        )
+        return df.sparkSession.createDataFrame(
+            merges_local, "step: long, left: string, right: string, pair_count: long"
+        )
     sc = df.sparkSession.sparkContext
     vparts = max(1, min(sc.defaultParallelism, int(n_vocab // 65536)))
     if vparts < vocab.rdd.getNumPartitions():

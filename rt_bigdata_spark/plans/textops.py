@@ -3687,6 +3687,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_RECALL_K, n_probe=_IVFPQ_PROBE,
         ),
     }
+    # Plan shape kept DELIBERATELY as per-arm semi-join → agg → left
+    # join (r15 negative result, recorded in OPTIMIZATION_r15.md):
+    # fusing the four arms into one union + one multi-conditional
+    # aggregate (count_distinct OR count(when)) was measured SLOWER in
+    # interleaved same-session A/B (min 10.05 s old vs 10.46-11.3 s
+    # fused at sf0.1) — the union exchange plus the wider aggregate
+    # (Expand for multi-distinct) outweigh the four small joins it
+    # removes, and AQE materializes the union's stages sequentially
+    # anyway, so no concurrency is gained.
     out = queries.select(F.col("vec_id").alias("query_id"))
     cols = ["query_id"]
     for name, arm in arms.items():

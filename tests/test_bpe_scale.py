@@ -285,6 +285,49 @@ def test_incremental_trainer_equals_recount_form(spark):
         assert inc == full, (texts, inc, full)
 
 
+def test_driver_local_loop_equals_distributed_loop(spark, monkeypatch):
+    """bpe_merges runs its merge loop DRIVER-LOCALLY when the vocab fits
+    under _BPE_DRIVER_VOCAB_CAP (r15: the distributed loop cost ~2
+    scheduled jobs per merge step over kilobytes). The two paths must
+    be bit-identical: same pair counts, same (cnt DESC, l, r) tie-break
+    (Python code-point order ≡ Spark UTF8 binary order), same greedy
+    non-overlapping left-to-right replace (``aaa`` → ``aa a``,
+    ``ab ab`` merges both). Forced onto the same corpora as the
+    incremental-trainer equality test plus the overlap/tie cases."""
+    from rt_bigdata_spark.operators import text_analysis as ta
+
+    corpora = [
+        ["aaa aaab abab", "banana bandana", "aaa aaa"],
+        ["xy xy xyz zyx", "mississippi", "abcabcabc"],
+        ["tie atie btie", "tie tie", "eit eit eit"],
+        ["a", "", None, "bb ccc dddd"],  # degenerate rows
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+        )
+        monkeypatch.setattr(ta, "_BPE_DRIVER_VOCAB_CAP", 10**9)
+        local = [tuple(r) for r in ta.bpe_merges(df, n_merges=12).orderBy("step").collect()]
+        monkeypatch.setattr(ta, "_BPE_DRIVER_VOCAB_CAP", 0)
+        dist = [tuple(r) for r in ta.bpe_merges(df, n_merges=12).orderBy("step").collect()]
+        assert local == dist, (texts, local, dist)
+
+
+def test_driver_local_loop_equals_distributed_on_real_docs(spark, monkeypatch):
+    """Same equality on the public sf0.001 documents at the registered
+    spec's n_merges=8 — the corpus whose merge table the driver
+    hash-checks."""
+    from rt_bigdata_spark.operators import text_analysis as ta
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    monkeypatch.setattr(ta, "_BPE_DRIVER_VOCAB_CAP", 10**9)
+    local = [tuple(r) for r in ta.bpe_merges(docs, n_merges=8).orderBy("step").collect()]
+    monkeypatch.setattr(ta, "_BPE_DRIVER_VOCAB_CAP", 0)
+    dist = [tuple(r) for r in ta.bpe_merges(docs, n_merges=8).orderBy("step").collect()]
+    assert local == dist
+
+
 def test_incremental_trainer_equals_recount_on_real_docs(spark):
     """Same equality on the public sf0.001 documents at the registered
     spec's n_merges=8 — the corpus whose merge table the driver

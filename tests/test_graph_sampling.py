@@ -160,7 +160,37 @@ def _jobs_for(spark, group: str, fn) -> tuple[int, object]:
     return len(sc.statusTracker().getJobIdsForGroup(group)), out
 
 
-def test_cc_loop_runs_one_query_per_round(spark):
+def test_driver_union_find_equals_distributed_loop(spark, monkeypatch):
+    """connected_components labels small edge sets with a driver-local
+    union-find (r15: the propagation loop cost ~2 scheduled jobs per
+    round over kilobyte graphs). Both paths must agree exactly — same
+    min-reachable-id labels, same singleton fallthrough — on chains
+    (multi-hop propagation), multi-component graphs, empties, and
+    random graphs with self-loop-free duplicate edges."""
+    import random
+
+    from rt_bigdata_spark.operators import graph as G
+
+    cases = [
+        ([1, 2, 3, 4, 5], [(2, 1), (2, 3), (4, 3), (4, 5)]),
+        ([1, 2, 3, 10, 11, 99], [(1, 2), (2, 3), (10, 11)]),
+        ([7, 8], []),
+        (list(range(1, 13)), [(i, i + 1) for i in range(1, 12)]),
+    ]
+    rng = random.Random(11)
+    for _ in range(3):
+        n = 40
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+        cases.append((list(range(n)), [(a, b) for a, b in pairs if a != b]))
+    for node_ids, edge_pairs in cases:
+        monkeypatch.setattr(G, "_CC_DRIVER_EDGE_CAP", 10**9)
+        local = _cc(spark, node_ids, edge_pairs)
+        monkeypatch.setattr(G, "_CC_DRIVER_EDGE_CAP", -1)
+        dist = _cc(spark, node_ids, edge_pairs)
+        assert local == dist, (node_ids, edge_pairs, local, dist)
+
+
+def test_cc_loop_runs_one_query_per_round(spark, monkeypatch):
     """r6 verdict item 6: the CC loops must fold the convergence check
     into the round's materializing action (lazy localCheckpoint whose
     blocks are persisted by the changed-count / fingerprint aggregate
@@ -174,7 +204,13 @@ def test_cc_loop_runs_one_query_per_round(spark):
     per-operator overhead (setup checkpoints, final join, AQE's
     per-query jobs) cancels in the difference; a two-queries-per-round
     regression doubles the marginal cost and fails either ratio."""
+    from rt_bigdata_spark.operators import graph as G
     from rt_bigdata_spark.operators.graph import connected_components_two_phase
+
+    # force the DISTRIBUTED loop — this test pins the loop's per-round
+    # job shape, which the r15 driver-local union-find path (taken for
+    # every graph this small) would otherwise bypass entirely
+    monkeypatch.setattr(G, "_CC_DRIVER_EDGE_CAP", -1)
 
     def chain(n):  # path graph 1-2-…-n plus singletons 6,7
         nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id: long")

@@ -57,6 +57,7 @@ from rt_bigdata_spark.operators.similarity import (
     _ivf_centroids,
     cosine,
     dot,
+    lit_double_matrix,
 )
 
 
@@ -127,8 +128,7 @@ def kmeans_lloyd(
         assigned = _assign_cells(corpus, centroids, id_col, vec_col)
         centroids = _lloyd_update(assigned, centroids)
     final = _assign_cells(corpus, centroids, id_col, vec_col)
-    cent_arr = [F.array(*[F.lit(x) for x in c]) for c in centroids]
-    pick = F.element_at(F.array(*cent_arr), F.col("cell").cast("int"))
+    pick = F.element_at(lit_double_matrix(centroids), F.col("cell").cast("int"))
     out = final.select(
         F.col("neighbor_id").alias(id_col),
         F.col("cell").cast("long").alias("cluster"),

@@ -58,7 +58,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from rt_bigdata_spark.operators.scale import ensure_parallelism
-from rt_bigdata_spark.operators.similarity import dot
+from rt_bigdata_spark.operators.similarity import dot, lit_double_array, lit_double_matrix
 
 QUANT = 1048576.0  # 2^20 — exact power-of-two grid, matches clustering.QUANT
 
@@ -88,7 +88,7 @@ def _assign_code(sv: Column, codebook: list[list[float]]) -> Column:
     cell ids."""
     scores = F.array(
         *[
-            F.lit(_sqnorm(c)) - F.lit(2.0) * dot(sv, F.array(*[F.lit(x) for x in c]))
+            F.lit(_sqnorm(c)) - F.lit(2.0) * dot(sv, lit_double_array(c))
             for c in codebook
         ]
     )
@@ -275,8 +275,8 @@ def adc_distance(
     m = len(codebooks)
     dist: "Column | None" = None
     for j in range(m):
-        cents = F.array(*[F.array(*[F.lit(x) for x in cc]) for cc in codebooks[j]])
-        ccs = F.array(*[F.lit(_sqnorm(cc)) for cc in codebooks[j]])
+        cents = lit_double_matrix(codebooks[j])
+        ccs = lit_double_array([_sqnorm(cc) for cc in codebooks[j]])
         sel = F.element_at(cents, code_cols[j].cast("int"))
         term = (F.col(f"_qq{j}") + F.element_at(ccs, code_cols[j].cast("int"))) - F.lit(
             2.0
@@ -300,7 +300,7 @@ def _residual_frame(
     from rt_bigdata_spark.operators.similarity import _assign_cells
 
     assigned = _assign_cells(ensure_parallelism(corpus), centroids, id_col, vec_col)
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = lit_double_matrix(centroids)
     sel = F.element_at(cents, F.col("cell").cast("int"))
     vd = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     return assigned.select(
@@ -428,7 +428,7 @@ def ivfpq_topk(
     q_rows = q.collect()  # tiny: ≤ queries × n_probe
     probed = sorted({int(r["cell"]) for r in q_rows})
     q_local = spark.createDataFrame(q_rows, q.schema)
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
+    cents = lit_double_matrix(coarse)
     qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
     q_local = q_local.withColumn(
         "qres", F.zip_with(qd, F.element_at(cents, F.col("cell").cast("int")), lambda x, c: x - c)
@@ -530,8 +530,8 @@ def pq_distortion(
 
     def err(j: int) -> Column:
         sv = F.col(f"_s{j}")
-        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebooks[j]])
-        norms = F.array(*[F.lit(_sqnorm(c)) for c in codebooks[j]])
+        cents = lit_double_matrix(codebooks[j])
+        norms = lit_double_array([_sqnorm(c) for c in codebooks[j]])
         cv = F.element_at(cents, F.col(f"_c{j}"))
         cn = F.element_at(norms, F.col(f"_c{j}"))
         return (dot(sv, sv) + cn) - F.lit(2.0) * dot(sv, cv)

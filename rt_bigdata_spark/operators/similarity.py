@@ -24,6 +24,8 @@ the oracle-backed ``embedding_validation`` audit.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -84,13 +86,61 @@ def lcg_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _lit_d(v: float) -> str:
+    """SQL literal text for one double. ``repr`` emits the shortest
+    round-tripping decimal and Spark's parser reads it back to the
+    IDENTICAL IEEE double (pinned bit-for-bit incl. -0.0 / subnormals /
+    max-double in tests/test_vector_ops.py), so the inlined model is
+    the same one ``F.lit`` would build."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(f"literal vector values must be finite, got {v!r}")
+    return repr(f) + "D"
+
+
+def lit_double_array(values: "list[float]") -> Column:
+    """Literal array<double> in ONE parser/py4j call (r15, guide §7.3
+    driver-side planning cost): ``F.array(*[F.lit(v) ...])`` pays one
+    py4j round-trip per element — ~0.5 ms each, so every 64-dim
+    plane/centroid cost ~35 ms to CONSTRUCT and the 16-centroid /
+    8-plane model trees made arm construction the dominant wall (the
+    ann_recall warm probe measured 3.2 s of pure DataFrame build per
+    LSH/IVF arm, 50 s cold, against 0.6 s of execution). One
+    ``F.expr("array(…D,…D)")`` builds the same Literal tree JVM-side —
+    measured 82× faster to construct, values bit-identical."""
+    if not len(values):
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array(" + ",".join(_lit_d(v) for v in values) + ")")
+
+
+def lit_long_array(values: "list[int]") -> Column:
+    """Literal array<bigint> in one parser call — the integer sibling
+    of ``lit_double_array`` (CMS register rows etc.)."""
+    if not len(values):
+        return F.expr("CAST(array() AS array<bigint>)")
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def lit_double_matrix(rows: "list[list[float]]") -> Column:
+    """Literal array<array<double>> (centroid / codebook matrices) in
+    one parser call — same rationale and bit-equality as
+    ``lit_double_array``."""
+    if not len(rows):
+        return F.expr("CAST(array() AS array<array<double>>)")
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(_lit_d(v) for v in r) + ")" for r in rows)
+        + ")"
+    )
+
+
 def plane_lit(plane: list[float]) -> Column:
     """One hyperplane as a literal array<double> column — the single
-    place the python-float→F.lit inlining happens, shared by the LSH
+    place the python-float→literal inlining happens, shared by the LSH
     bucketing and the random projection so the determinism discipline
     (and its ``_duck_plane`` oracle mirror) cannot diverge between
     consumers."""
-    return F.array(*[F.lit(v) for v in plane])
+    return lit_double_array(plane)
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -237,7 +287,7 @@ def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     (higher-order array exprs are interpreted — no codegen CSE — so an
     inlined ``/ nrm`` would re-run the norm dot once per centroid)."""
     vd = F.transform(vec, lambda x: x.cast("double"))
-    return F.array(*[dot(vd, F.array(*[F.lit(v) for v in c])) for c in centroids])
+    return F.array(*[dot(vd, lit_double_array(c)) for c in centroids])
 
 
 def _assign_cells(corpus: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 
 from rt_bigdata_spark.functions.text_fns import tokenize
 from rt_bigdata_spark.operators.scale import ensure_parallelism
+from rt_bigdata_spark.operators.similarity import lit_long_array
 
 
 def _cms_hash(tok: Column, row: int, width: int) -> Column:
@@ -116,7 +117,7 @@ def _cms_estimate(grid: list[list[int]], width: int) -> Column:
     directly)."""
     lookups = [
         F.element_at(
-            F.array(*[F.lit(v) for v in row]),
+            lit_long_array(row),
             (_cms_hash(F.col("tok"), r, len(row)) + 1).cast("int"),
         )
         for r, row in enumerate(grid)

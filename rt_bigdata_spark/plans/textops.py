@@ -3661,11 +3661,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what-do-I-lose number for the compressed store), and IVF-PQ
     (pruned cells + residual codes). Every arm is deterministic, so
     recall itself is hash-oracle-exact."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from rt_bigdata_spark.operators.quantization import ivfpq_topk, pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = brute_force_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id")
     # Evaluate the exact arm ONCE and localize it (r15, guide §5/§7.2):
     # the truth set is semi-joined against all four approximate arms,
     # and each join branch re-planned the full brute-force cosine scan
@@ -3675,18 +3676,57 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivf_topk_indexed's probe set); rebuilding it as a local table
     # runs brute force once and turns every recall join into a
     # broadcast of 50 rows.
-    exact_rows = exact.collect()
-    exact = spark.createDataFrame(exact_rows, exact.schema)
+    #
+    # r15 session 4 (guide §2.6 "overlap independent jobs"): the five
+    # audit arms (exact + lsh/ivf/pq/ivfpq) are INDEPENDENT pipelines
+    # whose outputs are each ≤ queries × k = 50 rows, yet the warm
+    # query scheduled their 33 jobs strictly sequentially — 4.6 s of
+    # executor CPU stretched over ~8 s of wall with 32 cores mostly
+    # idle (bench_metrics: 33 jobs / 195 tasks). Each arm is now built
+    # AND collected on its own driver thread, so the scheduler
+    # back-fills one arm's straggler tail with the next arm's tasks
+    # (FIFO default = exactly the back-fill the guide describes). Same
+    # jobs, same plans, overlapped wall. Every collect stays bounded
+    # (50 rows); the recall arithmetic below then joins five local
+    # 50-row tables instead of five corpus-scan subtrees — identical
+    # rows, adversarially re-verified vs the unchanged DuckDB oracle.
+    # Model prerequisites (PQ codebooks, the IVF-PQ index) build on the
+    # MAIN thread first: both are process-memoized, and racing two
+    # builders would duplicate the training jobs.
     _, books = _pq_books(spark, sf_dir)
-    arms = {
-        "lsh": hyperplane_lsh_topk(emb, queries, k=_RECALL_K),
-        "ivf": ivf_topk(emb, queries, k=_RECALL_K),
-        "pq": pq_adc_topk(emb, queries, books, k=_RECALL_K),
-        "ivfpq": ivfpq_topk(
-            spark, _ivfpq_index_for(spark, sf_dir), queries,
-            k=_RECALL_K, n_probe=_IVFPQ_PROBE,
+    ivfpq_path = _ivfpq_index_for(spark, sf_dir)
+
+    def _localized(build):
+        df = build()
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+
+    arm_builders = {
+        "lsh": lambda: hyperplane_lsh_topk(emb, queries, k=_RECALL_K).select(
+            "query_id", "neighbor_id"
         ),
+        "ivf": lambda: ivf_topk(emb, queries, k=_RECALL_K).select("query_id", "neighbor_id"),
+        "pq": lambda: pq_adc_topk(emb, queries, books, k=_RECALL_K).select(
+            "query_id", "neighbor_id"
+        ),
+        "ivfpq": lambda: ivfpq_topk(
+            spark, ivfpq_path, queries, k=_RECALL_K, n_probe=_IVFPQ_PROBE
+        ).select("query_id", "neighbor_id"),
     }
+    with ThreadPoolExecutor(max_workers=len(arm_builders) + 2) as pool:
+        exact_fut = pool.submit(
+            _localized,
+            lambda: brute_force_topk(emb, queries, k=_RECALL_K).select(
+                "query_id", "neighbor_id"
+            ),
+        )
+        arm_futs = {name: pool.submit(_localized, build) for name, build in arm_builders.items()}
+        spine_fut = pool.submit(
+            _localized, lambda: queries.select(F.col("vec_id").alias("query_id"))
+        )
+        exact = exact_fut.result()
+        arms = {name: fut.result() for name, fut in arm_futs.items()}
+        spine = spine_fut.result()
     # Plan shape kept DELIBERATELY as per-arm semi-join → agg → left
     # join (r15 negative result, recorded in OPTIMIZATION_r15.md):
     # fusing the four arms into one union + one multi-conditional
@@ -3696,7 +3736,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Expand for multi-distinct) outweigh the four small joins it
     # removes, and AQE materializes the union's stages sequentially
     # anyway, so no concurrency is gained.
-    out = queries.select(F.col("vec_id").alias("query_id"))
+    out = spine
     cols = ["query_id"]
     for name, arm in arms.items():
         hits = (

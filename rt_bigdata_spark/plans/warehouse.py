@@ -359,41 +359,55 @@ def province_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _province_stats_approx_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The AUDIT frame: HLL estimate and exact count side by side —
-    the pure-HLL production aggregate JOINED (on the bounded group
-    keys) with the exact COUNT(DISTINCT) aggregate, never mixed into
-    ONE aggregate: Spark plans mixed distinct+HLL by pre-aggregating
-    per (group, distinct-key), which carries the rsd=0.01 HLL buffer
-    (~1.6k longs ≈ 13 KB) once PER DISTINCT ORDER ID through two
-    phases and an exchange — measured 15.9 s vs the exact query's
-    1.5 s at sf0.1 (r12). Split, the audit is exact + HLL + a
-    groups-sized join: ~3 s, and each side keeps its optimal plan."""
-    exact = tumbling_window_agg(
-        _province_stats_enriched(spark, sf_dir),
-        ts_col="o_orderdate",
-        duration="1 day",
-        keys=["n_name", "r_name"],
-        aggs=[
-            F.countDistinct("o_orderkey").alias("order_count"),
-        ],
-    ).select(
-        "stt",
-        "edt",
+    """The AUDIT frame: HLL estimate and exact count side by side.
+
+    STACKED two-level aggregation (r15, guide §2.3/§2.4) instead of
+    the r12 "exact aggregate JOIN pure-HLL aggregate" shape: level 1
+    groups by (window, province, area, o_orderkey) carrying only the
+    DECIMAL order-amount partial sum; level 2 collapses to the group
+    keys computing COUNT(*) (= the exact distinct count — level 1
+    emits exactly one row per distinct order id per group, no
+    uniqueness assumption on the fact table), the rsd=0.01 HLL
+    estimate, and the total amount. One fact scan + dim join instead
+    of two, and the second exchange moves one already-aggregated row
+    per distinct order id. Equivalences, oracle-pinned (driver hash +
+    tests/test_approx_variants.py):
+
+    - exact count: COUNT(*) over the level-1 dedup ≡ COUNT(DISTINCT
+      o_orderkey) by construction.
+    - HLL: inserting a value into an HLL sketch is IDEMPOTENT
+      (register[bucket] := max(register, rank) — a pure function of
+      the distinct value set), so the estimate over level-1's deduped
+      ids is bit-identical to production ``province_stats_hll``'s over
+      the raw rows; the parity assert in test_approx_variants pins it.
+    - amount: decimal partial sums re-summed — exact arithmetic,
+      order-independent; the final double cast sees the same value.
+
+    This is NOT the r12 mixed distinct+HLL trap (15.9 s at sf0.1):
+    that plan carried the ~13 KB rsd=0.01 HLL buffer once per distinct
+    order id through the exchange. Here level 1 carries only a
+    decimal(28,2) per id; HLL buffers exist only in level 2, one per
+    GROUP per partition, after the heavy dedup has already happened."""
+    enriched = _province_stats_enriched(spark, sf_dir)
+    per_order = enriched.groupBy(
+        F.window(F.col("o_orderdate"), "1 day").alias("w"),
+        F.col("n_name"),
+        F.col("r_name"),
+        F.col("o_orderkey"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("_amt"))
+    agged = per_order.groupBy("w", "n_name", "r_name").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.approx_count_distinct("o_orderkey", rsd=0.01).alias("order_count_approx"),
+        F.sum("_amt").alias("order_amount_dec"),
+    )
+    return agged.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
         F.col("n_name").alias("province_name"),
         F.col("r_name").alias("area_name"),
-        "order_count",
-    )
-    hll = province_stats_hll(spark, sf_dir)
-    return exact.join(
-        hll, ["stt", "edt", "province_name", "area_name"], "inner"
-    ).select(
-        "stt",
-        "edt",
-        "province_name",
-        "area_name",
         "order_count_approx",
         "order_count",
-        "order_amount",
+        _money_out("order_amount_dec").alias("order_amount"),
     )
 
 

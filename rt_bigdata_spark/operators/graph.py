@@ -119,15 +119,20 @@ def connected_components(
     # on a cluster prefer reliable `checkpoint()` to keep executor-loss
     # recovery.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint()
-    # Scale-adaptive labeling (r15, guide §1.2/§5): the checkpoint above
-    # already materialized the edge set, so sizing it is a cheap count
-    # over cached blocks. Small graphs (the common near-dup case: pair
-    # discovery emits a fraction of the corpus) collect ONCE and label
-    # with a driver-local union-find — 2 jobs instead of ~2 per
-    # propagation round, identical labels. Large graphs run the
-    # distributed loop below unchanged.
-    if e.count() <= _CC_DRIVER_EDGE_CAP:
-        rows = e.collect()
+    # Scale-adaptive labeling (r15, guide §1.2/§5): small graphs (the
+    # common near-dup case: pair discovery emits a fraction of the
+    # corpus) collect ONCE and label with a driver-local union-find —
+    # identical labels. Large graphs run the distributed loop below
+    # unchanged. Sizing and collecting are ONE job (r15 session 4):
+    # ``limit(cap+1).collect()`` over the checkpointed blocks returns
+    # ≤ cap rows iff the edge set fits (then those rows ARE the whole
+    # set), and cap+1 rows iff it does not (discard, take the
+    # distributed path) — the separate count() job the first cut paid
+    # per consumer query is folded away. The collect stays bounded at
+    # cap+1 rows by construction.
+    probe_rows = e.limit(_CC_DRIVER_EDGE_CAP + 1).collect()
+    if len(probe_rows) <= _CC_DRIVER_EDGE_CAP:
+        rows = probe_rows
         labeled = _cc_union_find_local([(r["a"], r["b"]) for r in rows])
         spark = nodes.sparkSession
         label_type = e.schema["a"].dataType

@@ -3697,9 +3697,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_path = _ivfpq_index_for(spark, sf_dir)
 
     def _localized(build):
-        df = build()
-        rows = df.collect()
-        return spark.createDataFrame(rows, df.schema)
+        return build().collect()
 
     arm_builders = {
         "lsh": lambda: hyperplane_lsh_topk(emb, queries, k=_RECALL_K).select(
@@ -3724,35 +3722,46 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine_fut = pool.submit(
             _localized, lambda: queries.select(F.col("vec_id").alias("query_id"))
         )
-        exact = exact_fut.result()
-        arms = {name: fut.result() for name, fut in arm_futs.items()}
-        spine = spine_fut.result()
-    # Plan shape kept DELIBERATELY as per-arm semi-join → agg → left
-    # join (r15 negative result, recorded in OPTIMIZATION_r15.md):
-    # fusing the four arms into one union + one multi-conditional
-    # aggregate (count_distinct OR count(when)) was measured SLOWER in
-    # interleaved same-session A/B (min 10.05 s old vs 10.46-11.3 s
-    # fused at sf0.1) — the union exchange plus the wider aggregate
-    # (Expand for multi-distinct) outweigh the four small joins it
-    # removes, and AQE materializes the union's stages sequentially
-    # anyway, so no concurrency is gained.
-    out = spine
-    cols = ["query_id"]
-    for name, arm in arms.items():
-        hits = (
-            exact.join(
-                arm.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "semi",
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(f"_h_{name}"))
-        )
-        out = out.join(hits, "query_id", "left")
-        h = F.coalesce(F.col(f"_h_{name}"), F.lit(0))
-        cols.append(h.cast("long").alias(f"{name}_hits"))
-        cols.append((h / F.lit(float(_RECALL_K))).alias(f"{name}_recall"))
-    return out.select(*cols)
+        exact_rows = exact_fut.result()
+        arm_rows = {name: fut.result() for name, fut in arm_futs.items()}
+        spine_rows = spine_fut.result()
+    # The recall arithmetic runs DRIVER-LOCALLY over the five bounded
+    # row sets (r15; the BPE-merge-loop / sweep-kernel precedent —
+    # bounded state collected once, trivial arithmetic local): the
+    # prior shape joined five 50-row LOCAL tables through a per-arm
+    # semi-join → agg → left-join chain whose AQE stages still
+    # scheduled ~10 jobs / ~2 s of wall for set intersections over
+    # ≤ 250 rows. Semantics identical by construction: hits(q, arm) =
+    # |truth(q) ∩ arm(q)| (the semi-join + count), missing queries
+    # zero-fill (the left join's coalesce), recall = hits / k with the
+    # same integer-exact double division. Oracle unchanged and re-run.
+    # (The r15 negative result on fusing the arms into one union +
+    # multi-conditional aggregate — measured 10.05 s vs 10.46-11.3 s —
+    # predates this localization and is now moot: there is no
+    # distributed recall join left to fuse.)
+    truth: dict = {}
+    for r in exact_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit_counts = {
+        name: {
+            qid: len({r["neighbor_id"] for r in rows if r["query_id"] == qid} & tset)
+            for qid, tset in truth.items()
+        }
+        for name, rows in arm_rows.items()
+    }
+    out_rows = []
+    for sr in spine_rows:
+        qid = sr["query_id"]
+        row = [qid]
+        for name in arm_rows:
+            h = hit_counts[name].get(qid, 0)
+            row.append(h)
+            row.append(h / float(_RECALL_K))
+        out_rows.append(tuple(row))
+    schema = "query_id long, " + ", ".join(
+        f"{name}_hits long, {name}_recall double" for name in arm_rows
+    )
+    return spark.createDataFrame(out_rows, schema)
 
 
 def _ann_recall_oracle() -> str:

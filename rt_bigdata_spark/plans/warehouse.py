@@ -2348,27 +2348,19 @@ def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rt_bigdata_spark.operators.behavior import active_users, active_users_hll
 
     events = load_table(spark, sf_dir, "events")
-    # Share ONE distinct (user, day) activity frame between the exact
-    # and sketch paths (r15, guide §2.3/§5): each operator otherwise
-    # scans the raw event log and pays its own dedup/sketch aggregation
-    # over events-scale rows. The exact path's first step IS this
-    # distinct; HLL insertion is idempotent (registers are a pure
-    # function of the distinct value set), so sketching the deduped
-    # activity produces BIT-IDENTICAL estimates to production
-    # active_users_hll over the raw log — both re-pinned by the
-    # unchanged oracle and tests/test_approx_variants.py. Caller-owned
-    # persist, one CacheManager entry per canonical plan (the
-    # ngram/minhash precedent); both operators re-apply their own
-    # filter/trunc/distinct to the cached frame (idempotent no-ops on
-    # already-distinct day-truncated activity).
-    activity = (
-        events.filter(F.col("user_id").isNotNull())
-        .select("user_id", F.date_trunc("day", F.col("ts")).alias("ts"))
-        .distinct()
-        .persist()
-    )
-    exact = active_users(activity, window_days=_AU_WINDOW_DAYS)
-    approx = active_users_hll(activity, window_days=_AU_WINDOW_DAYS).withColumnRenamed(
+    # NEGATIVE RESULT (r15 session 4, reverted): sharing one persisted
+    # distinct (user, day) activity frame between the two paths saved
+    # an event-log scan and halved shuffle bytes (6.9 → 3.3 MB), but
+    # each operator re-applies its own distinct/aggregation to the
+    # cached frame — the EXACT path then pays a second distinct
+    # exchange over activity-scale rows, and the paired old/new
+    # adjudication (bench_isolated, 4 alternating reps) measured the
+    # shared form 1.35× SLOWER cold (3.05 → 4.12 s). The two
+    # independent operator pipelines stay; at a scale where the raw
+    # log dominates, the right fix is an `assume_distinct` fast path
+    # inside the operators, not a plan-layer cache.
+    exact = active_users(events, window_days=_AU_WINDOW_DAYS)
+    approx = active_users_hll(events, window_days=_AU_WINDOW_DAYS).withColumnRenamed(
         "day", "a_day"
     )
     dau_tol = F.greatest(F.lit(2.0), F.col("dau") * 0.05)

@@ -29,6 +29,30 @@ ADJUDICATED: dict[tuple[int, int, str], str] = {
     # (prev_round, new_round, spec): "reason" — e.g.
     # (14, 15, "some_spec"): "param N deliberately doubled; plan shape
     # unchanged, paired bench_isolated table in BASELINE.md r15",
+    #
+    # r14→r15 environment adjudications (OPTIMIZATION_r15.md "tail-sweep
+    # artifact" section): four session-4 sweep runs each tripped a
+    # DIFFERENT, disjoint set of specs — the signature of multi-minute
+    # external load blocks on this container, not plans (r14's rows were
+    # taken on a measurably faster box; BASELINE.md r15 drift records).
+    (14, 15, "embedding_tau_sweep"): (
+        "paired bench_isolated old/new reads 0.85 (IMPROVEMENT) under the "
+        "same load windows where the sweep row ballooned; the only r15 "
+        "change in its plan path is the literal-plane construction, whose "
+        "runtime plan is identical post-constant-folding (BASELINE.md r15 "
+        "session-4 paired table)"
+    ),
+    (14, 15, "media_features"): (
+        "untouched all round (no r15 commit reaches operators/multimodal); "
+        "quiet-window min-of-3 probe reads 1.02 s vs its r14 row of 2.08 s "
+        "— FASTER than r14; the sweep row sampled a load block"
+    ),
+    (14, 15, "province_stats_sql"): (
+        "untouched all round (the r15 province change is in the _approx "
+        "audit only); quiet-window min-of-3 probe reads 2.21 s = 1.36x "
+        "drift-adjusted, under the 2x gate; the sweep row sampled a load "
+        "block"
+    ),
 }
 
 FLOOR_SEC = 1.0

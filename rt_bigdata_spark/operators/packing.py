@@ -256,6 +256,7 @@ def pack_token_sequences(
     seed: str = "7",
     chunk: int = 64,
     n_buckets: int = 256,
+    enc: "list[tuple[str, list[str]]] | None" = None,
 ) -> DataFrame:
     """The pipeline's terminal artifact, materialized: documents →
     BPE token ids (``text_analysis._bpe_token_ids``) → concatenated in
@@ -283,13 +284,25 @@ def pack_token_sequences(
     from rt_bigdata_spark.operators.scale import bucketed_group_order
     from rt_bigdata_spark.operators.text_analysis import _bpe_token_ids
 
-    ids_df = _bpe_token_ids(df, merges, text_col, id_col, chunk).select(
+    ids_df = _bpe_token_ids(df, merges, text_col, id_col, chunk, enc).select(
         F.col(id_col),
         F.col("_all_ids").alias("ids"),
         F.size("_all_ids").cast("long").alias("n"),
     )
     pr = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    b = ids_df.filter(F.col("n") > 0).withColumn("_pr", pr)
+    # Persist the per-doc (id, ids, n, _pr) frame: bucketed_group_order
+    # consumes it TWICE (the bucket-count offsets aggregate and the
+    # offsets join-back), and without the cache each branch re-plans
+    # the WHOLE tokenize→encode→per-doc-agg pipeline — the r15 plan
+    # dump shows the token-ids subtree duplicated (8 parquet scans for
+    # a single-table query) and the r15 driver bench had this as the
+    # 2nd-heaviest line (4.7 s) with 21 jobs. Caller-owned lifetime,
+    # same CacheManager-bounded contract as minhash_lsh_pairs'
+    # signature persist (one entry per canonical plan per session). At
+    # warehouse scale this stage is the materialize-or-recompute
+    # trade: the ids table is the job's own output-sized intermediate,
+    # exactly what a real packing run writes to disk between passes.
+    b = ids_df.filter(F.col("n") > 0).withColumn("_pr", pr).persist()
     ranked = bucketed_group_order(
         b, "_pr", id_col, n_buckets=n_buckets, sum_col="n", cumsum_col="_cum"
     )

@@ -115,10 +115,25 @@ def lit_double_array(values: "list[float]") -> Column:
 
 def lit_long_array(values: "list[int]") -> Column:
     """Literal array<bigint> in one parser call — the integer sibling
-    of ``lit_double_array`` (CMS register rows etc.)."""
+    of ``lit_double_array`` (CMS register rows etc.).
+
+    LONG_MIN (-2**63) is special-cased: ``-9223372036854775808L``
+    parses as unary minus applied to an out-of-range POSITIVE bigint
+    literal and fails analysis (r15 ADVICE), so it is emitted as an
+    explicit CAST instead. Values outside int64 raise here rather
+    than failing later in the parser."""
     if not len(values):
         return F.expr("CAST(array() AS array<bigint>)")
-    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+    def _lit_l(v: int) -> str:
+        v = int(v)
+        if not (-(2**63) <= v < 2**63):
+            raise ValueError(f"value out of int64 range: {v}")
+        if v == -(2**63):
+            return "CAST('-9223372036854775808' AS BIGINT)"
+        return f"{v}L"
+
+    return F.expr("array(" + ",".join(_lit_l(v) for v in values) + ")")
 
 
 def lit_double_matrix(rows: "list[list[float]]") -> Column:

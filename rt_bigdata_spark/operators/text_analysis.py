@@ -523,6 +523,21 @@ def _bpe_merge_loop_local(
     layout ('  a  b  c  '); tokens are whitespace-free (tokenize
     contract), so splitting on the double space recovers the symbols.
     """
+    merges, _syms = _bpe_merge_loop_local_full(vocab_rows, n_merges)
+    return merges
+
+
+def _bpe_merge_loop_local_full(
+    vocab_rows: "list[tuple[str, int]]", n_merges: int
+) -> "tuple[list[tuple[int, str, str, int]], list[tuple[list[str], int]]]":
+    """``_bpe_merge_loop_local`` returning BOTH the merge table and the
+    FINAL per-row symbol state — the trained encoder (r16): applying
+    the merge chain to a vocabulary token is exactly what the training
+    loop already did to every vocab row, so the final ``syms`` lists
+    ARE the encoded symbol sequences ``_bpe_vocab_chain`` would
+    recompute distributively (chunked-replace ≡ greedy left-to-right
+    per step ≡ this loop's in-place merge — the same equivalence the
+    r15 property tests pin). Row order matches ``vocab_rows``."""
     from collections import Counter
 
     syms: "list[tuple[list[str], int]]" = [
@@ -564,7 +579,7 @@ def _bpe_merge_loop_local(
                 counts[(out[i], out[i + 1])] += c
             syms[idx] = (out, c)
         counts = Counter({k: v for k, v in counts.items() if v > 0})
-    return merges
+    return merges, syms
 
 
 def bpe_merges(
@@ -627,24 +642,28 @@ def bpe_merges(
     # — there the per-step compute dominates and the parallelism is
     # the point. The count() below doubles as the checkpoint
     # materialization step 1 would otherwise pay.
-    n_vocab = vocab.count()
-    if n_vocab <= _BPE_DRIVER_VOCAB_CAP:
-        # Small vocab: the distributed loop is ~2 scheduled jobs PER
-        # MERGE STEP over kilobytes of data (r15 measured the 8-step
-        # registered query at 14 jobs / 3.1 s wall for 0.2 s of CPU —
-        # pure driver↔scheduler latency, guide §1.2 "the distributed
-        # algorithm" / §5 bounded model collect). Collect the (seq, c)
-        # vocabulary ONCE and run the loop locally: 2 jobs total, and
-        # bit-identical output by the equivalence argument on
-        # _bpe_merge_loop_local. The cap keeps the collect bounded;
-        # a web-scale vocab takes the distributed loop below.
-        rows = vocab.collect()
+    # Small vocab: the distributed loop is ~2 scheduled jobs PER
+    # MERGE STEP over kilobytes of data (r15 measured the 8-step
+    # registered query at 14 jobs / 3.1 s wall for 0.2 s of CPU —
+    # pure driver↔scheduler latency, guide §1.2 "the distributed
+    # algorithm" / §5 bounded model collect). Collect the (seq, c)
+    # vocabulary ONCE and run the loop locally — bit-identical output
+    # by the equivalence argument on _bpe_merge_loop_local. Sizing and
+    # fetching are ONE job (r16, the connected_components probe-collect
+    # fusion): limit(cap+1) returns ≤ cap rows iff the vocab fits (the
+    # rows ARE the model input), cap+1 iff not (discard; the
+    # distributed loop below pays its own count for the layout). The
+    # cap keeps the collect bounded; a web-scale vocab takes the
+    # distributed loop.
+    probe_rows = vocab.limit(_BPE_DRIVER_VOCAB_CAP + 1).collect()
+    if len(probe_rows) <= _BPE_DRIVER_VOCAB_CAP:
         merges_local = _bpe_merge_loop_local(
-            [(r["seq"], int(r["c"])) for r in rows], n_merges
+            [(r["seq"], int(r["c"])) for r in probe_rows], n_merges
         )
         return df.sparkSession.createDataFrame(
             merges_local, "step: long, left: string, right: string, pair_count: long"
         )
+    n_vocab = vocab.count()
     sc = df.sparkSession.sparkContext
     vparts = max(1, min(sc.defaultParallelism, int(n_vocab // 65536)))
     if vparts < vocab.rdd.getNumPartitions():
@@ -689,6 +708,64 @@ def bpe_merges(
     return df.sparkSession.createDataFrame(
         merges, "step: long, left: string, right: string, pair_count: long"
     )
+
+
+def bpe_trained_encoder(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> "tuple[list[tuple[str, str]], list[tuple[str, list[str]]]] | None":
+    """Train BPE driver-locally and return the FULL model —
+    ``(merges, enc)`` with ``merges`` the ordered (left, right) list and
+    ``enc`` the per-vocabulary-token final symbol sequences
+    ``[(tok, [sym, ...]), ...]`` — or ``None`` when the vocabulary
+    exceeds ``_BPE_DRIVER_VOCAB_CAP`` (callers then take the unchanged
+    distributed train→encode path).
+
+    Why this exists (r16, guide §1.2 "the distributed algorithm" /
+    §2.4 fewer jobs): the registered encode family trains with
+    ``bpe_merges`` (driver-local for small vocabs since r15) and then
+    RE-DERIVES tok → final-symbols distributively in
+    ``_bpe_vocab_chain`` — a distinct + chained-replace pipeline whose
+    result the training loop already computed row by row. Returning the
+    final ``syms`` state alongside the merge table makes encoding a
+    broadcast join against a local relation: the encode family loses
+    the vocab distinct exchange and the replace chain entirely. The
+    r15 anti-scaling evidence (bpe_encode 8-core/32-core ratio 0.58 —
+    MORE cores slower) was exactly these small-data stages scheduling
+    32-way; a local relation has no stage to over-schedule.
+
+    Bit-equality with the distributed path: the vocab ``seq`` strings
+    are built by the SAME Spark expression ``bpe_merges`` uses (so char
+    splitting stays Java-regex semantics — no Python/JVM divergence on
+    exotic code points), and ``_bpe_merge_loop_local_full``'s in-place
+    merge is the property-tested equivalent of the per-step
+    double-space replace. Symbol→id mapping is NOT done here — callers
+    keep computing ids with the same Spark expressions (``F.ascii``)
+    as the distributed path, see ``_bpe_token_ids``.
+
+    Sizing and fetching the vocab is ONE job (the connected_components
+    probe-collect fusion): ``limit(cap+1)`` returns ≤ cap rows iff the
+    vocab fits (those rows ARE the model input), cap+1 iff not.
+    """
+    toks = ensure_parallelism(df).select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    seq = F.concat(F.lit("  "), F.regexp_replace(F.col("tok"), "(.)", "$1  "))
+    probe = (
+        vocab.select("tok", seq.alias("seq"), "c")
+        .limit(_BPE_DRIVER_VOCAB_CAP + 1)
+        .collect()
+    )
+    if len(probe) > _BPE_DRIVER_VOCAB_CAP:
+        return None
+    merges_full, syms = _bpe_merge_loop_local_full(
+        [(r["seq"], int(r["c"])) for r in probe], n_merges
+    )
+    merges = [(left, right) for _step, left, right, _cnt in merges_full]
+    enc = [(r["tok"], s) for r, (s, _c) in zip(probe, syms)]
+    return merges, enc
 
 
 def bpe_merges_incremental(
@@ -786,12 +863,47 @@ def bpe_merges_incremental(
     )
 
 
+def _sql_str_lit(s: str) -> str:
+    """Single-quoted Spark SQL string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _enc_values_df(spark, enc: "list[tuple[str, list[str]]]", with_syms: bool):
+    """The trained tok→symbols model as an INLINE-TABLE DataFrame —
+    ``VALUES ... AS t(tok, syms|n_sym)`` built in ONE parser call (the
+    r15 literal-vector trick applied to a relation). Two properties a
+    ``createDataFrame(list)`` local relation does NOT have:
+
+    - the plan is a LocalRelation of pure literals, which CANONICALIZES
+      EQUAL across calls (measured: ``sameResult`` true for two parses,
+      false for two createDataFrame calls) — so a downstream persist is
+      CacheManager-keyed to ONE bounded entry per session instead of
+      compounding one per invocation (the repo's caller-owned-persist
+      contract, pinned in tests/test_plan_quality.py);
+    - no py4j round-trip per row.
+
+    Size is bounded by _BPE_DRIVER_VOCAB_CAP rows (the callers' gate);
+    the one-shot parse of that worst-case ~10 MB SQL text is driver
+    work the distributed path would spend many times over in per-step
+    scheduling. Tokens are \\p{L}\\p{N}-only by the tokenize contract,
+    but values are escaped anyway (operator API accepts any enc)."""
+    if with_syms:
+        rows = ",".join(
+            f"({_sql_str_lit(tok)},array({','.join(_sql_str_lit(x) for x in syms)}))"
+            for tok, syms in enc
+        )
+        return spark.sql(f"SELECT tok, syms FROM VALUES {rows} AS t(tok, syms)")
+    rows = ",".join(f"({_sql_str_lit(tok)},{int(len(syms))})" for tok, syms in enc)
+    return spark.sql(f"SELECT tok, n_sym FROM VALUES {rows} AS t(tok, n_sym)")
+
+
 def bpe_encode_counts(
     df: DataFrame,
     merges: "list[tuple[str, str]]",
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk: int = 64,
+    enc: "list[tuple[str, list[str]]] | None" = None,
 ) -> DataFrame:
     """APPLY a trained BPE merge table: per document, the word count
     and the BPE token count under the tokenizer ``bpe_merges``
@@ -830,10 +942,21 @@ def bpe_encode_counts(
     """
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     doc_toks = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
-    enc = vocab.select("tok", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym"))
+    if enc:
+        # Trained model supplied (bpe_trained_encoder, r16): the
+        # tok → n_symbols table is an inline-table relation — the vocab
+        # distinct + chained-replace pipeline below never runs, and the
+        # join is a broadcast against ≤ _BPE_DRIVER_VOCAB_CAP rows.
+        # n_sym = len(final symbol list), identical to counting the
+        # double-space splits of the chain's output (same model state).
+        enc_df = _enc_values_df(df.sparkSession, enc, with_syms=False)
+    else:
+        vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
+        enc_df = vocab.select(
+            "tok", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_sym")
+        )
     return (
-        doc_toks.join(enc, "tok")
+        doc_toks.join(enc_df, "tok")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -870,6 +993,7 @@ def bpe_encode_tokens(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk: int = 64,
+    enc: "list[tuple[str, list[str]]] | None" = None,
 ) -> DataFrame:
     """Full tokenizer application: per document, the MODEL-READY BPE
     token-id sequence under the trained merge table — what a training
@@ -895,7 +1019,7 @@ def bpe_encode_tokens(
     order is restored by sorting per-token (position, ids) structs
     inside the per-doc aggregate — one vocab-keyed join + one doc-keyed
     agg, both max-cardinality keys, no skew."""
-    return _bpe_token_ids(df, merges, text_col, id_col, chunk).select(
+    return _bpe_token_ids(df, merges, text_col, id_col, chunk, enc).select(
         id_col,
         "n_words",
         F.size("_all_ids").cast("long").alias("n_bpe_tokens"),
@@ -911,6 +1035,7 @@ def tokenizer_fertility(
     text_col: str = "text",
     group_col: str = "source",
     chunk: int = 64,
+    enc: "list[tuple[str, list[str]]] | None" = None,
 ) -> DataFrame:
     """Per-``group_col`` tokenizer FERTILITY audit: how many model
     tokens the trained BPE table spends per word and how many
@@ -937,14 +1062,22 @@ def tokenizer_fertility(
     doc_toks = ensure_parallelism(df).select(
         F.col(group_col).alias("_grp"), F.explode(toks).alias("tok")
     )
-    vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
-    enc = vocab.select(
-        "tok",
-        F.size(F.split(F.trim(F.col("seq")), "  ")).alias("_n_sym"),
-        F.length("tok").alias("_n_chr"),
-    )
+    if enc:
+        # Trained model supplied (bpe_trained_encoder, r16): inline-
+        # table relation, no distributed vocab chain — see
+        # bpe_encode_counts.
+        enc_df = _enc_values_df(df.sparkSession, enc, with_syms=False).select(
+            "tok", F.col("n_sym").alias("_n_sym"), F.length("tok").alias("_n_chr")
+        )
+    else:
+        vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
+        enc_df = vocab.select(
+            "tok",
+            F.size(F.split(F.trim(F.col("seq")), "  ")).alias("_n_sym"),
+            F.length("tok").alias("_n_chr"),
+        )
     agg = (
-        doc_toks.join(enc, "tok")
+        doc_toks.join(enc_df, "tok")
         .groupBy("_grp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1004,43 +1137,69 @@ def _bpe_token_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk: int = 64,
+    enc: "list[tuple[str, list[str]]] | None" = None,
 ) -> DataFrame:
     """Shared tokenizer core: ``(id_col, n_words, _all_ids)`` with
     ``_all_ids`` the document-order array of BPE token ids — consumed
     by ``bpe_encode_tokens`` (display form) and
     ``packing.pack_token_sequences`` (sequence assembly). See
-    ``bpe_encode_tokens`` for the id layout and scale shape."""
+    ``bpe_encode_tokens`` for the id layout and scale shape.
+
+    ``enc`` (optional, from ``bpe_trained_encoder``): the trained
+    tok → final-symbols model as a local list. When supplied, the vocab
+    chain + symbol posexplode/join/reassemble below collapse to a pure
+    projection over a local relation — ids are computed by the SAME
+    Spark expressions (``F.ascii`` for base symbols, lowest 255+step
+    for merge products), so the output is bit-identical; only the plan
+    shrinks (no distinct exchange, no replace chain, no per-symbol
+    explode — the r16 encode-family de-scheduling)."""
     spark = df.sparkSession
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     doc_toks = ensure_parallelism(df).select(
         F.col(id_col), F.posexplode(toks).alias("tpos", "tok")
     )
-    vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
 
     # duplicate surface forms across steps → lowest id, deterministic
     sym_rows = {}
     for s, (left, right) in enumerate(merges, start=1):
         sym_rows.setdefault(left + right, 255 + s)
-    sym_ids = spark.createDataFrame(
-        sorted(sym_rows.items()), "sym: string, sid: long"
-    )
-    tok_syms = vocab.select(
-        "tok", F.posexplode(F.split(F.trim(F.col("seq")), "  ")).alias("spos", "sym")
-    )
-    tok_ids = (
-        tok_syms.join(F.broadcast(sym_ids), "sym", "left")
-        .select(
-            "tok",
-            "spos",
-            F.coalesce(F.col("sid"), F.ascii(F.col("sym")).cast("long")).alias("sid"),
+
+    if enc:
+        enc_df = _enc_values_df(spark, enc, with_syms=True)
+        if sym_rows:
+            items = sorted(sym_rows.items())
+            sid_map = F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _v in items]),
+                F.array(*[F.lit(v).cast("long") for _k, v in items]),
+            )
+            sid_of = lambda s: F.coalesce(  # noqa: E731
+                F.try_element_at(sid_map, s), F.ascii(s).cast("long")
+            )
+        else:
+            sid_of = lambda s: F.ascii(s).cast("long")  # noqa: E731
+        tok_ids = enc_df.select("tok", F.transform("syms", sid_of).alias("ids"))
+    else:
+        vocab = _bpe_vocab_chain(doc_toks, merges, chunk)
+        sym_ids = spark.createDataFrame(
+            sorted(sym_rows.items()), "sym: string, sid: long"
         )
-        .groupBy("tok")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("spos", "sid"))), lambda x: x.sid
-            ).alias("ids")
+        tok_syms = vocab.select(
+            "tok", F.posexplode(F.split(F.trim(F.col("seq")), "  ")).alias("spos", "sym")
         )
-    )
+        tok_ids = (
+            tok_syms.join(F.broadcast(sym_ids), "sym", "left")
+            .select(
+                "tok",
+                "spos",
+                F.coalesce(F.col("sid"), F.ascii(F.col("sym")).cast("long")).alias("sid"),
+            )
+            .groupBy("tok")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("spos", "sid"))), lambda x: x.sid
+                ).alias("ids")
+            )
+        )
     return (
         doc_toks.join(tok_ids, "tok")
         .groupBy(id_col)

@@ -2800,9 +2800,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     token number a real token budget runs on. The merge table is the
     driver-side trained model (1-row-per-step collects, the bounded
     pattern bpe_merges already uses)."""
-    from rt_bigdata_spark.operators.text_analysis import bpe_encode_counts, bpe_merges
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_encode_counts,
+        bpe_merges,
+        bpe_trained_encoder,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Train driver-locally when the vocab fits (r16): the trained model
+    # already holds every token's final symbol sequence, so encoding
+    # needs no distributed vocab chain — one probe-collect job + the
+    # doc-side join/agg. Web-scale vocabs fall back to the unchanged
+    # distributed train→encode chain.
+    model = bpe_trained_encoder(docs, n_merges=_BPE_N_MERGES)
+    if model is not None:
+        merges, enc = model
+        return bpe_encode_counts(docs, merges, enc=enc)
     # orderBy(step): merge-application ORDER is semantically load-bearing
     # and collect() row order is not contractual (review finding, r7)
     merges = [
@@ -2860,9 +2873,18 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataloader input. token_ids is the space-joined sequence in
     document order, so the DuckDB oracle hash-checks every id at every
     position, not just counts."""
-    from rt_bigdata_spark.operators.text_analysis import bpe_encode_tokens, bpe_merges
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_encode_tokens,
+        bpe_merges,
+        bpe_trained_encoder,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Local trained model when the vocab fits (r16) — see q_bpe_encode.
+    model = bpe_trained_encoder(docs, n_merges=_BPE_N_MERGES)
+    if model is not None:
+        merges, enc = model
+        return bpe_encode_tokens(docs, merges, enc=enc)
     merges = [
         (r.left, r.right)
         for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
@@ -2964,9 +2986,18 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number a multilingual/multi-source mix is balanced on (a
     high-fertility source is under-served by the tokenizer). Trained
     model = the same bounded driver-side collect as every bpe query."""
-    from rt_bigdata_spark.operators.text_analysis import bpe_merges, tokenizer_fertility
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_merges,
+        bpe_trained_encoder,
+        tokenizer_fertility,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Local trained model when the vocab fits (r16) — see q_bpe_encode.
+    model = bpe_trained_encoder(docs, n_merges=_BPE_N_MERGES)
+    if model is not None:
+        merges, enc = model
+        return tokenizer_fertility(docs, merges, enc=enc)
     merges = [
         (r.left, r.right)
         for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
@@ -3007,9 +3038,14 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the whole chain in DuckDB (train → encode → order → pack),
     so every id at every position of every sequence is verified."""
     from rt_bigdata_spark.operators.packing import pack_token_sequences
-    from rt_bigdata_spark.operators.text_analysis import bpe_merges
+    from rt_bigdata_spark.operators.text_analysis import bpe_merges, bpe_trained_encoder
 
     docs = load_table(spark, sf_dir, "documents")
+    # Local trained model when the vocab fits (r16) — see q_bpe_encode.
+    model = bpe_trained_encoder(docs, n_merges=_BPE_N_MERGES)
+    if model is not None:
+        merges, enc = model
+        return pack_token_sequences(docs, merges, seq_len=_PACK_SEQ_LEN, enc=enc)
     merges = [
         (r.left, r.right)
         for r in bpe_merges(docs, n_merges=_BPE_N_MERGES).orderBy("step").collect()
@@ -3690,9 +3726,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (50 rows); the recall arithmetic below then joins five local
     # 50-row tables instead of five corpus-scan subtrees — identical
     # rows, adversarially re-verified vs the unchanged DuckDB oracle.
-    # Model prerequisites (PQ codebooks, the IVF-PQ index) build on the
-    # MAIN thread first: both are process-memoized, and racing two
-    # builders would duplicate the training jobs.
+    # PQ/IVF-PQ model prerequisites (the codebooks and the IVF-PQ
+    # index) build on the MAIN thread first: both are process-memoized
+    # behind a written artifact, and racing two builders would
+    # duplicate the training jobs. The LSH plane and IVF centroid
+    # lists are NOT pre-built — they are cheap deterministic literals
+    # constructed inside the arm builders; under the GIL a concurrent
+    # memo fill at worst duplicates that deterministic work (r15
+    # ADVICE — this note scopes the pre-build claim to PQ/IVF-PQ).
     _, books = _pq_books(spark, sf_dir)
     ivfpq_path = _ivfpq_index_for(spark, sf_dir)
 

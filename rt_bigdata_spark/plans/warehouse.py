@@ -374,7 +374,12 @@ def _province_stats_approx_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx_variants.py):
 
     - exact count: COUNT(*) over the level-1 dedup ≡ COUNT(DISTINCT
-      o_orderkey) by construction.
+      o_orderkey) by construction, GIVEN o_orderkey is never NULL
+      (COUNT(*) would count a NULL-key dedup group as 1 where
+      countDistinct ignores NULLs — r15 ADVICE). That holds here by
+      schema: o_orderkey is the orders PRIMARY KEY in every TPC-H-
+      shaped source, and the oracle's COUNT(DISTINCT) agreeing at
+      every SF re-checks it each run.
     - HLL: inserting a value into an HLL sketch is IDEMPOTENT
       (register[bucket] := max(register, rank) — a pure function of
       the distinct value set), so the estimate over level-1's deduped
@@ -2348,17 +2353,21 @@ def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rt_bigdata_spark.operators.behavior import active_users, active_users_hll
 
     events = load_table(spark, sf_dir, "events")
-    # NEGATIVE RESULT (r15 session 4, reverted): sharing one persisted
-    # distinct (user, day) activity frame between the two paths saved
-    # an event-log scan and halved shuffle bytes (6.9 → 3.3 MB), but
-    # each operator re-applies its own distinct/aggregation to the
-    # cached frame — the EXACT path then pays a second distinct
-    # exchange over activity-scale rows, and the paired old/new
-    # adjudication (bench_isolated, 4 alternating reps) measured the
-    # shared form 1.35× SLOWER cold (3.05 → 4.12 s). The two
-    # independent operator pipelines stay; at a scale where the raw
-    # log dominates, the right fix is an `assume_distinct` fast path
-    # inside the operators, not a plan-layer cache.
+    # NEGATIVE RESULT, twice measured (r15 session 4; r16 retried per
+    # the r15 verdict with the `assume_distinct` fast path the revert
+    # comment pointed at): sharing one persisted distinct (user, day)
+    # activity frame between the two paths — r16 also skipping the
+    # exact operator's redundant re-distinct entirely — saves an
+    # event-log scan and ~40% of shuffle bytes, but paired cold
+    # adjudication (bench_isolated, 4 alternating reps, local[32])
+    # measured it 1.35× slower in r15 and STILL 1.48× slower in r16
+    # (5.43 → 8.02 s): at bench scale the cache materialization stages
+    # and the single-partition cached reads cost more than the saved
+    # scan, independent of the double-distinct the r15 comment blamed.
+    # The two independent operator pipelines stay. At a scale where
+    # the raw log dominates both paths, the shared-frame form wins by
+    # construction (one log scan instead of two) — re-measure there,
+    # not here.
     exact = active_users(events, window_days=_AU_WINDOW_DAYS)
     approx = active_users_hll(events, window_days=_AU_WINDOW_DAYS).withColumnRenamed(
         "day", "a_day"

@@ -342,3 +342,79 @@ def test_incremental_trainer_equals_recount_on_real_docs(spark):
     full = [tuple(r) for r in bpe_merges(docs, n_merges=8).orderBy("step").collect()]
     inc = [tuple(r) for r in bpe_merges_incremental(docs, n_merges=8).orderBy("step").collect()]
     assert inc == full
+
+
+def test_trained_encoder_equals_distributed_encode(spark):
+    """r16: ``bpe_trained_encoder`` returns the full local model
+    (merge list + per-token final symbol state); feeding its ``enc``
+    into the encode family must be bit-identical to the distributed
+    vocab-chain path with the same merges — same counts, same ids at
+    every position, same packed sequences, same fertility ratios.
+    The id mapping stays in Spark expressions (``F.ascii``) on both
+    paths, so there is no Python/JVM divergence surface."""
+    from rt_bigdata_spark.operators.packing import pack_token_sequences
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_encode_counts,
+        bpe_encode_tokens,
+        bpe_trained_encoder,
+        tokenizer_fertility,
+    )
+
+    corpora = [
+        ["aaa aaab abab", "banana bandana", "aaa aaa"],
+        ["tie atie btie", "tie tie", "eit eit eit"],
+        ["a", "", None, "bb ccc dddd"],  # degenerate rows
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t, "s%d" % (i % 2)) for i, t in enumerate(texts)],
+            "doc_id: long, text: string, source: string",
+        )
+        model = bpe_trained_encoder(df, n_merges=12)
+        assert model is not None
+        merges, enc = model
+
+        def rows(out):
+            return sorted(tuple(r) for r in out.collect())
+
+        assert rows(bpe_encode_counts(df, merges, enc=enc)) == rows(
+            bpe_encode_counts(df, merges)
+        ), texts
+        assert rows(bpe_encode_tokens(df, merges, enc=enc)) == rows(
+            bpe_encode_tokens(df, merges)
+        ), texts
+        assert rows(pack_token_sequences(df, merges, seq_len=7, enc=enc)) == rows(
+            pack_token_sequences(df, merges, seq_len=7)
+        ), texts
+        assert rows(tokenizer_fertility(df, merges, enc=enc)) == rows(
+            tokenizer_fertility(df, merges)
+        ), texts
+
+
+def test_trained_encoder_merges_equal_bpe_merges_on_real_docs(spark):
+    """``bpe_trained_encoder``'s merge list must equal ``bpe_merges``'s
+    table on the public sf0.001 documents at the registered n_merges=8
+    (both drive the same local loop; this pins the probe-collect vocab
+    wiring), and its enc path must reproduce the registered encode
+    output."""
+    from rt_bigdata_spark.operators.text_analysis import (
+        bpe_encode_counts,
+        bpe_merges,
+        bpe_trained_encoder,
+    )
+    from rt_bigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = bpe_trained_encoder(docs, n_merges=8)
+    assert model is not None
+    merges, enc = model
+    table = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs, n_merges=8).orderBy("step").collect()
+    ]
+    assert merges == table
+    with_enc = sorted(
+        tuple(r) for r in bpe_encode_counts(docs, merges, enc=enc).collect()
+    )
+    without = sorted(tuple(r) for r in bpe_encode_counts(docs, merges).collect())
+    assert with_enc == without

@@ -632,3 +632,39 @@ def test_no_reinlined_expression_bomb_in_any_filter():
         "registered plans carry suspiciously large Filter conditions — likely a "
         f"re-inlined computed column (see test docstring for fixes): {offenders}"
     )
+
+
+@pytest.mark.slow
+def test_packed_sequences_caller_owned_persist_is_bounded(spark):
+    """r16: pack_token_sequences persists its per-doc (id, ids, n, _pr)
+    frame — bucketed_group_order consumes it twice (offsets aggregate +
+    join-back) and without the cache each branch re-plans the whole
+    tokenize→encode→per-doc-agg pipeline (the r15 plan dump shows the
+    token-ids subtree duplicated: 8 parquet scans for one table). Same
+    caller-owned bound as the minhash/ngram persists: at most ONE new
+    cache entry on first run, ZERO growth on repeats."""
+    from rt_bigdata_spark.plans.registry import get_queries
+
+    sc = spark.sparkContext
+    q = get_queries()["packed_sequences"]
+    before = dict(sc._jsc.getPersistentRDDs())
+    assert q(spark, SF_DIR).count() > 0
+    after_one = dict(sc._jsc.getPersistentRDDs())
+    first_run = set(after_one) - set(before)
+    assert len(first_run) <= 1, (
+        f"packed_sequences should cache at most the per-doc ids frame, "
+        f"got {len(first_run)} new persisted RDDs"
+    )
+    for _ in range(2):
+        assert q(spark, SF_DIR).count() > 0
+    after_three = dict(sc._jsc.getPersistentRDDs())
+    repeats = set(after_three) - set(after_one)
+    assert not repeats, (
+        f"repeated packed_sequences runs accumulated {len(repeats)} extra "
+        f"cached RDD(s) — the caller-owned cache must be plan-keyed, "
+        f"not per-invocation"
+    )
+    for rdd_id in first_run:
+        jrdd = dict(sc._jsc.getPersistentRDDs()).get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist()

@@ -469,31 +469,62 @@ def near_dup_source_matrix(
     gsrc = base.groupBy("gkey", "src").agg(
         F.count(F.lit(1)).alias("m"), F.min("doc").alias("min_doc")
     ).persist()
-    groups = gsrc.groupBy("gkey").agg(F.min("min_doc").alias("rep"))
+    # ONE grouped frame per distinct text carrying the representative id
+    # AND the sorted per-source multiplicity list (r16, guide §2.4):
+    # the r15 shape derived `groups` by re-aggregating the gsrc cache
+    # THREE times (the reps join + both rep2g sides) and computed the
+    # within-clique cross terms with a gkey SELF-JOIN (two more
+    # exchanges over distinct-text-scale rows). All of that collapses
+    # into gmeta: rep2g is a projection, and the within-clique terms
+    # (same-source C(m,2) and cross-source m_i·m_j) are a row-local
+    # explode over the sorted source list — sources per text are
+    # feed-level (the documented cardinality contract above), so the
+    # per-row expansion is bounded. k expressions are byte-identical
+    # to the r15 join form; sort_array makes pair order deterministic
+    # (src is unique within a gkey, so struct order = src order, and
+    # i < j reproduces the old ga.src < gb.src condition).
+    gmeta = gsrc.groupBy("gkey").agg(
+        F.min("min_doc").alias("rep"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("src").alias("s"), F.col("m").alias("mm")))
+        ).alias("sms"),
+    ).persist()
     # one representative row per distinct text (its original text travels)
     reps = df.select(F.col(id_col), F.col(text_col)).join(
-        groups.select(F.col("rep").alias(id_col)), id_col
+        gmeta.select(F.col("rep").alias(id_col)), id_col
     )
-    # within-clique contributions (est = 1.0 by identity)
-    same_src = gsrc.filter(F.col("m") >= 2).select(
-        F.col("src").alias("source_a"),
-        F.col("src").alias("source_b"),
-        (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("k"),
-    )
-    ga, gb = gsrc.alias("ga"), gsrc.alias("gb")
-    cross_src_within = (
-        ga.join(gb, (F.col("ga.gkey") == F.col("gb.gkey")) & (F.col("ga.src") < F.col("gb.src")))
-        .select(
-            F.col("ga.src").alias("source_a"),
-            F.col("gb.src").alias("source_b"),
-            (F.col("ga.m") * F.col("gb.m")).cast("long").alias("k"),
+    # within-clique contributions (est = 1.0 by identity): j == i emits
+    # the same-source C(m,2) term (k > 0 iff m >= 2 — the r15 filter),
+    # j > i the cross-source m_i·m_j term (always > 0).
+    sms = F.col("sms")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(sms) - 1),
+            lambda i: F.transform(
+                F.sequence(i, F.size(sms) - 1),
+                lambda j: F.struct(
+                    F.get(sms, i)["s"].alias("source_a"),
+                    F.get(sms, j)["s"].alias("source_b"),
+                    F.when(
+                        i == j,
+                        (F.get(sms, i)["mm"] * (F.get(sms, i)["mm"] - 1) / 2).cast("long"),
+                    )
+                    .otherwise((F.get(sms, i)["mm"] * F.get(sms, j)["mm"]).cast("long"))
+                    .alias("k"),
+                ),
+            ),
         )
+    )
+    within = (
+        gmeta.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b", "p.k")
+        .filter(F.col("k") > 0)
     )
     # cross-clique contributions via distinct-text LSH pairs; the
     # signature persist is OWNED here (dropped with gsrc below), not
     # minhash_lsh_pairs' caller-owned cache
     sig = minhash_signatures(reps, text_col, id_col, num_hashes).persist()
-    rep2g = groups.select(F.col("rep"), F.col("gkey"))
+    rep2g = gmeta.select(F.col("rep"), F.col("gkey"))
     pairs = (
         _lsh_pairs_from_signatures(sig, num_hashes, bands, threshold)
         .join(rep2g.select(F.col("rep").alias("doc_a"), F.col("gkey").alias("gkey_a")), "doc_a")
@@ -509,13 +540,13 @@ def near_dup_source_matrix(
         )
     )
     out = (
-        same_src.unionByName(cross_src_within)
-        .unionByName(cross)
+        within.unionByName(cross)
         .groupBy("source_a", "source_b")
         .agg(F.sum("k").cast("long").alias("n_pairs"))
     )
     rows = out.collect()  # ≤ sources² — bounded by construction
     gsrc.unpersist()
+    gmeta.unpersist()
     sig.unpersist()
     return df.sparkSession.createDataFrame(rows, out.schema)
 

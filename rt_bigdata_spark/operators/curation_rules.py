@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from rt_bigdata_spark.functions.text_fns import tokenize
-from rt_bigdata_spark.operators.dedup import word_shingles
+from rt_bigdata_spark.operators.dedup import shingle_explode
 from rt_bigdata_spark.operators.scale import ensure_parallelism
 
 # PII patterns — the Java-regex ∩ RE2 dialect subset (no lookarounds,
@@ -129,7 +129,7 @@ def contamination_pairs(
     The corpus side is one map-side shingle explode. 8-grams are the
     standard decontamination unit (GPT-3 appendix C uses 8-13)."""
     df = ensure_parallelism(df)
-    grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+    grams = shingle_explode(df, text_col, n=n, alias="g", keep=[id_col])
     if probes is None:
         probe_grams = F.broadcast(
             grams.filter(F.col(id_col) < probe_ids_below).select(
@@ -137,9 +137,8 @@ def contamination_pairs(
             )
         )
     else:
-        probe_grams = probes.select(
-            F.col("probe_id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        probe_grams = shingle_explode(
+            probes, text_col, n=n, alias="g", keep=["probe_id"]
         )
     return (
         grams.join(probe_grams, "g")
@@ -236,7 +235,7 @@ def bloom_bits(
     (``streaming/sinks.bloom_maintenance_sink``) without ever
     re-scanning past probes."""
     salts = F.array(*[F.lit(i) for i in range(k)])
-    pgrams = probes.select(F.explode(word_shingles(F.col(text_col), n)).alias("g")).distinct()
+    pgrams = shingle_explode(probes, text_col, n=n, alias="g").distinct()
     return (
         pgrams.select(F.explode(salts).alias("salt"), "g")
         .select(_bloom_pos(F.col("g"), F.col("salt"), m).alias("pos"))
@@ -286,8 +285,8 @@ def bloom_contamination(
     exactly the join the Bloom arm exists to replace)."""
     df = ensure_parallelism(df)
     salts = F.array(*[F.lit(i) for i in range(k)])
-    grams = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
-    pgrams = probes.select(F.explode(word_shingles(F.col(text_col), n)).alias("g")).distinct()
+    grams = shingle_explode(df, text_col, n=n, alias="g", keep=[id_col])
+    pgrams = shingle_explode(probes, text_col, n=n, alias="g").distinct()
 
     # Build: at most m rows regardless of probe-set size. A maintained
     # filter (bloom_maintenance_sink state, read back) drops in via

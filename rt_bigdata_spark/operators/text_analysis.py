@@ -1234,7 +1234,11 @@ def _winnow_fp_frame(
     consumed more than once by non-cheap expressions, so the boundary
     holds. Measured at sf0.1: 32.5 s → ~1 s for the registered
     winnow_fingerprint query, identical output."""
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    # _toks staged like _grams and _fps below (r16): the gram lambda
+    # references the token array, and an inlined tokenize would re-run
+    # once per gram position — the same un-hoisted-HOF class the
+    # _grams/_fps staging already fixed one level up.
+    toks = F.col("_toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
@@ -1251,6 +1255,10 @@ def _winnow_fp_frame(
     )
     return (
         ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
         .select(F.col(id_col), grams.alias("_grams"))
         .select(F.col(id_col), F.size(g).alias("n_grams"), fps.alias("_fps"))
         .select(F.col(id_col), "n_grams", F.col("_fps").alias("fps"))
@@ -1320,14 +1328,23 @@ def bigram_surprisal(
     kept here for exact oracle parity. Docs with <2 tokens have no
     bigrams and emit no row (gate with quality_features upstream).
     """
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    # Token array STAGED as a real column (r16, the shingle lesson):
+    # an inlined ``toks`` in the bigram lambda re-runs tokenize once
+    # per bigram position — O(tokens²) per doc.
+    toks = F.col("_toks")
     n = F.size(toks)
     bigram_list = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    bg = ensure_parallelism(df).filter(n >= 2).select(
-        F.col(id_col), F.explode(bigram_list).alias("bigram")
+    bg = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
+        .filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigram_list).alias("bigram"))
     )
     bg = bg.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
     bgc = bg.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("c2"))
@@ -1382,11 +1399,14 @@ def ngram_novelty(
 
     Output: (doc_id, n_grams, n_seen_before, novelty).
     """
-    from rt_bigdata_spark.operators.dedup import word_shingles
+    from rt_bigdata_spark.operators.dedup import shingle_explode
 
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    sh = shingle_explode(
+        ensure_parallelism(df),
+        text_col,
+        n=n,
+        alias="g",
+        keep=[F.col(id_col).alias("doc")],
     )
     first = (
         sh.groupBy("g")
@@ -1480,7 +1500,11 @@ def dsir_doc_features(
     def _bucket_hash(c: Column) -> Column:
         return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    # Token array STAGED as a real column (r16, the shingle lesson):
+    # an inlined ``toks`` in the bigram lambda re-runs tokenize once
+    # per bigram position — O(tokens²) per doc. ``target`` references
+    # the caller's columns, so it is evaluated in the staging select.
+    toks = F.col("_toks")
     n = F.size(toks)
     bigram_list = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -1488,10 +1512,15 @@ def dsir_doc_features(
     )
     return (
         ensure_parallelism(df)
-        .filter(n >= 2)
         .select(
             F.col(id_col),
             target.alias("is_t"),
+            tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
+        .filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.col("is_t"),
             F.explode(bigram_list).alias("bigram"),
         )
         .select(

@@ -797,3 +797,32 @@ def test_containment_symmetric_on_identical_docs(spark):
     r = ngram_containment_pairs(df, threshold=0.9).collect()[0]
     assert r.containment_a == 1.0 and r.containment_b == 1.0
     assert r.inter == r.size_a == r.size_b
+
+
+def test_shingle_explode_equals_naive_and_stages_tokenize_once(spark):
+    """r16 staging fix: ``shingle_explode`` must (a) produce exactly the
+    rows of the naive ``explode(word_shingles(text, n))`` form — NULL
+    docs, short docs and duplicate-shingle dedup included — and (b)
+    keep the tokenize expression OUT of the shingle lambda, i.e. the
+    optimized plan evaluates ``split(lower(...))`` exactly once per
+    row. An inlined token array is re-evaluated once per gram position
+    by the interpreted HOF evaluator — O(tokens^2) tokenize work."""
+    from rt_bigdata_spark.operators.dedup import shingle_explode, word_shingles
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s0"),
+        (2, None, "s1"),
+        (3, "", "s0"),
+        (4, "one two", "s1"),  # < n tokens → single clamped shingle
+        (5, "a b a b a b a b", "s0"),  # duplicate shingles → array_distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+    staged = shingle_explode(df, "text", n=3, alias="g", keep=["doc_id", "source"])
+    naive = df.select(
+        "doc_id", "source", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, naive.collect()))
+
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(lower(") == 1, plan

@@ -85,6 +85,24 @@ def _day(ts_ms: int) -> str:
     return pd.Timestamp(ts_ms, unit="ms").strftime("%Y-%m-%d")
 
 
+def _prune_for_state(events: DataFrame, cols: "tuple[str, ...]") -> DataFrame:
+    """Project to exactly the columns the stateful kernel reads — plus
+    the watermarked ``eventTime`` column when present, since dropping
+    it would detach the query's watermark/timeout machinery — BEFORE
+    the keyed shuffle and the Arrow boundary (r16, guide §4.1/§2.3):
+    applyInPandasWithState / transformWithStateInPandas ship EVERY
+    column of the grouped frame to the Python worker, and Spark cannot
+    see which fields the function touches, so a wide production log
+    schema would otherwise cross the state-store shuffle and the
+    JVM→Arrow→Python boundary in full on every micro-batch. Semantics
+    unchanged: the kernels read only these fields, and the output
+    schema is fixed by outputStructType either way."""
+    keep = list(cols)
+    if "eventTime" in events.columns and "eventTime" not in keep:
+        keep.append("eventTime")
+    return events.select(*keep)
+
+
 # --- T1 ---------------------------------------------------------------------
 
 
@@ -129,6 +147,7 @@ def _is_new_fn(
 
 
 def correct_is_new(events: DataFrame) -> DataFrame:
+    events = _prune_for_state(events, ("mid", "page_id", "last_page_id", "is_new", "ts"))
     return events.groupBy("mid").applyInPandasWithState(
         _is_new_fn,
         outputStructType=IS_NEW_OUT_SCHEMA,
@@ -193,6 +212,7 @@ def unique_visits(events: DataFrame, ttl: bool = False) -> DataFrame:
     state TTL via event-time timeouts — the input must then carry a
     watermarked event-time column (e.g. ``withWatermark("eventTime",
     …)``) in addition to the epoch-ms ``ts``."""
+    events = _prune_for_state(events, ("mid", "ts", "last_page_id"))
     if ttl:
         return events.groupBy("mid").applyInPandasWithState(
             _uv_fn_ttl,
@@ -276,6 +296,7 @@ def detect_bounces(events: DataFrame) -> DataFrame:
     """Streaming bounce detection. ``events`` must carry an
     ``eventTime`` timestamp column with a watermark for the timeout to
     fire (e.g. ``withWatermark("eventTime", "2 seconds")``)."""
+    events = _prune_for_state(events, ("mid", "page_id", "last_page_id", "ts"))
     return events.groupBy("mid").applyInPandasWithState(
         _bounce_fn,
         outputStructType=BOUNCE_OUT_SCHEMA,
@@ -299,6 +320,7 @@ def detect_bounces_batch(events: DataFrame) -> DataFrame:
             rows.append({"mid": pdf["mid"].iloc[0], "page_id": pending_page, "ts": pending_ts})
         return pd.DataFrame(rows, columns=[f.name for f in BOUNCE_OUT_SCHEMA.fields])
 
+    events = _prune_for_state(events, ("mid", "page_id", "last_page_id", "ts"))
     return events.groupBy("mid").applyInPandas(fn, schema=BOUNCE_OUT_SCHEMA)
 
 
@@ -390,6 +412,7 @@ def track_funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "
     Flink CEP, over the same keyBy shuffle. State per user is two
     numbers; at production user counts pair with the RocksDB state
     store exactly like T1-T3."""
+    events = _prune_for_state(events, ("user_id", "event_type", "ts"))
     return (
         events.filter(events["user_id"].isNotNull())
         .groupBy("user_id")

@@ -41,6 +41,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from rt_bigdata_spark.streaming.stateful import (
+    _prune_for_state,
     BOUNCE_OUT_SCHEMA,
     BOUNCE_TIMEOUT_MS,
     FUNNEL_OUT_SCHEMA,
@@ -287,6 +288,7 @@ def dedup_docs_v2(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     drop. Plugs in FRONT of the curation sink chain
     (near_dup_maintenance_sink → keepers → ivf_index_maintenance_sink)
     so redeliveries never reach the stores."""
+    docs = _prune_for_state(docs, ("doc_id", "text"))
     return docs.filter(docs["doc_id"].isNotNull()).groupBy("doc_id").transformWithStateInPandas(
         DocSeenProcessor(ttl_ms),
         outputStructType=DEDUP_DOC_OUT_SCHEMA,
@@ -305,6 +307,7 @@ def track_funnel_v2(
     ``abandon_timeout_ms`` set, ``events`` must carry a watermarked
     ``eventTime`` column and incomplete funnels emit a negative-stage
     abandonment row when the timer fires."""
+    events = _prune_for_state(events, ("user_id", "event_type", "ts"))
     return events.filter(events["user_id"].isNotNull()).groupBy("user_id").transformWithStateInPandas(
         FunnelProcessor(tuple(steps), abandon_timeout_ms),
         outputStructType=FUNNEL_OUT_SCHEMA,
@@ -315,6 +318,7 @@ def track_funnel_v2(
 
 def correct_is_new_v2(events: DataFrame) -> DataFrame:
     """T1 on transformWithState (timer-less: pure keyed value state)."""
+    events = _prune_for_state(events, ("mid", "page_id", "last_page_id", "is_new", "ts"))
     return events.groupBy("mid").transformWithStateInPandas(
         IsNewProcessor(),
         outputStructType=IS_NEW_OUT_SCHEMA,
@@ -327,6 +331,7 @@ def unique_visits_v2(events: DataFrame, ttl: bool = False) -> DataFrame:
     """T2 on transformWithState. ``ttl=True`` bounds state to mids
     active within the last day via native state TTL (processing-time,
     like the reference's StateTtlConfig)."""
+    events = _prune_for_state(events, ("mid", "ts", "last_page_id"))
     return events.groupBy("mid").transformWithStateInPandas(
         UniqueVisitProcessor(_DAY_MS if ttl else None),
         outputStructType=UV_OUT_SCHEMA,
@@ -338,6 +343,7 @@ def unique_visits_v2(events: DataFrame, ttl: bool = False) -> DataFrame:
 def detect_bounces_v2(events: DataFrame) -> DataFrame:
     """T3 on transformWithState. ``events`` must carry a watermarked
     ``eventTime`` timestamp column for the timers to fire."""
+    events = _prune_for_state(events, ("mid", "page_id", "last_page_id", "ts"))
     return events.groupBy("mid").transformWithStateInPandas(
         BounceProcessor(),
         outputStructType=BOUNCE_OUT_SCHEMA,

@@ -668,3 +668,36 @@ def test_packed_sequences_caller_owned_persist_is_bounded(spark):
         jrdd = dict(sc._jsc.getPersistentRDDs()).get(rdd_id)
         if jrdd is not None:
             jrdd.unpersist()
+
+
+def test_stateful_kernels_prune_columns_before_python_boundary(spark):
+    """r16 streaming fix (guide §4.1): stateful kernels must project to
+    exactly the columns they read (plus the watermarked ``eventTime``)
+    BEFORE the keyed shuffle and the JVM→Arrow→Python boundary — Spark
+    cannot prune columns it cannot see into an opaque Python function,
+    so a wide production log schema would otherwise cross both in full
+    every micro-batch. Pins the projection helper and that the batch
+    bounce kernel is insensitive to extra payload columns."""
+    import pyspark.sql.functions as F
+
+    from rt_bigdata_spark.streaming.stateful import (
+        _prune_for_state,
+        detect_bounces_batch,
+    )
+
+    wide = spark.createDataFrame(
+        [("101", "home", None, "1", 10000, "x" * 64, 1.5)],
+        "mid: string, page_id: string, last_page_id: string, is_new: string,"
+        " ts: long, payload: string, score: double",
+    ).withColumn("eventTime", F.timestamp_millis(F.col("ts")))
+
+    pruned = _prune_for_state(wide, ("mid", "page_id", "ts"))
+    # Exactly the kernel columns, plus eventTime kept for watermarks/timers.
+    assert pruned.columns == ["mid", "page_id", "ts", "eventTime"]
+
+    no_et = _prune_for_state(wide.drop("eventTime"), ("mid", "ts"))
+    assert no_et.columns == ["mid", "ts"]
+
+    # The kernel result must not depend on the pruned payload columns.
+    out = {(r.mid, r.ts) for r in detect_bounces_batch(wide).collect()}
+    assert out == {("101", 10000)}

@@ -355,3 +355,41 @@ def test_priority_sample_matches_python_mirror_and_estimator(spark):
     full = {r.doc_id: r for r in priority_sample(df, 40, "w").collect()}
     assert len(full) == 40
     assert all(full[i].est_weight == float(w) for i, _, w in rows)
+
+
+def test_numpy_cc_labels_equal_union_find():
+    """r16: the vectorized numpy min-label/pointer-jumping CC must
+    compute exactly `_cc_union_find_local`'s function (min reachable
+    node id) on long paths (multi-round pointer jumping), cliques,
+    stars, duplicate/symmetrized edges and sparse random graphs —
+    pure-driver property test, no Spark."""
+    import random
+
+    import numpy as np
+
+    from rt_bigdata_spark.operators.graph import (
+        _cc_numpy_labels,
+        _cc_union_find_local,
+    )
+
+    rng = random.Random(16)
+    cases = [
+        [(i, i + 1) for i in range(5000, 5600)],                      # long path
+        [(a, b) for a in range(50) for b in range(a + 1, 50)],        # clique
+        [(0, i) for i in range(1, 300)],                              # star
+        [(i, i + 1) for i in range(0, 100, 2)],                       # matching
+    ]
+    for _ in range(5):
+        n = 800
+        cases.append(
+            [(rng.randrange(n) + 10**9, rng.randrange(n) + 10**9) for _ in range(700)]
+        )
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        sym = pairs + [(b, a) for a, b in pairs]
+        ref = dict(_cc_union_find_local(sym))
+        src = np.array([a for a, _ in sym], dtype=np.int64)
+        dst = np.array([b for _, b in sym], dtype=np.int64)
+        ids, labs = _cc_numpy_labels(src, dst)
+        got = dict(zip(ids.tolist(), labs.tolist()))
+        assert got == ref
